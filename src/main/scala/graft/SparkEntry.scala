@@ -1,13 +1,19 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All model plans live in graft.layers (Spark-first re-expressions of the
+  * reference's 62 dbt models); Registry pairs each with its DuckDB oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: TPC-H Q1 pricing summary (reference
+    * models/wh/rpt_pricing_summary.sql) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    layers.Wh.rptPricingSummary(Ctx(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries
+
+  def oracleSql: Map[String, String] = Registry.oracleSql
 }

@@ -1,0 +1,120 @@
+package graft.layers
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** metrics layer (reference models/metrics/ directory). All ten models
+  * aggregate the materialized facts; group keys are low-cardinality
+  * (dates/months/nations), so the plans are single-shuffle hash aggregates
+  * with partial aggregation map-side — the shape that scales to 100 TB.
+  */
+object Metrics {
+  import M._
+
+  /** Reference models/metrics/metrics_daily_revenue.sql. */
+  def dailyRevenue(ctx: Ctx): DataFrame =
+    Wh.fctOrders(ctx).groupBy("order_date").agg(
+      countDistinct(col("order_key")).as("order_count"),
+      sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+      sum("net_item_sales_amount").cast("double").as("net_revenue"),
+      sum("item_discount_amount").cast("double").as("total_discounts"),
+      sum("item_tax_amount").cast("double").as("total_tax"))
+
+  /** Reference models/metrics/metrics_monthly_orders.sql. */
+  def monthlyOrders(ctx: Ctx): DataFrame =
+    Wh.fctOrders(ctx)
+      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+      .agg(
+        countDistinct(col("order_key")).as("order_count"),
+        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+        sum("net_item_sales_amount").cast("double").as("net_revenue"),
+        avgE(col("gross_item_sales_amount")).as("avg_order_value"),
+        sum("item_discount_amount").cast("double").as("total_discounts"),
+        countDistinct(col("customer_key")).as("unique_customers"))
+
+  /** Reference models/metrics/metrics_regional_revenue.sql. */
+  def regionalRevenue(ctx: Ctx): DataFrame =
+    Wh.fctOrders(ctx)
+      .join(Wh.dimCustomer(ctx), Seq("customer_key"))
+      .groupBy(
+        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
+        col("customer_region_name").as("region_name"),
+        col("customer_nation_name").as("nation_name"))
+      .agg(
+        countDistinct(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"),
+        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+        sum("net_item_sales_amount").cast("double").as("net_revenue"))
+
+  /** Reference models/metrics/metrics_customer_retention.sql: cohort =
+    * month of first order; activity joined back per customer-month. */
+  def customerRetention(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    val firstOrder = fo.groupBy("customer_key")
+      .agg(date_trunc("month", min("order_date")).cast(DateType).as("cohort_month"))
+    val monthly = fo
+      .groupBy(col("customer_key"),
+        date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+      .agg(countDistinct(col("order_key")).as("orders_in_month"))
+    firstOrder.join(monthly, Seq("customer_key"))
+      .groupBy(col("cohort_month"), col("order_month"),
+        ((year(col("order_month")) - year(col("cohort_month"))) * 12
+          + (month(col("order_month")) - month(col("cohort_month"))))
+          .as("months_since_first"))
+      .agg(
+        countDistinct(col("customer_key")).as("active_customers"),
+        sum("orders_in_month").as("total_orders"))
+  }
+
+  /** Reference models/metrics/metrics_discount_utilization.sql. */
+  def discountUtilization(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .groupBy(date_trunc("month", col("ship_date")).cast(DateType).as("ship_month"))
+      .agg(
+        count(lit(1)).as("total_line_items"),
+        sum(when(col("discount_percentage") > 0, 1).otherwise(0)).as("discounted_items"),
+        sum(when(col("discount_percentage") === 0, 1).otherwise(0)).as("full_price_items"),
+        rnd(dv(sum(when(col("discount_percentage") > 0, 1).otherwise(0)),
+          nullifZero(count(lit(1)))) * 100, 2).as("discount_usage_pct"),
+        avgE(when(col("discount_percentage") > 0, col("discount_percentage")))
+          .as("avg_discount_when_used"),
+        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+        sum(abs(col("item_discount_amount"))).cast("double").as("total_discount_given"),
+        rnd(dv(sum(abs(col("item_discount_amount"))),
+          nullifZero(sum(col("gross_item_sales_amount")))) * 100, 2)
+          .as("discount_as_pct_of_revenue"))
+
+  /** Reference models/metrics/metrics_top_parts_trending.sql: monthly part
+    * revenue, rank within month, lag across months, top-50 filter. */
+  def topPartsTrending(ctx: Ctx): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Wh.fctOrdersItems(ctx)
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name"), Seq("part_key"))
+      .groupBy(
+        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
+        col("part_key"), col("part_name"), col("part_type_name"))
+      .agg(
+        sum("quantity").as("total_quantity_d"),
+        sum("gross_item_sales_amount").as("total_revenue_d"),
+        countDistinct(col("order_key")).as("order_count"))
+    val ranked = monthly
+      .withColumn("revenue_rank",
+        rank().over(Window.partitionBy("order_month")
+          .orderBy(col("total_revenue_d").desc)))
+      .withColumn("prev_month_revenue_d",
+        lag("total_revenue_d", 1).over(Window.partitionBy("part_key")
+          .orderBy("order_month")))
+    ranked.filter(col("revenue_rank") <= 50)
+      .select(
+        col("order_month"), col("part_key"), col("part_name"), col("part_type_name"),
+        col("total_quantity_d").cast("double").as("total_quantity"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        col("order_count"), col("revenue_rank"),
+        col("prev_month_revenue_d").cast("double").as("prev_month_revenue"),
+        rnd(dv(col("total_revenue_d") - coalesce(col("prev_month_revenue_d"), lit(0)),
+          nullifZero(coalesce(col("prev_month_revenue_d"), lit(0)))) * 100, 2)
+          .as("revenue_growth_pct"))
+  }
+}
