@@ -50,7 +50,10 @@ base_line_item AS (
          ${money("l_tax")} AS tax_rate,
          l_returnflag AS return_status_code,
          l_linestatus AS order_line_status_code,
-         CAST(l_shipdate AS DATE) AS ship_date
+         CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(l_shipdate AS DATE) + CAST((l_orderkey * 7 + l_linenumber * 3) % 61 - 30 AS INT) AS commit_date,
+         CAST(l_shipdate AS DATE) + CAST(1 + (l_orderkey * 11 + l_partkey * 5) % 30 AS INT) AS receipt_date,
+         (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])[CAST((l_orderkey + l_linenumber) % 7 + 1 AS INT)] AS ship_mode_name
   FROM lineitem),
 base_orders AS (
   SELECT o_orderkey AS order_key, o_custkey AS customer_key,
@@ -95,7 +98,8 @@ o_oi0 AS (
   SELECT ${sk("o.order_key", "l.order_line_number", "l.part_key", "l.supplier_key")} AS order_item_key,
          o.order_key, o.order_date, o.customer_key, o.order_status_code,
          l.part_key, l.supplier_key, l.return_status_code, l.order_line_number,
-         l.order_line_status_code, l.ship_date,
+         l.order_line_status_code, l.ship_date, l.commit_date, l.receipt_date,
+         l.ship_mode_name,
          l.quantity, l.discount_percentage, l.tax_rate, l.extended_price,
          ${moneyDiv("l.extended_price", "l.quantity")} AS base_price,
          ${moneyR("l.extended_price * (1 - l.discount_percentage)")} AS discounted_item_sales_amount,
@@ -105,7 +109,8 @@ o_oi0 AS (
 o_oi AS (
   SELECT order_item_key, order_key, order_date, customer_key, order_status_code,
          part_key, supplier_key, return_status_code, order_line_number,
-         order_line_status_code, ship_date, quantity, base_price,
+         order_line_status_code, ship_date, commit_date, receipt_date,
+         ship_mode_name, quantity, base_price,
          discount_percentage,
          ${moneyR("base_price * (1 - discount_percentage)")} AS discounted_price,
          extended_price AS gross_item_sales_amount,
@@ -165,6 +170,7 @@ w_fct_orders_items AS (
   SELECT o.order_item_key, o.order_key, o.order_date, o.customer_key,
          o.order_status_code, o.part_key, o.supplier_key, o.return_status_code,
          o.order_line_number, o.order_line_status_code, o.ship_date,
+         o.commit_date, o.receipt_date, o.ship_mode_name,
          ps.supplier_cost_amount, o.base_price, o.discount_percentage,
          o.discounted_price, o.tax_rate, 1 AS order_item_count, o.quantity,
          o.gross_item_sales_amount, o.discounted_item_sales_amount,

@@ -33,7 +33,22 @@ object Base {
       money(col("l_tax")).as("tax_rate"),
       col("l_returnflag").as("return_status_code"),
       col("l_linestatus").as("order_line_status_code"),
-      col("l_shipdate").cast(DateType).as("ship_date"))
+      col("l_shipdate").cast(DateType).as("ship_date"),
+      // commit/receipt dates and ship mode don't exist in the driver
+      // testdata (SURVEY §1); synthesized deterministically from keys so the
+      // reference's delivery-performance models stay expressible. Exact
+      // textual twins in Oracle.CTES base_line_item.
+      date_add(col("l_shipdate").cast(DateType),
+        ((col("l_orderkey") * 7 + col("l_linenumber") * 3) % 61 - 30).cast("int"))
+        .as("commit_date"),
+      date_add(col("l_shipdate").cast(DateType),
+        (lit(1) + (col("l_orderkey") * 11 + col("l_partkey") * 5) % 30).cast("int"))
+        .as("receipt_date"),
+      element_at(
+        array(lit("AIR"), lit("FOB"), lit("MAIL"), lit("RAIL"),
+          lit("REG AIR"), lit("SHIP"), lit("TRUCK")),
+        ((col("l_orderkey") + col("l_linenumber")) % 7 + 1).cast("int"))
+        .as("ship_mode_name"))
 
   def orders(ctx: Ctx): DataFrame =
     ctx.tbl("orders").select(

@@ -1,0 +1,183 @@
+package graft.layers
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** intermediate layer (reference models/intermediate/ directory): dbt `view`
+  * models — lazy plans re-derived per consumer, exactly like dbt views.
+  *
+  * All aggregate ratio/avg outputs follow the parity rules in [[graft.Macros]]:
+  * decimal-exact sums, raw-double ratios (reference's round() on ratios is
+  * presentational and dropped — see Macros.rnd).
+  */
+object Intermediate {
+  import M._
+
+  /** Reference models/intermediate/int_customer_lifetime_value.sql. */
+  def customerLifetimeValue(ctx: Ctx): DataFrame =
+    Wh.dimCustomer(ctx)
+      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
+      .groupBy("customer_key", "customer_name", "customer_nation_name",
+        "customer_region_name", "customer_market_segment_name",
+        "customer_account_balance")
+      .agg(
+        countDistinct(col("order_key")).as("lifetime_orders"),
+        sum("gross_item_sales_amount").cast("double").as("lifetime_revenue"),
+        sum("net_item_sales_amount").cast("double").as("lifetime_net_revenue"),
+        min("order_date").as("first_order_date"),
+        max("order_date").as("last_order_date"),
+        datediff(max("order_date"), min("order_date")).as("customer_tenure_days"),
+        rnd(dv(sum("gross_item_sales_amount"),
+          nullifZero(countDistinct(col("order_key")))), 2).as("avg_order_value"))
+
+  /** Reference models/intermediate/int_customer_orders_summary.sql. */
+  def customerOrdersSummary(ctx: Ctx): DataFrame =
+    Wh.dimCustomer(ctx)
+      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
+      .groupBy("customer_key", "customer_name", "customer_nation_name",
+        "customer_region_name", "customer_market_segment_name")
+      .agg(
+        countDistinct(col("order_key")).as("order_count"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
+        avgE(col("gross_item_sales_amount")).as("avg_order_value"),
+        min("order_date").as("first_order_date"),
+        max("order_date").as("last_order_date"),
+        countDistinct(when(col("order_status_code") === "F", col("order_key")))
+          .as("fulfilled_orders"),
+        countDistinct(when(col("order_status_code") === "O", col("order_key")))
+          .as("open_orders"),
+        countDistinct(when(col("order_status_code") === "P", col("order_key")))
+          .as("partial_orders"))
+
+  /** Reference models/intermediate/int_discount_impact.sql. */
+  def discountImpact(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .groupBy("order_key", "order_date", "customer_key")
+      .agg(
+        count(lit(1)).as("line_item_count"),
+        sum("quantity").cast("double").as("total_quantity"),
+        sum("gross_item_sales_amount").cast("double").as("revenue_before_discount"),
+        sum("discounted_item_sales_amount").cast("double").as("revenue_after_discount"),
+        sum("item_discount_amount").cast("double").as("total_discount_amount"),
+        sum("net_item_sales_amount").cast("double").as("net_revenue"),
+        rnd(dv(abs(sum("item_discount_amount")),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2)
+          .as("effective_discount_pct"),
+        avgE(col("discount_percentage")).as("avg_line_discount_pct"),
+        sum(when(col("discount_percentage") > 0, 1).otherwise(0))
+          .as("discounted_line_items"),
+        sum(when(col("discount_percentage") === 0, 1).otherwise(0))
+          .as("full_price_line_items"))
+
+  /** Reference models/intermediate/int_market_basket.sql: self-join over
+    * de-duped (order, part) pairs with a theta (<) component. The equi-key
+    * on order_key keeps it a hash join (quadratic only within an order,
+    * bounded by order size — safe at any scale factor). */
+  def marketBasket(ctx: Ctx): DataFrame = {
+    val op = Wh.fctOrdersItems(ctx).select("order_key", "part_key").distinct()
+    val pairs = op.as("a")
+      .join(op.as("b"),
+        col("a.order_key") === col("b.order_key")
+          && col("a.part_key") < col("b.part_key"))
+      .groupBy(col("a.part_key").as("part_a"), col("b.part_key").as("part_b"))
+      .agg(countDistinct(col("a.order_key")).as("co_occurrence_count"))
+    val totals = op.groupBy("part_key")
+      .agg(countDistinct(col("order_key")).as("order_count"))
+    pairs
+      .join(totals.select(col("part_key").as("part_a"),
+        col("order_count").as("part_a_orders")), Seq("part_a"))
+      .join(totals.select(col("part_key").as("part_b"),
+        col("order_count").as("part_b_orders")), Seq("part_b"))
+      .filter(col("co_occurrence_count") >= 5)
+      .select(
+        col("part_a"), col("part_b"), col("co_occurrence_count"),
+        col("part_a_orders"), col("part_b_orders"),
+        rnd(dv(col("co_occurrence_count"), nullifZero(col("part_a_orders"))) * 100, 2)
+          .as("pct_of_part_a_orders"),
+        rnd(dv(col("co_occurrence_count"), nullifZero(col("part_b_orders"))) * 100, 2)
+          .as("pct_of_part_b_orders"))
+  }
+
+  /** Reference models/intermediate/int_nation_economics.sql. */
+  def nationEconomics(ctx: Ctx): DataFrame = {
+    val cs = Wh.dimCustomer(ctx)
+      .groupBy(col("customer_nation_name").as("nation_name"),
+        col("customer_region_name").as("region_name"))
+      .agg(
+        countDistinct(col("customer_key")).as("customer_count"),
+        sum("customer_account_balance").as("total_customer_balance_d"),
+        avgE(col("customer_account_balance")).as("avg_customer_balance"))
+    val ss = Wh.dimSupplier(ctx)
+      .groupBy(col("supplier_nation_name").as("nation_name"))
+      .agg(
+        countDistinct(col("supplier_key")).as("supplier_count"),
+        sum("supplier_account_balance").as("total_supplier_balance_d"),
+        avgE(col("supplier_account_balance")).as("avg_supplier_balance_d"))
+    val os = Wh.fctOrders(ctx)
+      .join(Wh.dimCustomer(ctx).select("customer_key", "customer_nation_name"),
+        Seq("customer_key"))
+      .groupBy(col("customer_nation_name").as("nation_name"))
+      .agg(
+        sum("gross_item_sales_amount").as("total_order_revenue_d"),
+        sum("net_item_sales_amount").as("total_net_revenue_d"),
+        countDistinct(col("order_key")).as("total_orders_d"))
+    cs.join(ss, Seq("nation_name"), "left")
+      .join(os, Seq("nation_name"), "left")
+      .select(
+        col("nation_name"), col("region_name"), col("customer_count"),
+        coalesce(col("supplier_count"), lit(0L)).as("supplier_count"),
+        col("total_customer_balance_d").cast("double").as("total_customer_balance"),
+        col("avg_customer_balance"),
+        coalesce(col("total_supplier_balance_d").cast("double"), lit(0d))
+          .as("total_supplier_balance"),
+        coalesce(col("avg_supplier_balance_d"), lit(0d)).as("avg_supplier_balance"),
+        coalesce(col("total_order_revenue_d").cast("double"), lit(0d))
+          .as("total_order_revenue"),
+        coalesce(col("total_net_revenue_d").cast("double"), lit(0d))
+          .as("total_net_revenue"),
+        coalesce(col("total_orders_d"), lit(0L)).as("total_orders"),
+        rnd(dv(coalesce(col("total_order_revenue_d"), lit(0)),
+          nullifZero(col("customer_count"))), 2).as("revenue_per_customer"))
+  }
+
+  /** Reference models/intermediate/int_regional_trade_flows.sql. */
+  def regionalTradeFlows(ctx: Ctx): DataFrame = {
+    val i = Wh.fctOrdersItems(ctx)
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_nation_name", "customer_region_name"),
+        Seq("customer_key"))
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_nation_name", "supplier_region_name"),
+        Seq("supplier_key"))
+    i.groupBy(
+        col("supplier_nation_name").as("supplier_nation"),
+        col("supplier_region_name").as("supplier_region"),
+        col("customer_nation_name").as("customer_nation"),
+        col("customer_region_name").as("customer_region"),
+        year(col("ship_date")).as("ship_year"),
+        when(col("supplier_nation_name") === col("customer_nation_name"), "domestic")
+          .when(col("supplier_region_name") === col("customer_region_name"), "intra_regional")
+          .otherwise("inter_regional").as("trade_type"))
+      .agg(
+        count(lit(1)).as("total_shipments"),
+        sum("quantity").cast("double").as("total_quantity"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"))
+  }
+
+  /** Reference models/intermediate/int_seasonal_demand.sql. */
+  def seasonalDemand(ctx: Ctx): DataFrame =
+    Wh.fctOrders(ctx)
+      .groupBy(
+        year(col("order_date")).as("order_year"),
+        quarter(col("order_date")).as("order_quarter"),
+        month(col("order_date")).as("order_month"))
+      .agg(
+        countDistinct(col("order_key")).as("order_count"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
+        avgE(col("gross_item_sales_amount")).as("avg_order_value"),
+        sum("item_discount_amount").cast("double").as("total_discounts"))
+}

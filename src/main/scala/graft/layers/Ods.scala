@@ -44,6 +44,7 @@ object Ods {
         col("order_key"), col("order_date"), col("customer_key"), col("order_status_code"),
         col("part_key"), col("supplier_key"), col("return_status_code"),
         col("order_line_number"), col("order_line_status_code"), col("ship_date"),
+        col("commit_date"), col("receipt_date"), col("ship_mode_name"),
         col("quantity"), col("discount_percentage"), col("tax_rate"), col("extended_price"),
         moneyDiv("extended_price", "quantity").as("base_price"),
         moneyR(col("extended_price") * (lit(1) - col("discount_percentage")))
@@ -54,7 +55,8 @@ object Ods {
       col("order_item_key"), col("order_key"), col("order_date"), col("customer_key"),
       col("order_status_code"), col("part_key"), col("supplier_key"),
       col("return_status_code"), col("order_line_number"), col("order_line_status_code"),
-      col("ship_date"), col("quantity"), col("base_price"), col("discount_percentage"),
+      col("ship_date"), col("commit_date"), col("receipt_date"), col("ship_mode_name"),
+      col("quantity"), col("base_price"), col("discount_percentage"),
       moneyR(col("base_price") * (lit(1) - col("discount_percentage"))).as("discounted_price"),
       col("extended_price").as("gross_item_sales_amount"),
       col("discounted_item_sales_amount"),

@@ -1,0 +1,594 @@
+package graft.layers
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** reports layer (reference models/reports/ directory).
+  *
+  * Window determinism: row_number / ntile / lag get an explicit unique
+  * tie-break key appended to their ORDER BY in BOTH engines (the reference's
+  * ordering is nondeterministic at ties); rank() and RANGE-framed running
+  * sums are tie-stable as written and keep the reference's exact semantics.
+  *
+  * Global (empty-partition) windows force a single-partition exchange — fine
+  * at report cardinality (outputs are per-customer/part/month aggregates,
+  * orders of magnitude smaller than the facts); the heavy aggregation below
+  * them is fully parallel.
+  */
+object Reports {
+  import M._
+
+  /** Reference models/reports/customer_concentration_risk.sql (Pareto). */
+  def customerConcentrationRisk(ctx: Ctx): DataFrame = {
+    val rev = Wh.fctOrders(ctx)
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_name", "customer_nation_name",
+          "customer_market_segment_name"), Seq("customer_key"))
+      .groupBy("customer_key", "customer_name", "customer_nation_name",
+        "customer_market_segment_name")
+      .agg(
+        sum("gross_item_sales_amount").as("total_revenue_d"),
+        countDistinct(col("order_key")).as("order_count"))
+    val wAll = Window.partitionBy()
+    val ranked = rev
+      .withColumn("revenue_rank",
+        row_number().over(Window.orderBy(col("total_revenue_d").desc, col("customer_key"))))
+      .withColumn("total_customers", count(lit(1)).over(wAll))
+      .withColumn("grand_total_revenue_d", sum("total_revenue_d").over(wAll))
+      .withColumn("cumulative_revenue_d",
+        sum("total_revenue_d").over(Window.orderBy(col("total_revenue_d").desc)))
+    ranked.select(
+      col("revenue_rank"), col("customer_key"), col("customer_name"),
+      col("customer_nation_name"), col("customer_market_segment_name"),
+      col("order_count"),
+      col("total_revenue_d").cast("double").as("total_revenue"),
+      col("cumulative_revenue_d").cast("double").as("cumulative_revenue"),
+      col("grand_total_revenue_d").cast("double").as("grand_total_revenue"),
+      rnd(dv(col("total_revenue_d"), col("grand_total_revenue_d")) * 100, 4)
+        .as("pct_of_total_revenue"),
+      rnd(dv(col("cumulative_revenue_d"), col("grand_total_revenue_d")) * 100, 2)
+        .as("cumulative_pct"),
+      rnd(dv(col("revenue_rank"), col("total_customers")) * 100, 2)
+        .as("customer_percentile"),
+      when(dv(col("cumulative_revenue_d"), col("grand_total_revenue_d")) <= 0.80, "top_80_pct")
+        .when(dv(col("cumulative_revenue_d"), col("grand_total_revenue_d")) <= 0.95, "middle_15_pct")
+        .otherwise("bottom_5_pct").as("pareto_tier"))
+  }
+
+  /** Reference models/reports/customer_cohort_retention.sql. */
+  def customerCohortRetention(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    val cohort = fo.groupBy("customer_key")
+      .agg(date_trunc("month", min("order_date")).cast(DateType).as("cohort_month"))
+    val activity = fo
+      .select(col("customer_key"),
+        date_trunc("month", col("order_date")).cast(DateType).as("activity_month"))
+      .distinct()
+    val cohortActivity = cohort.join(activity, Seq("customer_key"))
+      .groupBy(col("cohort_month"), col("activity_month"),
+        ((year(col("activity_month")) - year(col("cohort_month"))) * 12
+          + month(col("activity_month")) - month(col("cohort_month")))
+          .as("period_number"))
+      .agg(countDistinct(col("customer_key")).as("active_customers"))
+    val sizes = cohort.groupBy("cohort_month")
+      .agg(countDistinct(col("customer_key")).as("cohort_size"))
+    cohortActivity.join(sizes, Seq("cohort_month"))
+      .select(
+        col("cohort_month"), col("activity_month"), col("period_number"),
+        col("cohort_size"), col("active_customers"),
+        rnd(dv(col("active_customers"), col("cohort_size")) * 100, 2)
+          .as("retention_pct"))
+  }
+
+  /** Reference models/reports/customer_churn_risk.sql. */
+  def customerChurnRisk(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    val w = Window.partitionBy("customer_key").orderBy("order_date", "order_key")
+    val gaps = fo.select(
+      col("customer_key"), col("order_date"),
+      datediff(col("order_date"), lag("order_date", 1).over(w))
+        .as("days_between_orders"))
+    val cadence = gaps.groupBy("customer_key").agg(
+      count(lit(1)).as("total_orders"),
+      avgE(col("days_between_orders")).as("avg_days_between_orders"),
+      max("order_date").as("last_order_date"))
+    val ref = fo.agg(max("order_date").as("reference_date"))
+    val dsl = datediff(col("reference_date"), col("last_order_date"))
+    cadence.crossJoin(ref)
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_name", "customer_nation_name",
+          "customer_market_segment_name"), Seq("customer_key"))
+      .select(
+        col("customer_key"), col("customer_name"), col("customer_nation_name"),
+        col("customer_market_segment_name"), col("total_orders"),
+        col("last_order_date"),
+        dsl.as("days_since_last_order"),
+        rnd(col("avg_days_between_orders"), 1).as("avg_days_between_orders"),
+        when(col("total_orders") <= 1, lit(null))
+          .otherwise(rnd(dv(dsl, nullif(col("avg_days_between_orders"), lit(0d))), 2))
+          .as("recency_ratio"),
+        when(col("total_orders") <= 1, "insufficient_data")
+          .when(dsl <= col("avg_days_between_orders"), "active")
+          .when(dsl <= col("avg_days_between_orders") * 2, "at_risk")
+          .otherwise("churned").as("churn_status"))
+  }
+
+  /** Reference models/reports/customer_geographic_summary.sql. */
+  def customerGeographicSummary(ctx: Ctx): DataFrame =
+    Wh.dimCustomer(ctx)
+      .select("customer_key", "customer_region_name", "customer_nation_name",
+        "customer_account_balance")
+      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
+      .groupBy(col("customer_region_name").as("region_name"),
+        col("customer_nation_name").as("nation_name"))
+      .agg(
+        countDistinct(col("customer_key")).as("customer_count"),
+        countDistinct(col("order_key")).as("order_count"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
+        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"),
+        rnd(dv(sum("gross_item_sales_amount"),
+          nullifZero(countDistinct(col("customer_key")))), 2)
+          .as("revenue_per_customer"),
+        rnd(dv(countDistinct(col("order_key")),
+          nullifZero(countDistinct(col("customer_key")))), 2)
+          .as("orders_per_customer"),
+        sum("customer_account_balance").cast("double").as("total_account_balance"))
+
+  /** Reference models/reports/customer_purchase_frequency_bands.sql. */
+  def customerPurchaseFrequencyBands(ctx: Ctx): DataFrame = {
+    val co = Wh.fctOrders(ctx).groupBy("customer_key").agg(
+      countDistinct(col("order_key")).as("order_count"),
+      sum("gross_item_sales_amount").as("total_revenue_d"))
+    val banded = co.withColumn("frequency_band",
+      when(col("order_count") === 1, "one_time")
+        .when(col("order_count").between(2, 5), "occasional")
+        .when(col("order_count").between(6, 15), "regular")
+        .when(col("order_count") > 15, "power_buyer"))
+    val agg = banded.groupBy("frequency_band").agg(
+      count(lit(1)).as("customer_count"),
+      sum("total_revenue_d").as("band_total_revenue_d"),
+      avgE(col("total_revenue_d")).as("avg_revenue_per_customer_d"),
+      avgE(col("order_count")).as("avg_orders_per_customer"),
+      min("order_count").as("min_orders"),
+      max("order_count").as("max_orders"))
+    val wAll = Window.partitionBy()
+    agg.select(
+      col("frequency_band"), col("customer_count"),
+      rnd(dv(col("customer_count"), sum("customer_count").over(wAll)) * 100, 2)
+        .as("pct_of_customers"),
+      col("band_total_revenue_d").cast("double").as("band_total_revenue"),
+      rnd(dv(col("band_total_revenue_d"), sum("band_total_revenue_d").over(wAll)) * 100, 2)
+        .as("pct_of_revenue"),
+      rnd(col("avg_revenue_per_customer_d"), 2).as("avg_revenue_per_customer"),
+      col("avg_orders_per_customer"), col("min_orders"), col("max_orders"))
+  }
+
+  /** Reference models/reports/customer_rfm_segments.sql. ntile ORDER BYs get
+    * customer_key tie-breaks (both engines) for determinism. */
+  def customerRfmSegments(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    val om = fo.groupBy("customer_key").agg(
+      max("order_date").as("last_order_date"),
+      countDistinct(col("order_key")).as("frequency"),
+      sum("gross_item_sales_amount").as("monetary_d"))
+    val ref = fo.agg(max("order_date").as("reference_date"))
+    val scored = om.crossJoin(ref)
+      .withColumn("recency_days", datediff(col("reference_date"), col("last_order_date")))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("customer_key"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("customer_key"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_d"), col("customer_key"))))
+    scored
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_name", "customer_nation_name",
+          "customer_market_segment_name"), Seq("customer_key"))
+      .select(
+        col("customer_key"), col("customer_name"), col("customer_nation_name"),
+        col("customer_market_segment_name"), col("last_order_date"),
+        col("recency_days"), col("frequency"),
+        col("monetary_d").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") + col("f_score") + col("m_score")).as("rfm_total"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new_customer")
+          .when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") <= 2, "potential_loyalist")
+          .when(col("r_score") <= 2 && col("f_score") >= 3 && col("m_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") >= 4 && col("m_score") >= 4, "cant_lose_them")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("need_attention").as("rfm_segment"))
+  }
+
+  /** Reference models/reports/discount_depth_analysis.sql. */
+  def discountDepthAnalysis(ctx: Ctx): DataFrame = {
+    val items = Wh.fctOrdersItems(ctx).withColumn("discount_band",
+      when(col("discount_percentage") === 0, "0_no_discount")
+        .when(col("discount_percentage") <= 0.03, "1_low_1_3pct")
+        .when(col("discount_percentage") <= 0.06, "2_medium_4_6pct")
+        .when(col("discount_percentage") <= 0.08, "3_high_7_8pct")
+        .otherwise("4_deep_9pct_plus"))
+    val agg = items.groupBy("discount_band").agg(
+      count(lit(1)).as("line_item_count"),
+      sum("quantity").cast("double").as("total_quantity"),
+      sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+      sum("discounted_item_sales_amount").cast("double").as("discounted_revenue"),
+      sum(abs(col("item_discount_amount"))).cast("double").as("total_discount_given"),
+      rnd(avgE(col("quantity")), 2).as("avg_quantity_per_item"),
+      rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_item_revenue"),
+      countDistinct(col("order_key")).as("distinct_orders"),
+      countDistinct(col("customer_key")).as("distinct_customers"))
+    agg.withColumn("pct_of_items",
+      rnd(dv(col("line_item_count"),
+        sum("line_item_count").over(Window.partitionBy())) * 100, 2))
+  }
+
+  /** Reference models/reports/discount_effectiveness.sql. */
+  def discountEffectiveness(ctx: Ctx): DataFrame = {
+    val items = Wh.fctOrdersItems(ctx).select(
+      col("order_key"), col("customer_key"), col("order_date"),
+      (col("discount_percentage") > 0).as("is_discounted"),
+      col("quantity"), col("gross_item_sales_amount"), col("item_discount_amount"))
+    val orderLevel = items.groupBy("order_key", "customer_key", "order_date").agg(
+      sum(when(col("is_discounted"), 1).otherwise(0)).as("discounted_lines"),
+      sum(when(!col("is_discounted"), 1).otherwise(0)).as("full_price_lines"),
+      sum("quantity").as("total_quantity_d"),
+      sum("gross_item_sales_amount").as("gross_revenue_d"),
+      sum(abs(col("item_discount_amount"))).as("discount_amount_d"))
+      .withColumn("order_discount_type",
+        when(col("discounted_lines") === 0, "all_full_price")
+          .when(col("full_price_lines") === 0, "all_discounted")
+          .otherwise("mixed"))
+    orderLevel.groupBy("order_discount_type").agg(
+      countDistinct(col("order_key")).as("order_count"),
+      countDistinct(col("customer_key")).as("customer_count"),
+      rnd(avgE(col("total_quantity_d")), 2).as("avg_items_per_order"),
+      rnd(avgE(col("gross_revenue_d")), 2).as("avg_order_value"),
+      sum("gross_revenue_d").cast("double").as("total_revenue"),
+      sum("discount_amount_d").cast("double").as("total_discount_given"),
+      rnd(dv(sum("discount_amount_d"), nullifZero(sum("gross_revenue_d"))) * 100, 2)
+        .as("effective_discount_rate"))
+  }
+
+  /** Reference models/reports/fulfillment_priority_analysis.sql. */
+  def fulfillmentPriorityAnalysis(ctx: Ctx): DataFrame = {
+    val items = Wh.fctOrdersItems(ctx)
+      .select(col("order_key"), col("order_date"), col("ship_date"),
+        col("ship_mode_name"), col("customer_key"), col("quantity"),
+        col("gross_item_sales_amount"))
+      .join(Wh.fctOrders(ctx).select("order_key", "order_priority_code"),
+        Seq("order_key"))
+      .withColumn("fulfillment_days", datediff(col("ship_date"), col("order_date")))
+    items.groupBy("order_priority_code", "ship_mode_name").agg(
+      count(lit(1)).as("line_item_count"),
+      countDistinct(col("order_key")).as("order_count"),
+      countDistinct(col("customer_key")).as("customer_count"),
+      sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+      rnd(avgE(col("fulfillment_days")), 1).as("avg_fulfillment_days"),
+      min("fulfillment_days").as("min_fulfillment_days"),
+      max("fulfillment_days").as("max_fulfillment_days"),
+      rnd(avgE(col("quantity")), 1).as("avg_quantity_per_line"),
+      sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)).as("fulfilled_within_7d"),
+      sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)).as("fulfilled_within_14d"),
+      rnd(dv(sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)) * 100,
+        count(lit(1))), 2).as("pct_within_7d"),
+      rnd(dv(sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)) * 100,
+        count(lit(1))), 2).as("pct_within_14d"))
+  }
+
+  /** Reference models/reports/monthly_order_trends.sql. */
+  def monthlyOrderTrends(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    val first = fo.groupBy("customer_key").agg(min("order_date").as("first_order_date"))
+    val orders = fo.join(first, Seq("customer_key"))
+      .withColumn("customer_type",
+        when(date_trunc("month", col("order_date"))
+          === date_trunc("month", col("first_order_date")), "new")
+          .otherwise("returning"))
+    val monthly = orders
+      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+      .agg(
+        countDistinct(col("order_key")).as("total_orders"),
+        countDistinct(col("customer_key")).as("unique_customers"),
+        countDistinct(when(col("customer_type") === "new", col("customer_key")))
+          .as("new_customers"),
+        countDistinct(when(col("customer_type") === "returning", col("customer_key")))
+          .as("returning_customers"),
+        sum("gross_item_sales_amount").as("total_revenue_d"),
+        sum(when(col("customer_type") === "new", col("gross_item_sales_amount"))
+          .otherwise(lit(0))).as("new_customer_revenue_d"),
+        sum(when(col("customer_type") === "returning", col("gross_item_sales_amount"))
+          .otherwise(lit(0))).as("returning_customer_revenue_d"),
+        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"))
+    val wm = Window.orderBy("order_month")
+    monthly
+      .withColumn("prev_month_revenue_d", lag("total_revenue_d", 1).over(wm))
+      .select(
+        col("order_month"), col("total_orders"), col("unique_customers"),
+        col("new_customers"), col("returning_customers"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        col("new_customer_revenue_d").cast("double").as("new_customer_revenue"),
+        col("returning_customer_revenue_d").cast("double").as("returning_customer_revenue"),
+        col("avg_order_value"),
+        col("prev_month_revenue_d").cast("double").as("prev_month_revenue"),
+        rnd(dv(col("total_revenue_d") - col("prev_month_revenue_d"),
+          nullifZero(col("prev_month_revenue_d"))) * 100, 2)
+          .as("revenue_mom_growth_pct"))
+  }
+
+  /** Reference models/reports/monthly_revenue_kpis.sql (lag + rows frames). */
+  def monthlyRevenueKpis(ctx: Ctx): DataFrame = {
+    val monthly = Wh.fctOrders(ctx)
+      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+      .agg(
+        countDistinct(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("unique_customers"),
+        sum("gross_item_sales_amount").as("gross_revenue_d"),
+        sum("net_item_sales_amount").cast("double").as("net_revenue"),
+        sum("item_discount_amount").cast("double").as("total_discounts"),
+        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"))
+    val wm = Window.orderBy("order_month")
+    val w3 = wm.rowsBetween(-2, 0)
+    val wCum = wm.rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("prev_month_revenue_d", lag("gross_revenue_d", 1).over(wm))
+      .select(
+        col("order_month"), col("order_count"), col("unique_customers"),
+        col("gross_revenue_d").cast("double").as("gross_revenue"),
+        col("net_revenue"), col("total_discounts"), col("avg_order_value"),
+        col("prev_month_revenue_d").cast("double").as("prev_month_revenue"),
+        rnd(dv(col("gross_revenue_d") - col("prev_month_revenue_d"),
+          nullifZero(col("prev_month_revenue_d"))) * 100, 2)
+          .as("revenue_mom_growth_pct"),
+        rnd(dv(sum("gross_revenue_d").over(w3), count(lit(1)).over(w3)), 2)
+          .as("rolling_3m_avg_revenue"),
+        sum("gross_revenue_d").over(wCum).cast("double").as("cumulative_revenue"))
+  }
+
+  /** Reference models/reports/order_status_funnel.sql. */
+  def orderStatusFunnel(ctx: Ctx): DataFrame = {
+    val agg = Wh.fctOrders(ctx).groupBy("order_status_code").agg(
+      countDistinct(col("order_key")).as("order_count"),
+      sum("gross_item_sales_amount").as("total_revenue_d"),
+      rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"),
+      countDistinct(col("customer_key")).as("unique_customers"))
+    val wAll = Window.partitionBy()
+    agg.select(
+      col("order_status_code"), col("order_count"),
+      rnd(dv(col("order_count"), sum("order_count").over(wAll)) * 100, 2)
+        .as("pct_of_orders"),
+      col("total_revenue_d").cast("double").as("total_revenue"),
+      rnd(dv(col("total_revenue_d"), sum("total_revenue_d").over(wAll)) * 100, 2)
+        .as("pct_of_revenue"),
+      col("avg_order_value"), col("unique_customers"))
+  }
+
+  /** Reference models/reports/part_abc_classification.sql: RANGE-framed
+    * running sum keeps the reference's tie-sharing semantics; row_number gets
+    * a part_key tie-break. */
+  def partAbcClassification(ctx: Ctx): DataFrame = {
+    val rev = Wh.fctOrdersItems(ctx)
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
+        "part_brand_name"), Seq("part_key"))
+      .groupBy("part_key", "part_name", "part_type_name", "part_brand_name")
+      .agg(
+        sum("gross_item_sales_amount").as("total_revenue_d"),
+        sum("quantity").as("total_quantity_d"),
+        countDistinct(col("order_key")).as("order_count"))
+    val wAll = Window.partitionBy()
+    val ranked = rev
+      .withColumn("grand_total_d", sum("total_revenue_d").over(wAll))
+      .withColumn("running_total_d",
+        sum("total_revenue_d").over(Window.orderBy(col("total_revenue_d").desc)))
+      .withColumn("revenue_rank",
+        row_number().over(Window.orderBy(col("total_revenue_d").desc, col("part_key"))))
+    ranked.select(
+      col("revenue_rank"), col("part_key"), col("part_name"),
+      col("part_type_name"), col("part_brand_name"),
+      col("total_revenue_d").cast("double").as("total_revenue"),
+      col("total_quantity_d").cast("double").as("total_quantity"),
+      col("order_count"),
+      rnd(dv(col("total_revenue_d"), col("grand_total_d")) * 100, 4)
+        .as("pct_of_revenue"),
+      rnd(dv(col("running_total_d"), col("grand_total_d")) * 100, 2)
+        .as("cumulative_pct"),
+      when(dv(col("running_total_d"), col("grand_total_d")) <= 0.80, "A")
+        .when(dv(col("running_total_d"), col("grand_total_d")) <= 0.95, "B")
+        .otherwise("C").as("abc_class"))
+  }
+
+  /** Reference models/reports/part_sales_velocity.sql (ntile quartiles). */
+  def partSalesVelocity(ctx: Ctx): DataFrame = {
+    val monthly = Wh.fctOrdersItems(ctx)
+      .groupBy(col("part_key"),
+        date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+      .agg(
+        sum("quantity").as("monthly_units_d"),
+        sum("gross_item_sales_amount").as("monthly_revenue_d"))
+    val stats = monthly.groupBy("part_key").agg(
+      countDistinct(col("order_month")).as("active_months"),
+      sum("monthly_units_d").as("total_units_d"),
+      sum("monthly_revenue_d").as("total_revenue_d"),
+      avgE(col("monthly_units_d")).as("avg_monthly_units"),
+      avgE(col("monthly_revenue_d")).as("avg_monthly_revenue"))
+    val q = ntile(4).over(Window.orderBy(col("avg_monthly_units"), col("part_key")))
+    stats
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
+        "part_brand_name"), Seq("part_key"))
+      .withColumn("velocity_quartile", q)
+      .select(
+        col("part_key"), col("part_name"), col("part_type_name"),
+        col("part_brand_name"), col("active_months"),
+        col("total_units_d").cast("double").as("total_units"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        rnd(col("avg_monthly_units"), 2).as("avg_monthly_units"),
+        rnd(col("avg_monthly_revenue"), 2).as("avg_monthly_revenue"),
+        col("velocity_quartile"),
+        when(col("velocity_quartile") === 4, "fast_mover")
+          .when(col("velocity_quartile") === 3, "moderate")
+          .when(col("velocity_quartile") === 2, "slow_mover")
+          .otherwise("very_slow").as("velocity_category"))
+  }
+
+  /** Reference models/reports/regional_trade_balance.sql (double full outer
+    * join with coalesced keys). */
+  def regionalTradeBalance(ctx: Ctx): DataFrame = {
+    val flows = Wh.fctOrdersItems(ctx)
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_nation_name", "supplier_region_name"),
+        Seq("supplier_key"))
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_nation_name", "customer_region_name"),
+        Seq("customer_key"))
+      .groupBy(
+        col("supplier_nation_name").as("exporter_nation"),
+        col("supplier_region_name").as("exporter_region"),
+        col("customer_nation_name").as("importer_nation"),
+        col("customer_region_name").as("importer_region"))
+      .agg(
+        sum("gross_item_sales_amount").as("trade_value"),
+        sum("quantity").as("trade_volume"))
+    val cross = flows.filter(col("exporter_nation") =!= col("importer_nation"))
+    val exports = cross.groupBy(
+      col("exporter_nation").as("e_nation"), col("exporter_region").as("e_region"))
+      .agg(sum("trade_value").as("export_value_d"), sum("trade_volume").as("export_volume_d"))
+    val imports = cross.groupBy(
+      col("importer_nation").as("i_nation"), col("importer_region").as("i_region"))
+      .agg(sum("trade_value").as("import_value_d"), sum("trade_volume").as("import_volume_d"))
+    val domestic = flows.filter(col("exporter_nation") === col("importer_nation"))
+      .groupBy(col("exporter_nation").as("d_nation"), col("exporter_region").as("d_region"))
+      .agg(sum("trade_value").as("domestic_value_d"), sum("trade_volume").as("domestic_volume_d"))
+    val j = exports
+      .join(imports, col("e_nation") === col("i_nation"), "full_outer")
+      .join(domestic,
+        coalesce(col("e_nation"), col("i_nation")) === col("d_nation"), "full_outer")
+    val totalActivity = coalesce(col("export_value_d"), lit(0)) +
+      coalesce(col("import_value_d"), lit(0)) +
+      coalesce(col("domestic_value_d"), lit(0))
+    j.select(
+      coalesce(col("e_nation"), col("i_nation"), col("d_nation")).as("nation"),
+      coalesce(col("e_region"), col("i_region"), col("d_region")).as("region"),
+      coalesce(col("export_value_d"), lit(0)).cast("double").as("export_value"),
+      coalesce(col("import_value_d"), lit(0)).cast("double").as("import_value"),
+      coalesce(col("domestic_value_d"), lit(0)).cast("double").as("domestic_value"),
+      (coalesce(col("export_value_d"), lit(0)) - coalesce(col("import_value_d"), lit(0)))
+        .cast("double").as("trade_balance"),
+      coalesce(col("export_volume_d"), lit(0)).cast("double").as("export_volume"),
+      coalesce(col("import_volume_d"), lit(0)).cast("double").as("import_volume"),
+      coalesce(col("domestic_volume_d"), lit(0)).cast("double").as("domestic_volume"),
+      rnd(dv(coalesce(col("domestic_value_d"), lit(0)) * 100,
+        nullifZero(totalActivity)), 2).as("domestic_share_pct"),
+      when(coalesce(col("export_value_d"), lit(0)) > coalesce(col("import_value_d"), lit(0)), "surplus")
+        .when(coalesce(col("export_value_d"), lit(0)) < coalesce(col("import_value_d"), lit(0)), "deficit")
+        .otherwise("balanced").as("trade_position"))
+  }
+
+  /** Reference models/reports/repeat_purchase_analysis.sql. */
+  def repeatPurchaseAnalysis(ctx: Ctx): DataFrame = {
+    val w = Window.partitionBy("customer_key").orderBy("order_date", "order_key")
+    val seq = Wh.fctOrders(ctx).select(
+      col("customer_key"), col("order_key"), col("order_date"),
+      col("gross_item_sales_amount"),
+      row_number().over(w).as("order_sequence"),
+      lag("order_date", 1).over(w).as("prev_order_date"))
+    val gaps = seq.withColumn("days_since_prev_order",
+      datediff(col("order_date"), col("prev_order_date")))
+    gaps.groupBy("order_sequence").agg(
+      count(lit(1)).as("order_count"),
+      countDistinct(col("customer_key")).as("customer_count"),
+      rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"),
+      rnd(avgE(col("days_since_prev_order")), 1).as("avg_days_since_prev"),
+      sum(when(col("days_since_prev_order") <= 30, 1).otherwise(0)).as("repeat_within_30d"),
+      sum(when(col("days_since_prev_order") <= 60, 1).otherwise(0)).as("repeat_within_60d"),
+      sum(when(col("days_since_prev_order") <= 90, 1).otherwise(0)).as("repeat_within_90d"))
+  }
+
+  /** Reference models/reports/supplier_revenue_ranking.sql (global +
+    * partitioned rank in one select). */
+  def supplierRevenueRanking(ctx: Ctx): DataFrame = {
+    val sr = Wh.fctOrdersItems(ctx)
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name",
+          "supplier_region_name"), Seq("supplier_key"))
+      .groupBy("supplier_key", "supplier_name", "supplier_nation_name",
+        "supplier_region_name")
+      .agg(
+        sum("gross_item_sales_amount").as("total_revenue_d"),
+        countDistinct(col("order_key")).as("order_count"),
+        countDistinct(col("part_key")).as("parts_sold"))
+    val nt = sr.groupBy("supplier_nation_name")
+      .agg(sum("total_revenue_d").as("nation_total_revenue_d"))
+    sr.join(nt, Seq("supplier_nation_name"))
+      .select(
+        col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
+        col("supplier_region_name"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        col("order_count"), col("parts_sold"),
+        rank().over(Window.orderBy(col("total_revenue_d").desc)).as("global_rank"),
+        rank().over(Window.partitionBy("supplier_nation_name")
+          .orderBy(col("total_revenue_d").desc)).as("nation_rank"),
+        col("nation_total_revenue_d").cast("double").as("nation_total_revenue"),
+        rnd(dv(col("total_revenue_d"), col("nation_total_revenue_d")) * 100, 2)
+          .as("nation_market_share_pct"),
+        rnd(dv(col("total_revenue_d"),
+          sum("total_revenue_d").over(Window.partitionBy())) * 100, 4)
+          .as("global_market_share_pct"))
+  }
+
+  /** Reference models/reports/supply_chain_network.sql (trade edges). */
+  def supplyChainNetwork(ctx: Ctx): DataFrame = {
+    val edges = Wh.fctOrdersItems(ctx)
+      .groupBy("supplier_key", "part_key", "customer_key")
+      .agg(
+        count(lit(1)).as("shipment_count"),
+        sum("quantity").as("total_quantity_d"),
+        sum("gross_item_sales_amount").as("total_revenue_d"))
+    edges
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name",
+          "supplier_region_name"), Seq("supplier_key"))
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name"),
+        Seq("part_key"))
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_name", "customer_nation_name",
+          "customer_region_name"), Seq("customer_key"))
+      .select(
+        col("supplier_key"), col("supplier_name"),
+        col("supplier_nation_name").as("supplier_nation"),
+        col("part_key"), col("part_name"), col("part_type_name"),
+        col("customer_key"), col("customer_name"),
+        col("customer_nation_name").as("customer_nation"),
+        col("shipment_count"),
+        col("total_quantity_d").cast("double").as("total_quantity"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        when(col("supplier_nation_name") === col("customer_nation_name"), "domestic")
+          .when(col("supplier_region_name") === col("customer_region_name"), "intra_regional")
+          .otherwise("inter_regional").as("trade_type"))
+  }
+
+  /** Reference models/reports/tax_and_discount_leakage.sql. */
+  def taxAndDiscountLeakage(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_region_name", "customer_nation_name"),
+        Seq("customer_key"))
+      .groupBy(col("customer_region_name").as("region_name"),
+        col("customer_nation_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("line_item_count"),
+        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+        sum(abs(col("item_discount_amount"))).cast("double").as("total_discounts"),
+        sum("item_tax_amount").cast("double").as("total_tax"),
+        sum("net_item_sales_amount").cast("double").as("net_revenue"),
+        rnd(dv(sum(abs(col("item_discount_amount"))),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("discount_rate_pct"),
+        rnd(dv(sum("item_tax_amount"),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("effective_tax_rate_pct"),
+        rnd(dv(sum("net_item_sales_amount"),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("net_retention_pct"))
+}

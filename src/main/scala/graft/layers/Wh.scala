@@ -72,7 +72,8 @@ object Wh {
         col("order_item_key"), col("order_key"), col("order_date"), col("customer_key"),
         col("order_status_code"), col("part_key"), col("supplier_key"),
         col("return_status_code"), col("order_line_number"), col("order_line_status_code"),
-        col("ship_date"), col("supplier_cost_amount"), col("base_price"),
+        col("ship_date"), col("commit_date"), col("receipt_date"), col("ship_mode_name"),
+        col("supplier_cost_amount"), col("base_price"),
         col("discount_percentage"), col("discounted_price"), col("tax_rate"),
         lit(1).as("order_item_count"), col("quantity"),
         col("gross_item_sales_amount"), col("discounted_item_sales_amount"),
