@@ -121,6 +121,17 @@ object Macros {
   /** Exact, order-insensitive avg over a decimal column (null-skipping). */
   def avgE(c: Column): Column = sum(c).cast(DoubleType) / count(c)
 
+  /** Deterministic sample stddev from exact sums: both engines' built-in
+    * stddev uses engine-private (partition-order-dependent) accumulation, so
+    * we compute sqrt((sum_sq - sum^2/n) / (n-1)) over exact integer/decimal
+    * sums instead — identical IEEE ops in both engines. Twin: Oracle.stddevE. */
+  def stddevE(c: Column): Column = {
+    val s = sum(c).cast(DoubleType)
+    val s2 = sum(c * c).cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    sqrt((s2 - s * s / n) / (n - lit(1d)))
+  }
+
   /** dbt_utils.generate_surrogate_key (dbt_utils 1.3.3): md5 of
     * '-'-joined null-coalesced string casts. Reference usage:
     * models/ods/orders_items.sql:19, models/ods/parts_suppliers.sql:23. */

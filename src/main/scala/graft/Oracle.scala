@@ -23,6 +23,9 @@ object Oracle {
        |  * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(16,4))""".stripMargin
   def dv(a: String, b: String) = s"(CAST($a AS DOUBLE) / CAST($b AS DOUBLE))"
   def avgE(e: String) = s"(CAST(SUM($e) AS DOUBLE) / COUNT($e))"
+  /** Twin of Macros.stddevE — deterministic sample stddev from exact sums. */
+  def stddevE(e: String) =
+    s"SQRT((CAST(SUM(($e) * ($e)) AS DOUBLE) - CAST(SUM($e) AS DOUBLE) * CAST(SUM($e) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)) / (CAST(COUNT($e) AS DOUBLE) - 1))"
   /** Decimal aggregate -> double at the output boundary (twin of outD). */
   def sumD(e: String) = s"CAST(SUM($e) AS DOUBLE)"
   def d(e: String) = s"CAST($e AS DOUBLE)"
@@ -130,6 +133,18 @@ o_ps AS (
   FROM base_part p
   JOIN base_part_supplier ps ON p.part_key = ps.part_key
   JOIN base_supplier s ON ps.supplier_key = s.supplier_key),
+-- wh.dim_part_supplier_xrf (reference models/wh/dim_part_supplier_xrf.sql)
+w_xrf AS (
+  SELECT ps.part_supplier_key, ps.part_key, ps.part_name, ps.part_brand_name,
+         ps.part_type_name, ps.part_size, ps.retail_price,
+         ps.supplier_key, ps.supplier_name, s.supplier_account_balance,
+         n.nation_key AS supplier_nation_key, n.nation_name AS supplier_nation_name,
+         r.region_key AS supplier_region_key, r.region_name AS supplier_region_name,
+         ps.supplier_availabe_quantity, ps.supplier_cost_amount
+  FROM o_ps ps
+  JOIN base_supplier s ON ps.supplier_key = s.supplier_key
+  JOIN base_nation n ON ps.nation_key = n.nation_key
+  JOIN base_region r ON n.region_key = r.region_key),
 -- wh.dim_customer / dim_supplier / dim_part (reference models/wh/ dim models,
 -- housekeeping columns excluded: nondeterministic by design)
 w_dim_customer AS (

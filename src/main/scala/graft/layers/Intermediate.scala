@@ -167,6 +167,117 @@ object Intermediate {
         sum("net_item_sales_amount").cast("double").as("total_net_revenue"))
   }
 
+  /** Reference models/intermediate/int_part_profitability.sql
+    * (testdata: no manufacturer/container columns). */
+  def partProfitability(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimPart(ctx), Seq("part_key"))
+      .groupBy("part_key", "part_name", "part_type_name", "part_brand_name",
+        "part_size", "retail_price")
+      .agg(
+        count(lit(1)).as("total_line_items"),
+        sum("quantity").cast("double").as("total_quantity_sold"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
+        sum(col("supplier_cost_amount") * col("quantity")).cast("double").as("total_cost"),
+        (sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")))
+          .cast("double").as("total_profit"),
+        rnd(dv(sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("profit_margin_pct"),
+        avgE(col("discount_percentage")).as("avg_discount_pct"))
+
+  /** Reference models/intermediate/int_supplier_parts_catalog.sql. */
+  def supplierPartsCatalog(ctx: Ctx): DataFrame =
+    Wh.dimPartSupplierXrf(ctx).select(
+      col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
+      col("supplier_region_name"), col("part_key"), col("part_name"),
+      col("part_type_name"), col("part_brand_name"), col("part_size"),
+      col("supplier_availabe_quantity"), col("supplier_cost_amount"),
+      col("retail_price"),
+      (col("retail_price") - col("supplier_cost_amount")).as("unit_margin"),
+      rnd(dv(col("retail_price") - col("supplier_cost_amount"),
+        nullifZero(col("retail_price"))) * 100, 2).as("margin_pct"),
+      (col("supplier_availabe_quantity") * col("supplier_cost_amount"))
+        .as("inventory_value"))
+
+  /** Reference models/intermediate/int_shipping_delays.sql. */
+  def shippingDelays(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .filter(col("receipt_date").isNotNull)
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name"),
+        Seq("supplier_key"))
+      .select(
+        col("order_item_key"), col("order_key"), col("order_date"),
+        col("ship_date"), col("commit_date"), col("receipt_date"),
+        col("ship_mode_name"), col("customer_key"), col("supplier_key"),
+        col("supplier_name"), col("supplier_nation_name"), col("part_key"),
+        col("quantity"), col("gross_item_sales_amount"),
+        datediff(col("receipt_date"), col("commit_date")).as("days_past_commit"),
+        datediff(col("receipt_date"), col("ship_date")).as("transit_days"),
+        datediff(col("ship_date"), col("order_date")).as("processing_days"),
+        when(col("receipt_date") > col("commit_date"), "late")
+          .when(col("receipt_date") === col("commit_date"), "on_time")
+          .otherwise("early").as("delivery_status"))
+
+  /** Reference models/intermediate/int_supplier_performance.sql. */
+  def supplierPerformance(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name",
+          "supplier_region_name"), Seq("supplier_key"))
+      .groupBy("supplier_key", "supplier_name", "supplier_nation_name",
+        "supplier_region_name")
+      .agg(
+        count(lit(1)).as("total_line_items"),
+        countDistinct(col("order_key")).as("total_orders"),
+        sum("quantity").cast("double").as("total_quantity"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
+        sum(when(col("receipt_date") > col("commit_date"), 1).otherwise(0))
+          .as("late_deliveries"),
+        sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0))
+          .as("on_time_deliveries"),
+        rnd(dv(sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0)),
+          nullifZero(count(lit(1)))) * 100, 2).as("on_time_pct"),
+        avgE(datediff(col("receipt_date"), col("ship_date"))).as("avg_delivery_days"),
+        sum(when(col("return_status_code") === "R", 1).otherwise(0)).as("returned_items"),
+        rnd(dv(sum(when(col("return_status_code") === "R", 1).otherwise(0)),
+          nullifZero(count(lit(1)))) * 100, 2).as("return_rate_pct"))
+
+  /** Reference models/intermediate/int_order_items_enriched.sql: the wide
+    * denormalized line-item view (3 broadcast-friendly dim left joins). */
+  def orderItemsEnriched(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimCustomer(ctx)
+        .select("customer_key", "customer_name", "customer_nation_name",
+          "customer_region_name", "customer_market_segment_name"),
+        Seq("customer_key"), "left")
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name",
+          "supplier_region_name"), Seq("supplier_key"), "left")
+      .join(Wh.dimPart(ctx)
+        .select("part_key", "part_name", "part_type_name", "part_brand_name",
+          "part_size"), Seq("part_key"), "left")
+      .select(
+        col("order_item_key"), col("order_key"), col("order_date"),
+        col("order_status_code"), col("order_line_number"),
+        col("order_line_status_code"), col("return_status_code"),
+        col("ship_date"), col("commit_date"), col("receipt_date"),
+        col("ship_mode_name"), col("customer_key"), col("customer_name"),
+        col("customer_nation_name"), col("customer_region_name"),
+        col("customer_market_segment_name"), col("supplier_key"),
+        col("supplier_name"), col("supplier_nation_name"),
+        col("supplier_region_name"), col("part_key"), col("part_name"),
+        col("part_type_name"), col("part_brand_name"), col("part_size"),
+        col("quantity"), col("base_price"), col("discount_percentage"),
+        col("tax_rate"), col("supplier_cost_amount"),
+        col("gross_item_sales_amount"), col("discounted_item_sales_amount"),
+        col("item_discount_amount"), col("item_tax_amount"),
+        col("net_item_sales_amount"),
+        (col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
+          .as("profit_amount"))
+
   /** Reference models/intermediate/int_seasonal_demand.sql. */
   def seasonalDemand(ctx: Ctx): DataFrame =
     Wh.fctOrders(ctx)

@@ -86,6 +86,77 @@ object Metrics {
           nullifZero(sum(col("gross_item_sales_amount")))) * 100, 2)
           .as("discount_as_pct_of_revenue"))
 
+  /** Reference models/metrics/metrics_profit_margin_trend.sql. */
+  def profitMarginTrend(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimPart(ctx).select("part_key", "part_type_name"), Seq("part_key"))
+      .groupBy(
+        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
+        col("part_type_name"))
+      .agg(
+        count(lit(1)).as("line_item_count"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        sum(col("supplier_cost_amount") * col("quantity")).cast("double").as("total_cost"),
+        (sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")))
+          .cast("double").as("total_profit"),
+        rnd(dv(sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")),
+          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("profit_margin_pct"))
+
+  /** Reference models/metrics/metrics_inventory_coverage.sql. */
+  def inventoryCoverage(ctx: Ctx): DataFrame = {
+    val demand = Wh.fctOrdersItems(ctx).groupBy("part_key").agg(
+      sum("quantity").as("total_demand_d"),
+      countDistinct(col("order_key")).as("order_count_d"))
+    val supply = Wh.dimPartSupplierXrf(ctx).groupBy("part_key").agg(
+      sum("supplier_availabe_quantity").as("total_supply_d"),
+      countDistinct(col("supplier_key")).as("supplier_count_d"),
+      avgE(col("supplier_cost_amount")).as("avg_cost"))
+    Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name", "part_brand_name")
+      .join(supply, Seq("part_key"), "left")
+      .join(demand, Seq("part_key"), "left")
+      .select(
+        col("part_key"), col("part_name"), col("part_type_name"), col("part_brand_name"),
+        coalesce(col("total_supply_d"), lit(0L)).as("total_supply"),
+        coalesce(col("total_demand_d").cast("double"), lit(0d)).as("total_demand"),
+        coalesce(col("supplier_count_d"), lit(0L)).as("supplier_count"),
+        coalesce(col("order_count_d"), lit(0L)).as("order_count"),
+        col("avg_cost"),
+        rnd(dv(coalesce(col("total_supply_d"), lit(0L)),
+          nullifZero(coalesce(col("total_demand_d"), lit(0)))), 2)
+          .as("supply_demand_ratio"))
+  }
+
+  /** Reference models/metrics/metrics_shipping_efficiency.sql. */
+  def shippingEfficiency(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .filter(col("receipt_date").isNotNull)
+      .groupBy(date_trunc("month", col("ship_date")).cast(DateType).as("ship_month"),
+        col("ship_mode_name"))
+      .agg(
+        count(lit(1)).as("shipment_count"),
+        avgE(datediff(col("receipt_date"), col("ship_date"))).as("avg_transit_days"),
+        avgE(datediff(col("ship_date"), col("order_date"))).as("avg_processing_days"),
+        avgE(datediff(col("receipt_date"), col("order_date"))).as("avg_total_days"),
+        sum(when(col("receipt_date") > col("commit_date"), 1).otherwise(0)).as("late_count"),
+        rnd(dv(sum(when(col("receipt_date") > col("commit_date"), 1).otherwise(0)),
+          nullifZero(count(lit(1)))) * 100, 2).as("late_pct"))
+
+  /** Reference models/metrics/metrics_supplier_reliability.sql. */
+  def supplierReliability(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .filter(col("receipt_date").isNotNull)
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name"),
+        Seq("supplier_key"))
+      .groupBy(date_trunc("month", col("ship_date")).cast(DateType).as("ship_month"),
+        col("supplier_key"), col("supplier_name"), col("supplier_nation_name"))
+      .agg(
+        count(lit(1)).as("total_shipments"),
+        sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0)).as("on_time_count"),
+        sum(when(col("receipt_date") > col("commit_date"), 1).otherwise(0)).as("late_count"),
+        rnd(dv(sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0)),
+          nullifZero(count(lit(1)))) * 100, 2).as("on_time_pct"))
+
   /** Reference models/metrics/metrics_top_parts_trending.sql: monthly part
     * revenue, rank within month, lag across months, top-50 filter. */
   def topPartsTrending(ctx: Ctx): DataFrame = {

@@ -571,6 +571,162 @@ object Reports {
           .otherwise("inter_regional").as("trade_type"))
   }
 
+  /** Reference models/reports/inventory_turnover.sql. */
+  def inventoryTurnover(ctx: Ctx): DataFrame = {
+    val sales = Wh.fctOrdersItems(ctx)
+      .groupBy("part_key", "supplier_key")
+      .agg(sum("quantity").as("units_sold_d"),
+        sum("gross_item_sales_amount").as("revenue_d"))
+    val ratio = dv(col("units_sold_d"), col("available_quantity"))
+    sales
+      .join(Ods.partsSuppliers(ctx).select(col("part_key"), col("supplier_key"),
+        col("supplier_availabe_quantity").as("available_quantity"),
+        col("supplier_cost_amount").as("supply_cost")),
+        Seq("part_key", "supplier_key"))
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name"),
+        Seq("part_key"))
+      .join(Wh.dimSupplier(ctx).select("supplier_key", "supplier_name"),
+        Seq("supplier_key"))
+      .select(
+        col("part_key"), col("part_name"), col("part_type_name"),
+        col("supplier_key"), col("supplier_name"), col("available_quantity"),
+        col("supply_cost"),
+        col("units_sold_d").cast("double").as("units_sold"),
+        col("revenue_d").cast("double").as("revenue"),
+        rnd(dv(col("units_sold_d"), nullifZero(col("available_quantity"))), 2)
+          .as("turnover_ratio"),
+        when(col("available_quantity") === 0, "out_of_stock")
+          .when(ratio > 2, "fast_mover")
+          .when(ratio > 0.5, "normal")
+          .when(ratio > 0, "slow_mover")
+          .otherwise("dead_stock").as("turnover_category"))
+  }
+
+  /** Reference models/reports/supplier_concentration_risk.sql. */
+  def supplierConcentrationRisk(ctx: Ctx): DataFrame = {
+    val ps = Wh.dimPartSupplierXrf(ctx)
+      .select("part_key", "supplier_key", "supplier_availabe_quantity")
+    val counts = ps.groupBy("part_key").agg(
+      countDistinct(col("supplier_key")).as("supplier_count"),
+      sum("supplier_availabe_quantity").as("total_available_qty"))
+    val share = rnd(dv(col("supplier_availabe_quantity"),
+      nullifZero(col("total_available_qty"))) * 100, 2)
+    ps.join(counts, Seq("part_key"))
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name"),
+        Seq("part_key"))
+      .join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name"),
+        Seq("supplier_key"))
+      .select(
+        col("part_key"), col("part_name"), col("part_type_name"),
+        col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
+        col("supplier_count").as("total_suppliers_for_part"),
+        col("supplier_availabe_quantity"),
+        col("total_available_qty").as("part_total_supply"),
+        share.as("supply_share_pct"),
+        when(col("supplier_count") === 1, "single_source")
+          .when(share > 80, "dominant_supplier")
+          .when(col("supplier_count") <= 3, "limited_sources")
+          .otherwise("diversified").as("concentration_risk"))
+  }
+
+  /** Reference models/reports/part_type_performance.sql. */
+  def partTypePerformance(ctx: Ctx): DataFrame =
+    Wh.fctOrdersItems(ctx)
+      .join(Wh.dimPart(ctx)
+        .select("part_key", "part_type_name", "part_brand_name", "part_size"),
+        Seq("part_key"))
+      .groupBy(col("part_type_name"), col("part_brand_name"),
+        when(col("part_size") <= 10, "small")
+          .when(col("part_size") <= 30, "medium")
+          .otherwise("large").as("size_category"))
+      .agg(
+        countDistinct(col("part_key")).as("part_count"),
+        count(lit(1)).as("line_item_count"),
+        countDistinct(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"),
+        sum("quantity").cast("double").as("total_units"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        rnd(avgE(col("base_price")), 2).as("avg_unit_price"),
+        rnd(avgE(col("discount_percentage")) * 100, 2).as("avg_discount_pct"),
+        sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
+          .cast("double").as("total_profit"))
+
+  /** Reference models/reports/supplier_lead_time_distribution.sql:
+    * percentile_cont (exact linear interpolation, Spark >= 3.4 SQL) +
+    * deterministic stddev (Macros.stddevE). */
+  def supplierLeadTimeDistribution(ctx: Ctx): DataFrame = {
+    val sh = Wh.fctOrdersItems(ctx)
+      .filter(col("receipt_date").isNotNull)
+      .select(col("supplier_key"),
+        datediff(col("receipt_date"), col("order_date")).as("lead_time_days"),
+        datediff(col("ship_date"), col("order_date")).as("processing_days"),
+        datediff(col("receipt_date"), col("ship_date")).as("transit_days"))
+    sh.join(Wh.dimSupplier(ctx)
+        .select("supplier_key", "supplier_name", "supplier_nation_name"),
+        Seq("supplier_key"))
+      .groupBy("supplier_key", "supplier_name", "supplier_nation_name")
+      .agg(
+        count(lit(1)).as("shipment_count"),
+        rnd(avgE(col("lead_time_days")), 1).as("avg_lead_time"),
+        rnd(avgE(col("processing_days")), 1).as("avg_processing_days"),
+        rnd(avgE(col("transit_days")), 1).as("avg_transit_days"),
+        min("lead_time_days").as("min_lead_time"),
+        max("lead_time_days").as("max_lead_time"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY lead_time_days)")
+          .as("p50_lead_time"),
+        expr("percentile_cont(0.90) WITHIN GROUP (ORDER BY lead_time_days)")
+          .as("p90_lead_time"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY lead_time_days)")
+          .as("p95_lead_time"),
+        rnd(stddevE(col("lead_time_days")), 2).as("lead_time_stddev"),
+        rnd(stddevE(col("lead_time_days")) / avgE(col("lead_time_days")), 3)
+          .as("lead_time_cv"))
+  }
+
+  /** Reference models/reports/supplier_scorecard.sql. */
+  def supplierScorecard(ctx: Ctx): DataFrame = {
+    val foi = Wh.fctOrdersItems(ctx)
+    val delivery = foi.filter(col("receipt_date").isNotNull)
+      .groupBy("supplier_key").agg(
+        count(lit(1)).as("total_shipments"),
+        sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0))
+          .as("on_time_shipments"),
+        sum(when(col("return_status_code") === "R", 1).otherwise(0))
+          .as("returned_items"),
+        avgE(datediff(col("receipt_date"), col("ship_date"))).as("avg_transit_days"),
+        avgE(datediff(col("receipt_date"), col("commit_date"))).as("avg_delay_days"))
+    val revenue = foi.groupBy("supplier_key").agg(
+      sum("gross_item_sales_amount").as("total_revenue_d"),
+      sum("net_item_sales_amount").as("total_net_revenue_d"),
+      countDistinct(col("order_key")).as("order_count"),
+      countDistinct(col("customer_key")).as("customer_reach"),
+      countDistinct(col("part_key")).as("parts_supplied"))
+    val inventory = Wh.dimPartSupplierXrf(ctx).groupBy("supplier_key").agg(
+      sum("supplier_availabe_quantity").as("total_available_qty_d"),
+      avgE(col("supplier_cost_amount")).as("avg_supply_cost_d"))
+    Wh.dimSupplier(ctx)
+      .join(revenue, Seq("supplier_key"), "left")
+      .join(delivery, Seq("supplier_key"), "left")
+      .join(inventory, Seq("supplier_key"), "left")
+      .select(
+        col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
+        col("supplier_region_name"), col("supplier_account_balance"),
+        col("total_revenue_d").cast("double").as("total_revenue"),
+        col("total_net_revenue_d").cast("double").as("total_net_revenue"),
+        col("order_count"), col("customer_reach"), col("parts_supplied"),
+        col("total_shipments"), col("on_time_shipments"),
+        rnd(dv(col("on_time_shipments"), nullifZero(col("total_shipments"))) * 100, 2)
+          .as("on_time_pct"),
+        col("returned_items"),
+        rnd(dv(col("returned_items"), nullifZero(col("total_shipments"))) * 100, 2)
+          .as("return_rate_pct"),
+        rnd(col("avg_transit_days"), 1).as("avg_transit_days"),
+        rnd(col("avg_delay_days"), 1).as("avg_delay_days"),
+        coalesce(col("total_available_qty_d"), lit(0L)).as("total_available_qty"),
+        rnd(col("avg_supply_cost_d"), 2).as("avg_supply_cost"))
+  }
+
   /** Reference models/reports/tax_and_discount_leakage.sql. */
   def taxAndDiscountLeakage(ctx: Ctx): DataFrame =
     Wh.fctOrdersItems(ctx)

@@ -80,6 +80,51 @@ object Wh {
         col("item_discount_amount"), col("item_tax_amount"), col("net_item_sales_amount"))
   }
 
+  /** Reference models/wh/dim_part_supplier_xrf.sql: the 5-way part ⋈
+    * partsupp ⋈ supplier ⋈ nation ⋈ region cross-reference. nation/region
+    * broadcast; the big pair table shuffles once on supplier_key. */
+  def dimPartSupplierXrf(ctx: Ctx): DataFrame = Store.table(ctx, "dim_part_supplier_xrf") {
+    Ods.partsSuppliers(ctx)
+      .join(Base.supplier(ctx).select("supplier_key", "supplier_account_balance"),
+        Seq("supplier_key"))
+      .join(broadcast(Ods.nations(ctx)), Seq("nation_key"))
+      .join(broadcast(Ods.regions(ctx)), Seq("region_key"))
+      .select(
+        col("part_supplier_key"), col("part_key"), col("part_name"),
+        col("part_brand_name"), col("part_type_name"), col("part_size"),
+        col("retail_price"), col("supplier_key"), col("supplier_name"),
+        col("supplier_account_balance"),
+        col("nation_key").as("supplier_nation_key"),
+        col("nation_name").as("supplier_nation_name"),
+        col("region_key").as("supplier_region_key"),
+        col("region_name").as("supplier_region_name"),
+        col("supplier_availabe_quantity"), col("supplier_cost_amount"))
+  }
+
+  /** Reference models/wh/rpt_minimum_cost_suppliers.sql — TPC-H Q2 (spec
+    * 2.4.2): min-cost supplier per (region, part) via rank, top-100
+    * tie-break by account balance. row_number gets a supplier_key tie-break
+    * for determinism (reference order is ambiguous at equal balances). */
+  def rptMinimumCostSuppliers(ctx: Ctx): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val costRank = rank().over(
+      Window.partitionBy("supplier_region_key", "part_key")
+        .orderBy("supplier_cost_amount"))
+    val supplierRank = row_number().over(
+      Window.partitionBy("supplier_region_key", "part_key", "supplier_cost_amount")
+        .orderBy(col("supplier_account_balance").desc, col("supplier_key")))
+    dimPartSupplierXrf(ctx)
+      .select(
+        col("supplier_account_balance"), col("supplier_name"),
+        col("supplier_nation_key"), col("supplier_region_key"),
+        col("supplier_nation_name"), col("supplier_region_name"),
+        col("supplier_key"), col("part_key"), col("part_size"),
+        col("part_type_name"), col("supplier_cost_amount"),
+        costRank.as("supplier_cost_rank"),
+        supplierRank.as("supplier_rank"))
+      .filter(col("supplier_cost_rank") === 1 && col("supplier_rank") <= 100)
+  }
+
   /** Reference models/wh/rpt_pricing_summary.sql — TPC-H Q1 (spec 2.4.1).
     * var('max_ship_date') = '1998-12-01' (dbt_project.yml:43) minus 90 days. */
   def rptPricingSummary(ctx: Ctx): DataFrame = {
