@@ -1076,9 +1076,247 @@ object Registry {
          |ORDER BY s.supplier_key""".stripMargin),
   )
 
+  // ---- extension track: text / dedup / similarity / events --------------
+  // DuckDB twins of the shared text expressions (graft.extensions.Text)
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+  private val duckTokCtes =
+    s""", r_toks AS (SELECT doc_id, lang, source, text, n_chars, $duckToks AS toks
+       |  FROM documents)
+       |, r_sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [] END) AS shingle
+       |    FROM r_toks) u)""".stripMargin
+  private def duckDot(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def duckCos(a: String, b: String) =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  private val extensionModels: ListMap[String, Entry] = ListMap(
+    "text_token_count" -> e(
+      ctx => extensions.Text.tokenCount(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |SELECT doc_id, n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS INT) AS n_bpe_tokens,
+         |  ${dv("length(regexp_replace(text, '\\s+', '', 'g'))", "NULLIF(len(toks), 0)")} AS avg_token_len
+         |FROM r_toks ORDER BY doc_id""".stripMargin),
+    "text_quality" -> e(
+      ctx => extensions.Text.quality(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |SELECT doc_id, length(text) AS n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")} AS punct_ratio,
+         |  ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")} AS digit_ratio,
+         |  ${dv("(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))", "NULLIF(length(text), 0)")} AS upper_ratio,
+         |  ${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} AS stopword_ratio,
+         |  (${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} * 0.5
+         |   + (1 - ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.3
+         |   + (1 - ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.2) AS quality_score
+         |FROM r_toks ORDER BY doc_id""".stripMargin),
+    "text_language_id" -> e(
+      ctx => extensions.Text.languageId(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x))) AS INT) AS en_hits,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x))) AS INT) AS de_hits,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x))) AS INT) AS fr_hits,
+         |  CASE WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
+         |         >= len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
+         |        AND len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
+         |         >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
+         |       THEN 'en'
+         |       WHEN len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
+         |         >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
+         |       THEN 'de' ELSE 'fr' END AS predicted_lang
+         |FROM r_toks ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" -> e(
+      ctx => extensions.Text.fingerprint(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_fp AS (SELECT doc_id, COUNT(*) AS shingle_count,
+         |    MIN(md5(shingle)) AS min_shingle_hash
+         |  FROM r_sh GROUP BY 1)
+         |SELECT d.doc_id,
+         |  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  COALESCE(f.shingle_count, 0) AS shingle_count,
+         |  f.min_shingle_hash
+         |FROM documents d LEFT JOIN r_fp f ON d.doc_id = f.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+    "dedup_exact" -> e(
+      ctx => extensions.Text.dedupExact(ctx).orderBy("fingerprint"),
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+         |  COUNT(*) > 1 AS has_duplicates
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dedup_minhash_lsh" -> e(
+      ctx => extensions.Text.dedupMinhashLsh(ctx).orderBy("doc_a", "doc_b"),
+      s"""$duckTokCtes
+         |, r_sig AS (SELECT doc_id,
+         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+         |  FROM r_sh GROUP BY 1)
+         |, r_bands AS (SELECT doc_id,
+         |    md5(h0 || h1 || h2 || h3) AS band0, md5(h4 || h5 || h6 || h7) AS band1,
+         |    md5(h8 || h9 || h10 || h11) AS band2, md5(h12 || h13 || h14 || h15) AS band3
+         |  FROM r_sig)
+         |, r_cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |    ${(0 until 4).map(b =>
+              s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM r_bands a JOIN r_bands b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+              .mkString("\n    UNION ALL ")}) u)
+         |, r_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
+         |, r_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
+         |  FROM r_cand c
+         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
+         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  COALESCE(i.intersection, 0) AS intersection,
+         |  (sa.set_size + sb.set_size - COALESCE(i.intersection, 0)) AS union_size,
+         |  ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} AS jaccard,
+         |  ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} >= 0.5 AS is_near_duplicate
+         |FROM r_cand c
+         |LEFT JOIN r_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |JOIN r_sizes sa ON c.doc_a = sa.doc_id
+         |JOIN r_sizes sb ON c.doc_b = sb.doc_id
+         |ORDER BY 1, 2""".stripMargin),
+    "dedup_simhash" -> e(
+      ctx => extensions.Text.dedupSimhash(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_tok2 AS (SELECT doc_id, unnest(toks) AS tok FROM r_toks)
+         |, r_votes AS (SELECT doc_id,
+         |    ${(0 until 16).map(j =>
+              s"CAST(SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
+              .mkString(",\n    ")}
+         |  FROM r_tok2 GROUP BY 1)
+         |, r_simhash AS (SELECT doc_id,
+         |    ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+         |  FROM r_votes)
+         |SELECT s.doc_id, s.simhash, g.bucket_size, g.bucket_keep_doc_id
+         |FROM r_simhash s
+         |JOIN (SELECT simhash, COUNT(*) AS bucket_size, MIN(doc_id) AS bucket_keep_doc_id
+         |      FROM r_simhash GROUP BY 1) g USING (simhash)
+         |ORDER BY s.doc_id""".stripMargin),
+    "dedup_ngram_jaccard" -> e(
+      ctx => extensions.Text.dedupNgramJaccard(ctx).orderBy("doc_a", "doc_b"),
+      s"""$duckTokCtes
+         |, r_shs AS (SELECT s.doc_id, s.shingle, d.source
+         |  FROM r_sh s JOIN documents d USING (doc_id))
+         |, r_sz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
+         |, r_pairs AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS intersection
+         |  FROM r_shs a
+         |  JOIN r_shs b ON a.source = b.source AND a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT * FROM (
+         |  SELECT p.source, p.doc_a, p.doc_b, p.intersection,
+         |    (sa.set_size + sb.set_size - p.intersection) AS union_size,
+         |    ${dv("p.intersection", "NULLIF(sa.set_size + sb.set_size - p.intersection, 0)")} AS jaccard
+         |  FROM r_pairs p
+         |  JOIN r_sz sa ON p.doc_a = sa.doc_id
+         |  JOIN r_sz sb ON p.doc_b = sb.doc_id) x
+         |WHERE jaccard >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "ann_brute_force" -> e(
+      ctx => extensions.Similarity.annBruteForce(ctx).orderBy("query_id", "rank"),
+      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+         |SELECT query_id, cand_id, cosine, CAST(rn AS INT) AS rank FROM (
+         |  SELECT query_id, cand_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+         |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |          ${duckCos("a.ed", "b.ed")} AS cosine
+         |        FROM r_emb a JOIN r_emb b ON a.vec_id < 10 AND a.vec_id != b.vec_id) y) x
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_lsh_buckets" -> e(
+      ctx => extensions.Similarity.annLshBuckets(ctx).orderBy("vec_a", "vec_b"),
+      s""", r_emb2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         |    ${(0 until 8).map(j =>
+              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.label AS label_a, b.label AS label_b,
+         |    ${duckCos("a.ed", "b.ed")} AS cosine,
+         |    a.label = b.label AS same_label
+         |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+         |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin),
+    "dedup_embedding" -> e(
+      ctx => extensions.Similarity.dedupEmbedding(ctx).orderBy("vec_a", "vec_b"),
+      s""", r_emb2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         |    ${(0 until 8).map(j =>
+              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${duckCos("a.ed", "b.ed")} AS cosine
+         |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+         |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin),
+    "label_centroids" -> Entry(
+      ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label"), None),
+    "events_json_extract" -> e(
+      ctx => extensions.Events.jsonExtract(ctx).orderBy("event_id"),
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+        |  value
+        |FROM events ORDER BY event_id""".stripMargin),
+    "events_hourly_by_type" -> e(
+      ctx => extensions.Events.hourlyByType(ctx).orderBy("hour_epoch", "event_type"),
+      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         |  event_type,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS unique_users,
+         |  ${sumD("CAST(value AS DECIMAL(18,6))")} AS total_value,
+         |  ${avgE("CAST(value AS DECIMAL(18,6))")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "events_sessionize" -> e(
+      ctx => extensions.Events.sessionize(ctx).orderBy("user_id", "session_idx"),
+      s""", r_ev AS (SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         |    CAST(value AS DECIMAL(18,6)) AS value_d
+         |  FROM events)
+         |, r_flag AS (SELECT *, CASE WHEN LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+         |      OR ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM r_ev)
+         |, r_sess AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM r_flag)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  MIN(ts_sec) AS session_start_epoch,
+         |  MAX(ts_sec) AS session_end_epoch,
+         |  MAX(ts_sec) - MIN(ts_sec) AS duration_seconds,
+         |  ${sumD("value_d")} AS session_value
+         |FROM r_sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "events_daily_funnel" -> e(
+      ctx => extensions.Events.dailyFunnel(ctx).orderBy("day_epoch"),
+      s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         |  COUNT(DISTINCT user_id) AS active_users,
+         |  ${dv("SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)", "NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)")} AS click_through_rate,
+         |  ${dv("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)", "NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)")} AS purchase_conversion_rate
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    "events_dedup" -> e(
+      ctx => extensions.Events.dedupEvents(ctx).orderBy("event_id"),
+      """SELECT event_id, COUNT(*) AS occurrences,
+        |  CAST(MIN(floor(epoch(ts))) AS BIGINT) AS first_seen_epoch
+        |FROM events GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY 1""".stripMargin),
+    "media_features" -> e(
+      ctx => extensions.Multimodal.mediaFeatures(ctx).orderBy("media_id"),
+      """SELECT doc_id AS media_id, 'text' AS modality, source,
+        |  CAST(length(text) AS BIGINT) AS byte_length,
+        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+        |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS checksum64
+        |FROM documents ORDER BY media_id""".stripMargin),
+  )
+
   /** Full registry: every declared query. */
   val all: ListMap[String, Entry] =
-    models ++ intermediateModels ++ reportsModels ++ supplyModels
+    models ++ intermediateModels ++ reportsModels ++ supplyModels ++ extensionModels
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (name, entry) =>

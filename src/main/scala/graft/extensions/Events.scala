@@ -1,0 +1,109 @@
+package graft.extensions
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props JSON-string). These are the deterministic batch
+  * twins of the Structured Streaming pipelines in graft.streaming.Streams —
+  * the same windowing/sessionization semantics, checkable against the
+  * DuckDB oracle.
+  *
+  * Timestamps cross the oracle boundary as floor'd epoch seconds (BIGINT):
+  * Spark's timestamp->long cast floors, DuckDB's epoch() needs an explicit
+  * floor — both pinned in the twins. Event values are summed as
+  * DECIMAL(18,6) so aggregation is order-insensitive.
+  */
+object Events {
+  import M._
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which vanilla Spark rejects;
+    * read it as a raw nano count and do exact integer epoch arithmetic
+    * (floor to seconds), which also sidesteps any timestamp-type skew
+    * against the oracle. */
+  private def events(ctx: Ctx): DataFrame = {
+    ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ctx.tbl("events")
+  }
+
+  /** floor'd epoch seconds from the nano count (ts >= 0 in testdata). */
+  private val tsSec = expr("ts div 1000000000")
+
+  /** JSON extraction from the props payload (get_json_object — codegen'd). */
+  def jsonExtract(ctx: Ctx): DataFrame =
+    events(ctx).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      col("value"))
+
+  /** Tumbling 1-hour windows per event type: the batch twin of
+    * Streams.hourlyCounts (same window semantics, groupBy hour bucket). */
+  def hourlyByType(ctx: Ctx): DataFrame =
+    events(ctx)
+      .groupBy(
+        expr("(ts div 1000000000) div 3600 * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        avgE(col("value").cast("decimal(18,6)")).as("avg_value"))
+
+  /** Gap-based sessionization (30-minute inactivity): lag -> boundary flag ->
+    * running session index -> per-session rollup. The batch twin of
+    * session_window / flatMapGroupsWithState in Streams. */
+  def sessionize(ctx: Ctx, gapSeconds: Int = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = events(ctx)
+      .select(col("user_id"), col("event_id"), tsSec.as("ts_sec"),
+        col("value").cast("decimal(18,6)").as("value_d"))
+      .withColumn("prev_ts", lag("ts_sec", 1).over(
+        Window.partitionBy("user_id").orderBy("ts_sec", "event_id")))
+      .withColumn("is_new_session",
+        when(col("prev_ts").isNull || col("ts_sec") - col("prev_ts") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum("is_new_session").over(
+          Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_ts", "is_new_session")
+    flagged.groupBy("user_id", "session_idx").agg(
+      count(lit(1)).as("n_events"),
+      min("ts_sec").as("session_start_epoch"),
+      max("ts_sec").as("session_end_epoch"),
+      (max("ts_sec") - min("ts_sec")).as("duration_seconds"),
+      sum("value_d").cast("double").as("session_value"))
+  }
+
+  /** Per-type daily funnel: view -> click -> purchase conversion by day —
+    * conditional aggregation over the event stream. */
+  def dailyFunnel(ctx: Ctx): DataFrame =
+    events(ctx)
+      .groupBy(expr("(ts div 1000000000) div 86400 * 86400").as("day_epoch"))
+      .agg(
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        countDistinct(col("user_id")).as("active_users"),
+        dv(sum(when(col("event_type") === "click", 1).otherwise(0)),
+          nullifZero(sum(when(col("event_type") === "view", 1).otherwise(0))))
+          .as("click_through_rate"),
+        dv(sum(when(col("event_type") === "purchase", 1).otherwise(0)),
+          nullifZero(sum(when(col("event_type") === "click", 1).otherwise(0))))
+          .as("purchase_conversion_rate"))
+
+  /** Stream-style exact dedup by event_id (keep earliest) — batch twin of
+    * dropDuplicates-with-watermark. */
+  def dedupEvents(ctx: Ctx): DataFrame =
+    events(ctx)
+      .groupBy("event_id")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        min(tsSec).as("first_seen_epoch"))
+      .filter(col("occurrences") >= 1)
+}

@@ -1,0 +1,102 @@
+package graft.extensions
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * list<float>, label).
+  *
+  * Dot products are sequential left-folds over doubles (Spark `aggregate`),
+  * which is bit-identical to DuckDB's list_dot_product loop — verified
+  * empirically — so cosine scores hash-match the oracle.
+  *
+  * Scale design: brute-force kNN broadcasts the (small) query set against a
+  * partitioned candidate scan — linear in corpus size, no shuffle of the big
+  * side. The LSH variant buckets by 8 deterministic hyperplane signs first,
+  * so the candidate join is per-bucket (the 100 TB path).
+  */
+object Similarity {
+  import M._
+
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  private def cosine(a: String, b: String): Column =
+    expr(dotExpr(a, b)) /
+      (sqrt(expr(dotExpr(a, a))) * sqrt(expr(dotExpr(b, b))))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the top
+    * 5 nearest neighbours among all other vectors. */
+  def annBruteForce(ctx: Ctx, k: Int = 5): DataFrame = {
+    val e = ctx.tbl("embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine("qe", "ce").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** 8-bit deterministic-hyperplane signature (random-projection LSH with a
+    * fixed integer weight grid w(i,j) = (i*31 + j*17) % 7 - 3). */
+  private def bucketExpr: Column = {
+    val bits = (0 until 8).map { j =>
+      val s = s"""aggregate(transform(sequence(0, size(embedding) - 1),
+                 |  i -> CAST(embedding[i] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+                 |  0D, (acc, v) -> acc + v)""".stripMargin
+      when(expr(s) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed near-neighbour pairs: vectors sharing an 8-bit projection
+    * signature are candidates; exact cosine on candidates only. */
+  def annLshBuckets(ctx: Ctx): DataFrame = {
+    val e = ctx.tbl("embeddings").select(
+      col("vec_id"), col("embedding"), col("label"), bucketExpr.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("label").as("label_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("label").as("label_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("bucket"), col("vec_a"), col("vec_b"),
+        col("label_a"), col("label_b"),
+        cosine("ea", "eb").as("cosine"),
+        (col("label_a") === col("label_b")).as("same_label"))
+      .filter(col("cosine") >= 0.5)
+  }
+
+  /** Embedding-cosine near-duplicate detection: LSH buckets + a high cosine
+    * threshold — the embedding-space analogue of MinHash dedup. */
+  def dedupEmbedding(ctx: Ctx): DataFrame =
+    annLshBuckets(ctx)
+      .filter(col("cosine") >= 0.9)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+
+  /** Per-label centroids — the IVF coarse-quantizer building block: one
+    * explode + per-(label, dim) mean, reassembled into centroid arrays.
+    * Cross-row double sums are shuffle-order-dependent, so this operator has
+    * NO oracle twin (driver records the weaker rows>0 check); the kNN/LSH
+    * operators above carry the hash-matched surface. */
+  def labelCentroids(ctx: Ctx): DataFrame = {
+    val e = ctx.tbl("embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+    e.select(col("label"), posexplode(col("ed")).as(Seq("idx", "v")))
+      .groupBy("label", "idx").agg(avg("v").as("dim_mean"), count(lit(1)).as("n"))
+      .groupBy("label").agg(
+        max("n").as("n_vectors"),
+        array_sort(collect_list(struct(col("idx"), col("dim_mean")))).as("dims"))
+      .select(col("label"), col("n_vectors"),
+        expr("transform(dims, d -> d.dim_mean)").as("centroid"))
+  }
+}

@@ -1,0 +1,206 @@
+package graft.extensions
+
+import graft.{Ctx, Macros => M}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table (doc_id, text,
+  * lang, source, n_chars) — no reference counterpart; these are the
+  * large-scale pipeline operations (dedup, language id, quality scoring,
+  * fingerprinting) a 100 TB corpus needs, built Spark-first:
+  * explode -> distinct -> partial-aggregate shapes that shuffle once on
+  * doc_id or shingle and scale linearly with corpus size.
+  *
+  * Every string op here has an exact DuckDB twin in the Registry oracle
+  * (regex dialect kept to the portable subset; md5 for all hashing since it
+  * is bit-identical across engines).
+  */
+object Text {
+  import M._
+
+  /** whitespace tokens of lowercased text, empties removed */
+  private val toksExpr =
+    "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+  /** word 3-gram shingles (space-joined), empty when < 3 tokens */
+  private val shinglesExpr =
+    s"""CASE WHEN size($toksExpr) >= 3
+       |  THEN transform(sequence(0, size($toksExpr) - 3),
+       |    i -> concat($toksExpr[i], ' ', $toksExpr[i+1], ' ', $toksExpr[i+2]))
+       |  ELSE array() END""".stripMargin
+
+  private def docs(ctx: Ctx): DataFrame = ctx.tbl("documents")
+
+  /** distinct (doc_id, shingle) pairs — the base relation for MinHash /
+    * Jaccard. At scale this is the one big explode; everything downstream is
+    * partial-aggregatable. */
+  private def shingleSet(ctx: Ctx): DataFrame =
+    docs(ctx)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+      .distinct()
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream. */
+  def tokenCount(ctx: Ctx): DataFrame =
+    docs(ctx).select(
+      col("doc_id"),
+      col("n_chars"),
+      expr(s"size($toksExpr)").as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
+        .as("n_bpe_tokens"),
+      dv(length(regexp_replace(col("text"), "\\s+", "")), expr(s"nullif(size($toksExpr), 0)"))
+        .as("avg_token_len"))
+
+  /** Quality scoring: punctuation/digit/upper ratios + stopword density and
+    * a deterministic composite score. */
+  def quality(ctx: Ctx): DataFrame = {
+    val enStop = "array('the','and','of','to','in','is','you','that','it','for')"
+    val nTokens = expr(s"size($toksExpr)")
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
+    val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    val uppers = length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))
+    val stops = expr(s"size(filter($toksExpr, x -> array_contains($enStop, x)))")
+    docs(ctx).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTokens.as("n_tokens"),
+      dv(punct, nullifZero(length(col("text")))).as("punct_ratio"),
+      dv(digits, nullifZero(length(col("text")))).as("digit_ratio"),
+      dv(uppers, nullifZero(length(col("text")))).as("upper_ratio"),
+      dv(stops, nullifZero(nTokens)).as("stopword_ratio"),
+      (dv(stops, nullifZero(nTokens)) * 0.5
+        + (lit(1d) - dv(punct, nullifZero(length(col("text"))))) * 0.3
+        + (lit(1d) - dv(digits, nullifZero(length(col("text"))))) * 0.2)
+        .as("quality_score"))
+  }
+
+  /** Language identification via stopword-hit voting (en/de/fr), with a
+    * deterministic tie rule. */
+  def languageId(ctx: Ctx): DataFrame = {
+    def hits(words: String) =
+      expr(s"size(filter($toksExpr, x -> array_contains(array($words), x)))")
+    val en = hits("'the','and','of','to','in','is','you','that','it','for'")
+    val de = hits("'der','die','und','das','ist','nicht','mit','ein','auf','sie'")
+    val fr = hits("'le','la','les','et','un','une','est','pour','dans','que'")
+    docs(ctx).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("predicted_lang"))
+  }
+
+  /** Document fingerprinting: md5 of whitespace-normalized text plus the
+    * min shingle hash (winnowing-style content fingerprint). */
+  def fingerprint(ctx: Ctx): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs(ctx)
+      .join(shingleSet(ctx).groupBy("doc_id").agg(
+        count(lit(1)).as("shingle_count"),
+        min(md5(col("shingle"))).as("min_shingle_hash")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        md5(norm).as("fingerprint"),
+        coalesce(col("shingle_count"), lit(0L)).as("shingle_count"),
+        col("min_shingle_hash"))
+  }
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint; keeps the
+    * lowest doc_id per group (the canonical scalable dedup shape: one
+    * shuffle on the hash). */
+  def dedupExact(ctx: Ctx): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs(ctx).select(col("doc_id"), md5(norm).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("doc_id").as("keep_doc_id"),
+        (count(lit(1)) > 1).as("has_duplicates"))
+  }
+
+  /** MinHash + LSH near-dup detection: shingle -> 16 md5-based min-hashes ->
+    * 4 bands of 4 -> band-bucket self-join for candidates -> exact Jaccard
+    * verification. The band join is the scale path: candidates are generated
+    * per-bucket, never all-pairs. */
+  def dedupMinhashLsh(ctx: Ctx): DataFrame = {
+    val sh = shingleSet(ctx)
+    val sigCols = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(
+      col("doc_id") +:
+        (0 until 4).map(b =>
+          md5(concat(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
+            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as(s"band$b")): _*)
+    val cands = (0 until 4).map { b =>
+      val l = bands.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
+      val r = bands.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
+      l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    }.reduce(_ unionByName _).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("intersection"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        coalesce(col("intersection"), lit(0L)).as("intersection"),
+        (col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))).as("union_size"),
+        dv(coalesce(col("intersection"), lit(0L)),
+          nullifZero(col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))))
+          .as("jaccard"),
+        (dv(coalesce(col("intersection"), lit(0L)),
+          nullifZero(col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))))
+          >= 0.5).as("is_near_duplicate"))
+  }
+
+  /** SimHash (16-bit, md5-derived per-token bit votes): equal-signature
+    * buckets are near-dup groups; one groupBy per token + one per doc. */
+  def dedupSimhash(ctx: Ctx): DataFrame = {
+    val toks = docs(ctx)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+    // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val voteCols = (0 until 16).map(j =>
+      sum(when(substring(md5(col("tok")), j + 1, 1).isin(odd: _*), 1).otherwise(-1))
+        .as(s"v$j"))
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val simhash = votes.select(
+      col("doc_id"),
+      concat((0 until 16).map(j =>
+        when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+    simhash
+      .join(simhash.groupBy("simhash").agg(
+        count(lit(1)).as("bucket_size"), min("doc_id").as("bucket_keep_doc_id")),
+        Seq("simhash"))
+      .select(col("doc_id"), col("simhash"), col("bucket_size"),
+        col("bucket_keep_doc_id"))
+  }
+
+  /** N-gram Jaccard near-dup: same-source blocking (the scalable stand-in
+    * for LSH when a natural blocking key exists), exact Jaccard per pair. */
+  def dedupNgramJaccard(ctx: Ctx): DataFrame = {
+    val sh = shingleSet(ctx)
+      .join(docs(ctx).select("doc_id", "source"), Seq("doc_id"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairs = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle")),
+        Seq("source", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("source", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .select(
+        col("source"), col("doc_a"), col("doc_b"), col("intersection"),
+        (col("size_a") + col("size_b") - col("intersection")).as("union_size"),
+        dv(col("intersection"),
+          nullifZero(col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over event streams — strictly additive to
+  * the reference (which is batch-only; its source YAML carries event_time
+  * metadata on lineitem/orders, models/_source/source_tpch.yml:11-16, which
+  * maps to the watermark columns here).
+  *
+  * Each pipeline takes the streaming DataFrame (from readStream — file
+  * source, Kafka, or MemoryStream in tests) and returns the transformed
+  * streaming DataFrame; the batch twins in graft.extensions.Events compute
+  * the same results for the driver's oracle. Tested via MemoryStream in
+  * StreamingSpec.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark
+    * (late data beyond the watermark is dropped; state is bounded). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+
+  /** Sliding windows (1 hour, sliding 15 min) for smoothed rate metrics. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Session windows with a 30-minute gap per user (built-in session_window
+    * — state bounded by the watermark). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("session_value"))
+
+  /** Exactly-once style stream dedup on event_id within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
+  final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  final case class UserSession(user_id: Long, n_events: Long,
+    start: Timestamp, end: Timestamp, closed: Boolean)
+  private final case class SessState(n: Long, start: Long, last: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the escape
+    * hatch when session_window semantics aren't enough (e.g. emitting
+    * in-progress sessions). Processing-time timeout closes idle sessions. */
+  def statefulSessions(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, evts: Iterator[Evt], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, s.n, new Timestamp(s.start),
+              new Timestamp(s.last), closed = true))
+          } else {
+            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) =>
+                  out ::= UserSession(userId, s.n, new Timestamp(s.start),
+                    new Timestamp(s.last), closed = true)
+                  cur = Some(SessState(1, t, t))
+                case None =>
+                  cur = Some(SessState(1, t, t))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.reverseIterator
+          }
+      }
+  }
+}
