@@ -98,7 +98,7 @@ base_part_supplier AS (
   JOIN base_part p ON ps.part_key = p.part_key),
 -- ods.orders_items stage 1 (reference models/ods/orders_items.sql:16-51)
 o_oi0 AS (
-  SELECT ${sk("o.order_key", "l.order_line_number", "l.part_key", "l.supplier_key")} AS order_item_key,
+  SELECT ${sk("o.order_key", "l.order_line_number", "l.part_key", "l.supplier_key", "l.quantity", "l.extended_price", "l.ship_date")} AS order_item_key,
          o.order_key, o.order_date, o.customer_key, o.order_status_code,
          l.part_key, l.supplier_key, l.return_status_code, l.order_line_number,
          l.order_line_status_code, l.ship_date, l.commit_date, l.receipt_date,

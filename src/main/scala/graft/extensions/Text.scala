@@ -34,11 +34,15 @@ object Text {
 
   /** distinct (doc_id, shingle) pairs — the base relation for MinHash /
     * Jaccard. At scale this is the one big explode; everything downstream is
-    * partial-aggregatable. */
+    * partial-aggregatable. Materialized via Store — the MinHash pipeline
+    * reads it four times (signatures, sizes, and both sides of the
+    * intersection join). */
   private def shingleSet(ctx: Ctx): DataFrame =
-    docs(ctx)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
-      .distinct()
+    graft.Store.table(ctx, "shingle_set") {
+      docs(ctx)
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+        .distinct()
+    }
 
   /** Token counting: whitespace tokens + a BPE-ish regex token stream. */
   def tokenCount(ctx: Ctx): DataFrame =

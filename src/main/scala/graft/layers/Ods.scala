@@ -37,10 +37,13 @@ object Ods {
       .select(
         // Reference keys on (order_key, order_line_number)
         // (models/ods/orders_items.sql:19) — valid under TPC-H's PK. The
-        // driver testdata has duplicate (order_key, line_number) pairs, so
-        // the surrogate covers the full unique quadruple here.
+        // driver testdata duplicates (order_key, line_number) pairs and even
+        // (…, part_key, supplier_key) quadruples, so the surrogate covers
+        // the measures too (decimal/date -> string rendering is identical in
+        // both engines at these types).
         surrogateKey(col("order_key"), col("order_line_number"),
-          col("part_key"), col("supplier_key")).as("order_item_key"),
+          col("part_key"), col("supplier_key"), col("quantity"),
+          col("extended_price"), col("ship_date")).as("order_item_key"),
         col("order_key"), col("order_date"), col("customer_key"), col("order_status_code"),
         col("part_key"), col("supplier_key"), col("return_status_code"),
         col("order_line_number"), col("order_line_status_code"), col("ship_date"),

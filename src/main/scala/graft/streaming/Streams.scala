@@ -56,19 +56,25 @@ object Streams {
     event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long,
     start: Timestamp, end: Timestamp, closed: Boolean)
-  private final case class SessState(n: Long, start: Long, last: Long)
+  final case class SessState(n: Long, start: Long, last: Long)
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the escape
     * hatch when session_window semantics aren't enough (e.g. emitting
-    * in-progress sessions). Processing-time timeout closes idle sessions. */
-  def statefulSessions(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[UserSession] = {
+    * in-progress sessions). A session closes when a later event arrives past
+    * the gap; set useTimeout=true to also close idle sessions on a
+    * processing-time timer (don't combine with processAllAvailable in tests:
+    * timer-triggered batches make it spin). */
+  def statefulSessions(events: Dataset[Evt], gapMs: Long = 30 * 60 * 1000L,
+      useTimeout: Boolean = false): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId: Long, evts: Iterator[Evt], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -93,7 +99,7 @@ object Streams {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
             out.reverseIterator
           }
       }

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session fixture: one local session per suite, UTC, small shuffle
+  * fan-out (test data is sf0.001). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val ctx: Ctx = Ctx(spark, "/root/testdata/sf0.001")
+
+  override def afterAll(): Unit = {
+    // session is shared across suites in one JVM; don't stop it here
+    super.afterAll()
+  }
+}
