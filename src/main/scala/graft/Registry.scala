@@ -1155,14 +1155,15 @@ object Registry {
          |, r_sig AS (SELECT doc_id,
          |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
          |  FROM r_sh GROUP BY 1)
-         |, r_bands AS (SELECT doc_id,
-         |    md5(h0 || h1 || h2 || h3) AS band0, md5(h4 || h5 || h6 || h7) AS band1,
-         |    md5(h8 || h9 || h10 || h11) AS band2, md5(h12 || h13 || h14 || h15) AS band3
-         |  FROM r_sig)
-         |, r_cand AS (SELECT DISTINCT doc_a, doc_b FROM (
-         |    ${(0 until 4).map(b =>
-              s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM r_bands a JOIN r_bands b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-              .mkString("\n    UNION ALL ")}) u)
+         |, r_bandrows AS (
+         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
+         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
+         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_sig
+         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_sig)
+         |, r_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM r_bandrows a
+         |    JOIN r_bandrows b ON a.band_idx = b.band_idx
+         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |, r_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
          |, r_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
          |  FROM r_cand c

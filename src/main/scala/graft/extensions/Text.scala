@@ -34,15 +34,13 @@ object Text {
 
   /** distinct (doc_id, shingle) pairs — the base relation for MinHash /
     * Jaccard. At scale this is the one big explode; everything downstream is
-    * partial-aggregatable. Materialized via Store — the MinHash pipeline
-    * reads it four times (signatures, sizes, and both sides of the
-    * intersection join). */
+    * partial-aggregatable. Deliberately NOT persisted: the explode+distinct
+    * is cheaper to recompute fused into each consumer than to materialize
+    * (measured: persisting cost +6s on the MinHash pipeline at sf0.1). */
   private def shingleSet(ctx: Ctx): DataFrame =
-    graft.Store.table(ctx, "shingle_set") {
-      docs(ctx)
-        .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
-        .distinct()
-    }
+    docs(ctx)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+      .distinct()
 
   /** Token counting: whitespace tokens + a BPE-ish regex token stream. */
   def tokenCount(ctx: Ctx): DataFrame =
@@ -131,16 +129,19 @@ object Text {
     val sigCols = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sig.select(
-      col("doc_id") +:
-        (0 until 4).map(b =>
-          md5(concat(col(s"h${4 * b}"), col(s"h${4 * b + 1}"),
-            col(s"h${4 * b + 2}"), col(s"h${4 * b + 3}"))).as(s"band$b")): _*)
-    val cands = (0 until 4).map { b =>
-      val l = bands.select(col("doc_id").as("doc_a"), col(s"band$b").as("bk"))
-      val r = bands.select(col("doc_id").as("doc_b"), col(s"band$b").as("bk"))
-      l.join(r, Seq("bk")).filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
-    }.reduce(_ unionByName _).distinct()
+    // unpivot bands to rows -> ONE self-join keyed on (band_idx, band_hash)
+    // instead of four — single shuffle, the standard LSH bucket-join shape
+    val bandRows = sig.select(col("doc_id"), expr(
+      """stack(4,
+        |  0, md5(concat(h0, h1, h2, h3)),
+        |  1, md5(concat(h4, h5, h6, h7)),
+        |  2, md5(concat(h8, h9, h10, h11)),
+        |  3, md5(concat(h12, h13, h14, h15))) AS (band_idx, band_hash)""".stripMargin))
+    val cands = bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
