@@ -186,6 +186,35 @@ object Text {
         col("bucket_keep_doc_id"))
   }
 
+  /** SimHash near-duplicate pairs within Hamming distance 2, found without
+    * an all-pairs scan: split the 16-bit signature into 3 chunks (6/5/5);
+    * by pigeonhole any pair within distance 2 agrees on at least one chunk,
+    * so a single (chunk_idx, chunk_val) self-join generates all candidates
+    * (multi-index Hamming join). Distance is computed by the native
+    * codegen'd [[graft.functions.BitHamming]] expression. */
+  def dedupSimhashNear(ctx: Ctx, maxDist: Int = 2): DataFrame = {
+    graft.functions.BitHamming.register(ctx.spark)
+    val sim = dedupSimhash(ctx).select("doc_id", "simhash")
+    val chunks = sim.select(col("doc_id"), col("simhash"), expr(
+      """stack(3,
+        |  0, substring(simhash, 1, 6),
+        |  1, substring(simhash, 7, 5),
+        |  2, substring(simhash, 12, 5)) AS (chunk_idx, chunk_val)""".stripMargin))
+    val cands = chunks
+      .select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      .join(chunks.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+        Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
+    cands
+      .withColumn("hamming", expr("bit_hamming(sim_a, sim_b)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("sim_a").as("simhash_a"),
+        col("sim_b").as("simhash_b"), col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup: same-source blocking (the scalable stand-in
     * for LSH when a natural blocking key exists), exact Jaccard per pair. */
   def dedupNgramJaccard(ctx: Ctx): DataFrame = {
