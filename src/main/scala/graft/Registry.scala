@@ -1273,6 +1273,29 @@ object Registry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${duckCos("a.ed", "b.ed")} AS cosine
          |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
          |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin),
+    "ann_ivf" -> e(
+      ctx => extensions.Similarity.annIvf(ctx).orderBy("query_id", "rank"),
+      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+         |, r_seeds AS (SELECT vec_id AS cell_id, ed AS se FROM r_emb WHERE vec_id < 8)
+         |, r_assigned AS (SELECT vec_id, ed, cell_id FROM (
+         |    SELECT v.vec_id, v.ed, s.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCos("v.ed", "s.se")} DESC, s.cell_id) AS rn
+         |    FROM r_emb v CROSS JOIN r_seeds s) x WHERE rn = 1)
+         |, r_probes AS (SELECT query_id, qe, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, q.ed AS qe, s.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.ed", "s.se")} DESC, s.cell_id) AS rn
+         |    FROM r_emb q CROSS JOIN r_seeds s
+         |    WHERE q.vec_id >= 10 AND q.vec_id < 20) x WHERE rn <= 2)
+         |SELECT query_id, cand_id, cell_id, cosine, CAST(rn2 AS INT) AS rank FROM (
+         |  SELECT query_id, cand_id, cell_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn2
+         |  FROM (SELECT p.query_id, a.vec_id AS cand_id, p.cell_id,
+         |          ${duckCos("p.qe", "a.ed")} AS cosine
+         |        FROM r_probes p
+         |        JOIN r_assigned a ON p.cell_id = a.cell_id AND p.query_id != a.vec_id) z) y
+         |WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin),
     "label_centroids" -> Entry(
       ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label"), None),
     "events_json_extract" -> e(

@@ -82,6 +82,45 @@ object Similarity {
       .filter(col("cosine") >= 0.9)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
 
+  /** IVF-style ANN: a fixed set of seed vectors (vec_id < 8) acts as the
+    * coarse quantizer; every vector is assigned to its nearest seed (cell),
+    * and a query probes only its nprobe=2 nearest cells — the inverted-file
+    * pattern that bounds the scan to a fraction of the corpus at scale.
+    * Queries here: vec_id in [10, 20); top-3 within probed cells. */
+  def annIvf(ctx: Ctx, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = ctx.tbl("embeddings")
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
+    // cell assignment: nearest seed per vector (deterministic tie-break)
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine("embedding", "se").as("seed_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("seed_cos").desc, col("cell_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // probe list: nprobe nearest cells per query
+    val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = queries.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qe"), col("cell_id"),
+        cosine("qe", "se").as("seed_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("seed_cos").desc, col("cell_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell_id"))
+    // search only within probed cells
+    probes.join(assigned.select(col("cell_id"), col("vec_id").as("cand_id"),
+        col("embedding").as("ce")), Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cell_id"),
+        cosine("qe", "ce").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-label centroids — the IVF coarse-quantizer building block: one
     * explode + per-(label, dim) mean, reassembled into centroid arrays.
     * Cross-row double sums are shuffle-order-dependent, so this operator has

@@ -46,8 +46,16 @@ for name, sql in sorted(oracle.items()):
         for c in out.columns:
             try:
                 out[c] = out[c].astype('float64')
+                continue
             except (ValueError, TypeError):
-                out[c] = out[c].astype(str)
+                pass
+            try:
+                # dates/timestamps: canonical datetime64 (nulls become 'NaT'
+                # on both sides)
+                out[c] = pd.to_datetime(out[c], errors='raise').astype(str)
+            except (ValueError, TypeError):
+                col = out[c].astype(object)
+                out[c] = col.where(pd.notna(col), '<NULL>').astype(str)
         return out
     s, d = norm(s), norm(d)
     key = list(s.columns)
