@@ -23,14 +23,20 @@ object Text {
   private val toksExpr =
     "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 
-  /** word 3-gram shingles (space-joined), empty when < 3 tokens */
-  private val shinglesExpr =
-    s"""CASE WHEN size($toksExpr) >= 3
-       |  THEN transform(sequence(0, size($toksExpr) - 3),
-       |    i -> concat($toksExpr[i], ' ', $toksExpr[i+1], ' ', $toksExpr[i+2]))
-       |  ELSE array() END""".stripMargin
+  /** word 3-gram shingles over a MATERIALIZED `toks` column. (Referencing
+    * the token expression inside the lambda instead would re-evaluate
+    * split() per element — O(tokens^2) per document.) */
+  private val shinglesOfToks =
+    """CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(0, size(toks) - 3),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      |  ELSE array() END""".stripMargin
 
   private def docs(ctx: Ctx): DataFrame = ctx.tbl("documents")
+
+  /** documents + tokens column (the twin of the oracle's r_toks CTE). */
+  private def docsTok(ctx: Ctx): DataFrame =
+    docs(ctx).withColumn("toks", expr(toksExpr))
 
   /** distinct (doc_id, shingle) pairs — the base relation for MinHash /
     * Jaccard. At scale this is the one big explode; everything downstream is
@@ -38,31 +44,31 @@ object Text {
     * is cheaper to recompute fused into each consumer than to materialize
     * (measured: persisting cost +6s on the MinHash pipeline at sf0.1). */
   private def shingleSet(ctx: Ctx): DataFrame =
-    docs(ctx)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+    docsTok(ctx)
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("shingle"))
       .distinct()
 
   /** Token counting: whitespace tokens + a BPE-ish regex token stream. */
   def tokenCount(ctx: Ctx): DataFrame =
-    docs(ctx).select(
+    docsTok(ctx).select(
       col("doc_id"),
       col("n_chars"),
-      expr(s"size($toksExpr)").as("n_tokens"),
+      size(col("toks")).as("n_tokens"),
       size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
         .as("n_bpe_tokens"),
-      dv(length(regexp_replace(col("text"), "\\s+", "")), expr(s"nullif(size($toksExpr), 0)"))
+      dv(length(regexp_replace(col("text"), "\\s+", "")), nullifZero(size(col("toks"))))
         .as("avg_token_len"))
 
   /** Quality scoring: punctuation/digit/upper ratios + stopword density and
     * a deterministic composite score. */
   def quality(ctx: Ctx): DataFrame = {
     val enStop = "array('the','and','of','to','in','is','you','that','it','for')"
-    val nTokens = expr(s"size($toksExpr)")
+    val nTokens = size(col("toks"))
     val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
     val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
     val uppers = length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))
-    val stops = expr(s"size(filter($toksExpr, x -> array_contains($enStop, x)))")
-    docs(ctx).select(
+    val stops = expr(s"size(filter(toks, x -> array_contains($enStop, x)))")
+    docsTok(ctx).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       nTokens.as("n_tokens"),
@@ -80,11 +86,11 @@ object Text {
     * deterministic tie rule. */
   def languageId(ctx: Ctx): DataFrame = {
     def hits(words: String) =
-      expr(s"size(filter($toksExpr, x -> array_contains(array($words), x)))")
+      expr(s"size(filter(toks, x -> array_contains(array($words), x)))")
     val en = hits("'the','and','of','to','in','is','you','that','it','for'")
     val de = hits("'der','die','und','das','ist','nicht','mit','ein','auf','sie'")
     val fr = hits("'le','la','les','et','un','une','est','pour','dans','que'")
-    docs(ctx).select(
+    docsTok(ctx).select(
       col("doc_id"), col("lang").as("labeled_lang"),
       en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
       when(en >= de && en >= fr, "en")
@@ -167,7 +173,7 @@ object Text {
     * buckets are near-dup groups; one groupBy per token + one per doc. */
   def dedupSimhash(ctx: Ctx): DataFrame = {
     val toks = docs(ctx)
-      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
     // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
     val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val voteCols = (0 until 16).map(j =>
