@@ -172,7 +172,7 @@ object Text {
   /** SimHash (16-bit, md5-derived per-token bit votes): equal-signature
     * buckets are near-dup groups; one groupBy per token + one per doc. */
   def dedupSimhash(ctx: Ctx): DataFrame = {
-    val toks = docs(ctx)
+    val toks = docsTok(ctx)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
     // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
     val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
