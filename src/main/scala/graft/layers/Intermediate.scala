@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * models — lazy plans re-derived per consumer, exactly like dbt views.
   *
   * All aggregate ratio/avg outputs follow the parity rules in [[graft.Macros]]:
-  * decimal-exact sums, raw-double ratios (reference's round() on ratios is
-  * presentational and dropped — see Macros.rnd).
+  * decimal-exact sums, double ratios rounded with the cross-engine-exact
+  * Macros.rnd (the reference's round(x, s) semantics).
   */
 object Intermediate {
   import M._

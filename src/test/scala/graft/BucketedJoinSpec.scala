@@ -44,6 +44,7 @@ class BucketedJoinSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle entries without queries: ${o -- q}")
-    assert((q -- o) == Set("label_centroids"), "unexpected rows-only queries")
+    // every declared query carries an oracle twin (rows+schema+hash checked)
+    assert((q -- o).isEmpty, "unexpected rows-only queries")
   }
 }
