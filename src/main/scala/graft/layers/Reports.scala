@@ -1,6 +1,7 @@
 package graft.layers
 
 import graft.{Ctx, Macros => M}
+import graft.operators.Scale
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,7 +22,12 @@ import org.apache.spark.sql.types.DateType
 object Reports {
   import M._
 
-  /** Reference models/reports/customer_concentration_risk.sql (Pareto). */
+  /** Reference models/reports/customer_concentration_risk.sql (Pareto).
+    * The global rank / running-sum / grand-total windows go through the
+    * two-phase [[graft.operators.Scale.globalOrder]] rewrite (decimal-exact,
+    * hash-identical to the single-partition form) so no single task ever
+    * sees the whole per-customer relation; the reference's RANGE-frame
+    * tie-sharing is recovered per tie group. */
   def customerConcentrationRisk(ctx: Ctx): DataFrame = {
     val rev = Wh.fctOrders(ctx)
       .join(Wh.dimCustomer(ctx)
@@ -32,14 +38,14 @@ object Reports {
       .agg(
         sum("gross_item_sales_amount").as("total_revenue_d"),
         countDistinct(col("order_key")).as("order_count"))
-    val wAll = Window.partitionBy()
-    val ranked = rev
-      .withColumn("revenue_rank",
-        row_number().over(Window.orderBy(col("total_revenue_d").desc, col("customer_key"))))
-      .withColumn("total_customers", count(lit(1)).over(wAll))
-      .withColumn("grand_total_revenue_d", sum("total_revenue_d").over(wAll))
+    val ranked = Scale.globalOrder(rev,
+        order = Seq(col("total_revenue_d").desc, col("customer_key")),
+        rn = Some("revenue_rank"),
+        cums = Seq("total_revenue_d" -> "rows_cum_d"),
+        totals = Seq("total_revenue_d" -> "grand_total_revenue_d"),
+        totalCount = Some("total_customers"))
       .withColumn("cumulative_revenue_d",
-        sum("total_revenue_d").over(Window.orderBy(col("total_revenue_d").desc)))
+        Scale.rangeCumFromRowsCum(col("rows_cum_d"), Seq(col("total_revenue_d"))))
     ranked.select(
       col("revenue_rank"), col("customer_key"), col("customer_name"),
       col("customer_nation_name"), col("customer_market_segment_name"),
@@ -168,7 +174,10 @@ object Reports {
   }
 
   /** Reference models/reports/customer_rfm_segments.sql. ntile ORDER BYs get
-    * customer_key tie-breaks (both engines) for determinism. */
+    * customer_key tie-breaks (both engines) for determinism. Each of the
+    * three global ntiles is derived from a two-phase
+    * [[graft.operators.Scale.globalOrder]] row number + the NTILE bucket
+    * formula — no single-partition window over the customer relation. */
   def customerRfmSegments(ctx: Ctx): DataFrame = {
     val fo = Wh.fctOrders(ctx)
     val om = fo.groupBy("customer_key").agg(
@@ -176,14 +185,21 @@ object Reports {
       countDistinct(col("order_key")).as("frequency"),
       sum("gross_item_sales_amount").as("monetary_d"))
     val ref = fo.agg(max("order_date").as("reference_date"))
-    val scored = om.crossJoin(ref)
+    val base = om.crossJoin(ref)
       .withColumn("recency_days", datediff(col("reference_date"), col("last_order_date")))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("customer_key"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("customer_key"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary_d"), col("customer_key"))))
+    val withRns = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      "__rn_r" -> Seq(col("recency_days").desc, col("customer_key")),
+      "__rn_f" -> Seq(col("frequency"), col("customer_key")),
+      "__rn_m" -> Seq(col("monetary_d"), col("customer_key"))
+    ).foldLeft(base) { case (d, (name, ord)) =>
+      Scale.globalOrder(d, order = ord, rn = Some(name),
+        totalCount = if (name == "__rn_r") Some("__n") else None)
+    }
+    val scored = withRns
+      .withColumn("r_score", Scale.ntileFromRowNumber(col("__rn_r"), col("__n"), 5))
+      .withColumn("f_score", Scale.ntileFromRowNumber(col("__rn_f"), col("__n"), 5))
+      .withColumn("m_score", Scale.ntileFromRowNumber(col("__rn_m"), col("__n"), 5))
+      .drop("__rn_r", "__rn_f", "__rn_m", "__n")
     scored
       .join(Wh.dimCustomer(ctx)
         .select("customer_key", "customer_name", "customer_nation_name",
@@ -368,9 +384,11 @@ object Reports {
       col("avg_order_value"), col("unique_customers"))
   }
 
-  /** Reference models/reports/part_abc_classification.sql: RANGE-framed
-    * running sum keeps the reference's tie-sharing semantics; row_number gets
-    * a part_key tie-break. */
+  /** Reference models/reports/part_abc_classification.sql: the RANGE-framed
+    * running sum keeps the reference's tie-sharing semantics, recovered from
+    * the two-phase [[graft.operators.Scale.globalOrder]] ROWS cumsum (no
+    * single-partition window over the per-part relation); row_number gets a
+    * part_key tie-break. */
   def partAbcClassification(ctx: Ctx): DataFrame = {
     val rev = Wh.fctOrdersItems(ctx)
       .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
@@ -380,13 +398,13 @@ object Reports {
         sum("gross_item_sales_amount").as("total_revenue_d"),
         sum("quantity").as("total_quantity_d"),
         countDistinct(col("order_key")).as("order_count"))
-    val wAll = Window.partitionBy()
-    val ranked = rev
-      .withColumn("grand_total_d", sum("total_revenue_d").over(wAll))
+    val ranked = Scale.globalOrder(rev,
+        order = Seq(col("total_revenue_d").desc, col("part_key")),
+        rn = Some("revenue_rank"),
+        cums = Seq("total_revenue_d" -> "rows_cum_d"),
+        totals = Seq("total_revenue_d" -> "grand_total_d"))
       .withColumn("running_total_d",
-        sum("total_revenue_d").over(Window.orderBy(col("total_revenue_d").desc)))
-      .withColumn("revenue_rank",
-        row_number().over(Window.orderBy(col("total_revenue_d").desc, col("part_key"))))
+        Scale.rangeCumFromRowsCum(col("rows_cum_d"), Seq(col("total_revenue_d"))))
     ranked.select(
       col("revenue_rank"), col("part_key"), col("part_name"),
       col("part_type_name"), col("part_brand_name"),
@@ -402,7 +420,9 @@ object Reports {
         .otherwise("C").as("abc_class"))
   }
 
-  /** Reference models/reports/part_sales_velocity.sql (ntile quartiles). */
+  /** Reference models/reports/part_sales_velocity.sql (ntile quartiles,
+    * two-phase via [[graft.operators.Scale]] — no single-partition window
+    * over the per-part relation). */
   def partSalesVelocity(ctx: Ctx): DataFrame = {
     val monthly = Wh.fctOrdersItems(ctx)
       .groupBy(col("part_key"),
@@ -416,11 +436,13 @@ object Reports {
       sum("monthly_revenue_d").as("total_revenue_d"),
       avgE(col("monthly_units_d")).as("avg_monthly_units"),
       avgE(col("monthly_revenue_d")).as("avg_monthly_revenue"))
-    val q = ntile(4).over(Window.orderBy(col("avg_monthly_units"), col("part_key")))
-    stats
-      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
-        "part_brand_name"), Seq("part_key"))
-      .withColumn("velocity_quartile", q)
+    Scale.globalOrder(
+        stats.join(Wh.dimPart(ctx).select("part_key", "part_name",
+          "part_type_name", "part_brand_name"), Seq("part_key")),
+        order = Seq(col("avg_monthly_units"), col("part_key")),
+        rn = Some("__rn"), totalCount = Some("__n"))
+      .withColumn("velocity_quartile",
+        Scale.ntileFromRowNumber(col("__rn"), col("__n"), 4))
       .select(
         col("part_key"), col("part_name"), col("part_type_name"),
         col("part_brand_name"), col("active_months"),
@@ -509,7 +531,10 @@ object Reports {
   }
 
   /** Reference models/reports/supplier_revenue_ranking.sql (global +
-    * partitioned rank in one select). */
+    * partitioned rank in one select). The global rank and grand-total share
+    * come from the two-phase [[graft.operators.Scale]] row number (rank =
+    * min row number per tie group); the nation rank keeps its naturally
+    * partitioned window. */
   def supplierRevenueRanking(ctx: Ctx): DataFrame = {
     val sr = Wh.fctOrdersItems(ctx)
       .join(Wh.dimSupplier(ctx)
@@ -523,20 +548,23 @@ object Reports {
         countDistinct(col("part_key")).as("parts_sold"))
     val nt = sr.groupBy("supplier_nation_name")
       .agg(sum("total_revenue_d").as("nation_total_revenue_d"))
-    sr.join(nt, Seq("supplier_nation_name"))
+    Scale.globalOrder(sr.join(nt, Seq("supplier_nation_name")),
+        order = Seq(col("total_revenue_d").desc, col("supplier_key")),
+        rn = Some("__rn"),
+        totals = Seq("total_revenue_d" -> "__grand_total_d"))
       .select(
         col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
         col("supplier_region_name"),
         col("total_revenue_d").cast("double").as("total_revenue"),
         col("order_count"), col("parts_sold"),
-        rank().over(Window.orderBy(col("total_revenue_d").desc)).as("global_rank"),
+        Scale.rankFromRowNumber(col("__rn"), Seq(col("total_revenue_d")))
+          .as("global_rank"),
         rank().over(Window.partitionBy("supplier_nation_name")
           .orderBy(col("total_revenue_d").desc)).as("nation_rank"),
         col("nation_total_revenue_d").cast("double").as("nation_total_revenue"),
         rnd(dv(col("total_revenue_d"), col("nation_total_revenue_d")) * 100, 2)
           .as("nation_market_share_pct"),
-        rnd(dv(col("total_revenue_d"),
-          sum("total_revenue_d").over(Window.partitionBy())) * 100, 4)
+        rnd(dv(col("total_revenue_d"), col("__grand_total_d")) * 100, 4)
           .as("global_market_share_pct"))
   }
 

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Two-phase (partition-wise) global-order analytics.
+  *
+  * A `Window.orderBy(...)` with an empty partitionBy funnels the whole
+  * relation through ONE task — correct, but a scale-killer once the
+  * per-entity relation is 100M+ rows (SF1000 customers/parts). This is the
+  * standard distributed rewrite, all inside the declarative plan:
+  *
+  *   1. range-repartition the relation on the window order (P ranges, so
+  *      partition boundaries respect the total order);
+  *   2. compute row numbers / ROWS-frame running sums per range in parallel
+  *      (a window keyed on the stable partition id);
+  *   3. reduce each range to one (count, sums...) row — P rows total — and
+  *      turn those into per-range prefix offsets with a triangular self-join
+  *      on the tiny side;
+  *   4. broadcast-join the offsets back and add offset + local value.
+  *
+  * Results are bit-identical to the single-partition window when the
+  * cumulated columns are exact (decimal/integer) types: decimal addition is
+  * associative, so regrouping the sum by partition never changes it. Rank /
+  * ntile / RANGE-frame (tie-sharing) semantics are derived from the unique
+  * global row number — see [[rankFromRowNumber]], [[ntileFromRowNumber]],
+  * [[rangeCumFromRowsCum]].
+  *
+  * The only non-parallel piece is the offsets side: P rows (one per range)
+  * flowing through a triangular join + broadcast — the same footprint as any
+  * grand-total aggregate, independent of data size.
+  */
+object Scale {
+
+  /** Attach global-order analytics to `df` without a single-partition window.
+    *
+    * @param order   total order (must be unique — include a tie-break key)
+    * @param rn      output column for the 1-based global row number (int)
+    * @param cums    (input column, output column) pairs: ROWS-frame
+    *                (unbounded preceding .. current row) running sums in
+    *                `order`; input columns must be exact (decimal/integer)
+    * @param totals  (input column, output column) pairs: grand totals
+    * @param totalCount output column for the grand row count, if wanted
+    */
+  def globalOrder(
+      df: DataFrame,
+      order: Seq[Column],
+      rn: Option[String] = None,
+      cums: Seq[(String, String)] = Nil,
+      totals: Seq[(String, String)] = Nil,
+      totalCount: Option[String] = None,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pid = "__go_pid"
+    val parted = df.repartitionByRange(p, order: _*)
+      .withColumn(pid, spark_partition_id())
+
+    // phase 1: per-range local row numbers / running sums (parallel).
+    // MATERIALIZED once: the offsets aggregate below consumes the same
+    // relation a second time, and a re-evaluated repartitionByRange would
+    // re-SAMPLE its boundaries (seeded per RDD instantiation) — the two
+    // branches could then disagree on which range a row belongs to, i.e.
+    // wrong offsets. (spark_partition_id is nondeterministic, which also
+    // defeats ReuseExchange canonicalization — a persist is the one robust
+    // way to share the partitioning.) The cached relation is the window
+    // INPUT (per-entity aggregates), orders of magnitude smaller than the
+    // facts, so the footprint is the same as any dbt `table` boundary.
+    val wRow = Window.partitionBy(pid).orderBy(order: _*)
+    val wCum = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = rn.fold(parted)(_ => parted.withColumn("__go_lrn", row_number().over(wRow)))
+    val local = cums.foldLeft(local0) { case (d, (c, _)) =>
+      d.withColumn(s"__go_lcum_$c", sum(col(c)).over(wCum))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // phase 2: one row per range -> prefix offsets via triangular self-join
+    val sumCols = (cums.map(_._1) ++ totals.map(_._1)).distinct
+    val pidAgg = local.groupBy(col(pid)).agg(
+      count(lit(1)).as("__go_cnt"),
+      sumCols.map(c => sum(col(c)).as(s"__go_s_$c")): _*)
+    val a = pidAgg.select(col(pid).as("__go_apid"))
+    val b = pidAgg.columns.foldLeft(pidAgg)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val before = col(s"b_$pid") < col("__go_apid")
+    val offAggs =
+      sum(when(before, col("b___go_cnt")).otherwise(lit(0L))).as("__go_cntoff") +:
+      sum(col("b___go_cnt")).as("__go_total_cnt") +:
+      sumCols.flatMap(c => Seq(
+        sum(when(before, col(s"b___go_s_$c")).otherwise(lit(0))).as(s"__go_off_$c"),
+        sum(col(s"b___go_s_$c")).as(s"__go_tot_$c")))
+    val offsets = a.crossJoin(b).groupBy(col("__go_apid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+      .withColumnRenamed("__go_apid", pid)
+
+    // phase 3: broadcast offsets back and materialize the requested columns
+    val joined = local.join(broadcast(offsets), Seq(pid))
+    val withRn = rn.fold(joined)(n =>
+      joined.withColumn(n, (col("__go_lrn") + col("__go_cntoff")).cast("int")))
+    val withCums = cums.foldLeft(withRn) { case (d, (c, out)) =>
+      d.withColumn(out, col(s"__go_lcum_$c") + col(s"__go_off_$c"))
+    }
+    val withTotals = totals.foldLeft(withCums) { case (d, (c, out)) =>
+      d.withColumn(out, col(s"__go_tot_$c"))
+    }
+    val withCount = totalCount.fold(withTotals)(n =>
+      withTotals.withColumn(n, col("__go_total_cnt")))
+    withCount.drop(withCount.columns.filter(_.startsWith("__go_")): _*)
+  }
+
+  /** SQL RANK() over the same ordering the unique row number was built on,
+    * with ties on `tieCols`: the rank of a row is the smallest row number in
+    * its tie group — one shuffle on the tie value, never single-partition. */
+  def rankFromRowNumber(rnCol: Column, tieCols: Seq[Column]): Column =
+    min(rnCol).over(Window.partitionBy(tieCols: _*)).cast("int")
+
+  /** SQL NTILE(k) from the unique global row number and total count:
+    * the first (n mod k) buckets get (n div k + 1) rows, the rest n div k.
+    * floor(x / y) over counts < 2^53 is an exact integer division. */
+  def ntileFromRowNumber(rn: Column, n: Column, k: Int): Column = {
+    val base = floor(n / k)
+    val rem = n % k
+    val cut = rem * (base + 1)
+    when(rn <= cut, floor((rn - 1) / (base + 1)) + 1)
+      .otherwise(rem + floor((rn - cut - 1) / base) + 1)
+      .cast("int")
+  }
+
+  /** RANGE-frame (tie-sharing) running sum from a ROWS-frame one: every row
+    * of a tie group takes the group's last ROWS cumulative value. */
+  def rangeCumFromRowsCum(rowsCum: Column, tieCols: Seq[Column]): Column =
+    max(rowsCum).over(Window.partitionBy(tieCols: _*))
+}
