@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
+/** Driver benchmark: per-query timings plus the full-build lifecycle twin.
+  *
+  * Per-query action: sum(xxhash64(all columns)) — every output column of
+  * every row is computed and combined, so column pruning cannot gut
+  * projection-only queries the way a bare count() did (the final ORDER BY is
+  * still eliminated under the aggregate, which is a uniform wash across
+  * queries, not a per-query bias).
+  *
+  * Full build: the reference's only published number is the end-to-end
+  * `dbt build` (~5 min for 62 models at SF10, reference README.md:71 /
+  * Makefile:51-52). Runner.buildAll is its lifecycle twin; the Store cache
+  * is cleared first so the build is COLD — it re-derives and writes every
+  * table itself rather than reusing fragments the query loop materialized.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,13 +33,29 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+          .agg(sum("__h")).collect()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    Store.clear(spark) // cold build: nothing reused from the query loop
+    val buildDir =
+      java.nio.file.Files.createTempDirectory("graft_bench_build").toString
+    val tb = System.nanoTime()
+    val built =
+      try Runner.buildAll(Ctx(spark, sfDir), buildDir).size
+      catch { case _: Throwable => -1 }
+    val buildSec = (System.nanoTime() - tb) / 1e9
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(buildDir))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":$buildSec,"build_tables":$built}""")
     spark.stop()
   }
 }

@@ -26,14 +26,32 @@ final case class Ctx(spark: SparkSession, dir: String) {
   * instead of an in-memory persist; on local[32] at sf<=0.1 persist is right.
   */
 object Store {
-  private val cache = TrieMap[(Int, String, String), DataFrame]()
+  private val cache = TrieMap[(String, String, String), DataFrame]()
+
+  // stable per-session id: identityHashCode can collide after a stopped
+  // session is garbage-collected, serving a dead session's cached plan
+  private val ids = new java.util.WeakHashMap[SparkSession, String]()
+  private def idOf(s: SparkSession): String = ids.synchronized {
+    var id = ids.get(s)
+    if (id == null) { id = java.util.UUID.randomUUID().toString; ids.put(s, id) }
+    id
+  }
 
   def table(ctx: Ctx, name: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate(
-      (System.identityHashCode(ctx.spark), ctx.dir, name), {
+      (idOf(ctx.spark), ctx.dir, name), {
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         df
       })
+
+  /** Unpersist and drop every entry of one session (frees executor memory
+    * across sfDir changes / before a cold full-build measurement). */
+  def clear(spark: SparkSession): Unit = {
+    val id = idOf(spark)
+    cache.keys.filter(_._1 == id).foreach { k =>
+      cache.remove(k).foreach(df => { df.unpersist(false); () })
+    }
+  }
 }
 
 /** Spark-side equivalents of the reference's Jinja macros plus the

@@ -20,9 +20,31 @@ object Registry {
   import Oracle.{avgE, d, dump, dv, q, rnd, rndDec, stddevE, sumD}
   import Macros.outD
 
-  final case class Entry(fn: Ctx => DataFrame, sql: Option[String])
+  /** Materialization tag — the dbt_project.yml twin (reference
+    * dbt_project.yml:31-36: ods/wh tables, intermediate views, metrics/
+    * reports tables). Runner.buildAll filters on this instead of name
+    * prefixes, so model naming can never silently change what gets built. */
+  sealed abstract class Mat
+  object Mat {
+    /** ods-layer table (first build phase, no housekeeping). */
+    case object OdsTable extends Mat
+    /** wh-layer table (second build phase, housekeeping columns). */
+    case object WhTable extends Mat
+    /** dbt view model — re-derived per consumer, never materialized. */
+    case object View extends Mat
+    /** metrics/reports table (generic third build phase). */
+    case object Table extends Mat
+    /** extension operator — not a dbt model, not part of the build. */
+    case object Extension extends Mat
+  }
+
+  final case class Entry(fn: Ctx => DataFrame, sql: Option[String],
+      mat: Mat = Mat.Table)
 
   private def e(fn: Ctx => DataFrame, sql: String): Entry = Entry(fn, Some(q(sql)))
+
+  private def tagged(m: ListMap[String, Entry], mat: String => Mat): ListMap[String, Entry] =
+    m.map { case (n, en) => n -> en.copy(mat = mat(n)) }
 
   private val T = true  // decimal column in a dump
   private val F = false
@@ -1226,17 +1248,27 @@ object Registry {
          |, r_shs AS (SELECT s.doc_id, s.shingle, d.source
          |  FROM r_sh s JOIN documents d USING (doc_id))
          |, r_sz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-         |, r_pairs AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    COUNT(*) AS intersection
-         |  FROM r_shs a
-         |  JOIN r_shs b ON a.source = b.source AND a.shingle = b.shingle
-         |    AND a.doc_id < b.doc_id
+         |, r_nsig AS (SELECT doc_id, source,
+         |    ${(0 until 8).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+         |  FROM r_shs GROUP BY 1, 2)
+         |, r_nband AS (
+         |    ${(0 until 8).map(i =>
+              s"SELECT doc_id, source, $i AS band_idx, h$i AS band_hash FROM r_nsig")
+              .mkString("\n    UNION ALL ")})
+         |, r_ncand AS (SELECT DISTINCT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM r_nband a
+         |    JOIN r_nband b ON a.source = b.source AND a.band_idx = b.band_idx
+         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |, r_ninter AS (SELECT c.source, c.doc_a, c.doc_b, COUNT(*) AS intersection
+         |  FROM r_ncand c
+         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
+         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2, 3)
          |SELECT * FROM (
          |  SELECT p.source, p.doc_a, p.doc_b, p.intersection,
          |    (sa.set_size + sb.set_size - p.intersection) AS union_size,
          |    ${dv("p.intersection", "NULLIF(sa.set_size + sb.set_size - p.intersection, 0)")} AS jaccard
-         |  FROM r_pairs p
+         |  FROM r_ninter p
          |  JOIN r_sz sa ON p.doc_a = sa.doc_id
          |  JOIN r_sz sb ON p.doc_b = sb.doc_id) x
          |WHERE jaccard >= 0.1
@@ -1375,9 +1407,21 @@ object Registry {
         |FROM documents ORDER BY media_id""".stripMargin),
   )
 
-  /** Full registry: every declared query. */
+  /** Full registry: every declared query, tagged with its materialization
+    * (group membership decides; the two mixed groups use their section's
+    * documented name scheme). */
   val all: ListMap[String, Entry] =
-    models ++ intermediateModels ++ reportsModels ++ supplyModels ++ extensionModels
+    tagged(models, n =>
+      if (n.startsWith("ods_")) Mat.OdsTable
+      else if (n.startsWith("dim_") || n.startsWith("fct_") || n.startsWith("rpt_")) Mat.WhTable
+      else Mat.Table) ++
+    tagged(intermediateModels, _ => Mat.View) ++
+    tagged(reportsModels, _ => Mat.Table) ++
+    tagged(supplyModels, n =>
+      if (n.startsWith("int_")) Mat.View
+      else if (n.startsWith("dim_") || n.startsWith("rpt_")) Mat.WhTable
+      else Mat.Table) ++
+    tagged(extensionModels, _ => Mat.Extension)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (name, entry) =>
@@ -1385,5 +1429,5 @@ object Registry {
     }
 
   def oracleSql: Map[String, String] =
-    all.collect { case (name, Entry(_, Some(sql))) => name -> sql }
+    all.collect { case (name, Entry(_, Some(sql), _)) => name -> sql }
 }

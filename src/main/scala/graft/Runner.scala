@@ -60,12 +60,11 @@ object Runner {
 
     // metrics + reports layers (dbt `table`, no housekeeping); intermediate
     // models stay views (dbt_project.yml:35-36) and extension operators are
-    // not dbt models
-    val nonTableLayers = Seq("ods_", "dim_", "fct_", "rpt_", "int_",
-      "text_", "dedup_", "ann_", "events_", "media_", "label_")
-    val reports = Registry.all.keysIterator.toSeq
-      .filterNot(n => nonTableLayers.exists(n.startsWith))
-      .map(n => write(n, Registry.all(n).fn(ctx), housekeeping = false))
+    // not dbt models — selected via the Registry materialization tag
+    val reports = Registry.all.iterator
+      .collect { case (n, en) if en.mat == Registry.Mat.Table => n -> en }
+      .map { case (n, en) => write(n, en.fn(ctx), housekeeping = false) }
+      .toSeq
 
     ods ++ wh ++ reports
   }

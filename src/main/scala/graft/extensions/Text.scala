@@ -221,19 +221,34 @@ object Text {
         col("sim_b").as("simhash_b"), col("hamming"))
   }
 
-  /** N-gram Jaccard near-dup: same-source blocking (the scalable stand-in
-    * for LSH when a natural blocking key exists), exact Jaccard per pair. */
+  /** N-gram Jaccard near-dup with LSH blocking WITHIN the source key:
+    * 8 single-hash MinHash bands (r=1) generate candidates per
+    * (source, band, hash) bucket — never the full quadratic blow-up inside a
+    * dominant source — then exact Jaccard >= 0.1 verifies each candidate.
+    * Two docs sharing a band min-hash share the minimizing shingle, so every
+    * candidate has intersection >= 1 and the verify join is inner. */
   def dedupNgramJaccard(ctx: Ctx): DataFrame = {
     val sh = shingleSet(ctx)
       .join(docs(ctx).select("doc_id", "source"), Seq("doc_id"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val pairs = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle")),
-        Seq("source", "shingle"))
+    val sigCols = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id", "source").agg(sigCols.head, sigCols.tail: _*)
+    val bandRows = sig.select(col("doc_id"), col("source"), expr(
+      "stack(8, " + (0 until 8).map(i => s"$i, h$i").mkString(", ")
+        + ") AS (band_idx, band_hash)"))
+    val cands = bandRows
+      .select(col("source"), col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(bandRows.select(col("source"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("source", "band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("source", "doc_a", "doc_b").distinct()
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("source", "doc_a", "doc_b")
       .agg(count(lit(1)).as("intersection"))
-    pairs
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
       .select(
