@@ -38,10 +38,13 @@ object BenchScale {
 
     Store.clear(spark)
     val buildDir = s"$work/__build"
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BUILD_THREADS", "8").toInt
     val t0 = System.nanoTime()
-    val built = Runner.buildAll(Ctx(spark, work), buildDir)
+    val built = Runner.buildAll(Ctx(spark, work), buildDir, threads)
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = built.map(_.rows).sum
+    built.sortBy(-_.seconds).take(10).foreach(b =>
+      System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
     println(s"""{"metric":"build_sf1","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"copies":$copies,"src":"$src"}""")
     spark.stop()
   }

@@ -38,11 +38,16 @@ object Store {
   }
 
   def table(ctx: Ctx, name: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      (idOf(ctx.spark), ctx.dir, name), {
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-        df
-      })
+    // synchronized: Runner.buildAll materializes models from a thread pool,
+    // and a racing getOrElseUpdate could persist the same plan twice (only
+    // plan CONSTRUCTION is serialized here — execution stays concurrent)
+    cache.synchronized {
+      cache.getOrElseUpdate(
+        (idOf(ctx.spark), ctx.dir, name), {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          df
+        })
+    }
 
   /** Unpersist and drop every entry of one session (frees executor memory
     * across sfDir changes / before a cold full-build measurement). */

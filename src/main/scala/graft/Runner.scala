@@ -19,54 +19,78 @@ import org.apache.spark.sql.functions.col
   */
 object Runner {
 
-  final case class BuildResult(table: String, rows: Long, path: String)
+  final case class BuildResult(table: String, rows: Long, path: String,
+      seconds: Double = 0.0)
 
-  def buildAll(ctx: Ctx, outDir: String): Seq[BuildResult] = {
+  /** Full dbt-build twin. `threads` mirrors the reference's `dbt build`
+    * concurrency (profiles threads: 8): models WITHIN a phase have no
+    * dependencies on each other, so each phase materializes its models as
+    * concurrent Spark actions — the scheduler interleaves their stages and
+    * keeps all cores busy even while one model sits in a narrow stage.
+    * Dependencies ACROSS phases (ods -> wh -> gate -> reports) stay strictly
+    * ordered, exactly like dbt's DAG-ordered, intra-level-parallel run. */
+  def buildAll(ctx: Ctx, outDir: String, threads: Int = 8): Seq[BuildResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val runId = java.util.UUID.randomUUID().toString
     val runTs = new java.sql.Timestamp(System.currentTimeMillis())
     val hk = Macros.housekeeping(runId, runTs)
 
     def write(name: String, df: DataFrame, housekeeping: Boolean): BuildResult = {
+      val t0 = System.nanoTime()
       val out = if (housekeeping) df.select(col("*") +: hk: _*) else df
       val path = s"$outDir/$name"
       out.write.mode("overwrite").parquet(path)
-      BuildResult(name, ctx.spark.read.parquet(path).count(), path)
+      BuildResult(name, ctx.spark.read.parquet(path).count(), path,
+        (System.nanoTime() - t0) / 1e9)
     }
 
-    // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32)
-    val ods = Seq(
-      "customers" -> Ods.customers(ctx), "nations" -> Ods.nations(ctx),
-      "regions" -> Ods.regions(ctx), "parts" -> Ods.parts(ctx),
-      "suppliers" -> Ods.suppliers(ctx), "orders" -> Ods.orders(ctx),
-      "orders_items" -> Ods.ordersItems(ctx),
-      "parts_suppliers" -> Ods.partsSuppliers(ctx))
-      .map { case (n, df) => write(n, df, housekeeping = false) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    def phase(models: Seq[(String, DataFrame)], housekeeping: Boolean): Seq[BuildResult] =
+      Await.result(
+        Future.sequence(models.map { case (n, df) =>
+          Future(write(n, df, housekeeping))
+        }),
+        Duration.Inf)
 
-    // wh layer (dbt `table` with housekeeping — dbt_project.yml:33-34)
-    val wh = Seq(
-      "dim_customer" -> Wh.dimCustomer(ctx),
-      "dim_supplier" -> Wh.dimSupplier(ctx),
-      "dim_part" -> Wh.dimPart(ctx),
-      "dim_part_supplier_xrf" -> Wh.dimPartSupplierXrf(ctx),
-      "fct_orders" -> Wh.fctOrders(ctx),
-      "fct_orders_items" -> Wh.fctOrdersItems(ctx),
-      "rpt_pricing_summary" -> Wh.rptPricingSummary(ctx),
-      "rpt_minimum_cost_suppliers" -> Wh.rptMinimumCostSuppliers(ctx))
-      .map { case (n, df) => write(n, df, housekeeping = true) }
+    try {
+      // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32)
+      val ods = phase(Seq(
+        "customers" -> Ods.customers(ctx), "nations" -> Ods.nations(ctx),
+        "regions" -> Ods.regions(ctx), "parts" -> Ods.parts(ctx),
+        "suppliers" -> Ods.suppliers(ctx), "orders" -> Ods.orders(ctx),
+        "orders_items" -> Ods.ordersItems(ctx),
+        "parts_suppliers" -> Ods.partsSuppliers(ctx)), housekeeping = false)
 
-    // schema-test gate (reference fct_orders.yml / fct_orders_items.yml):
-    // violations abort the build before the reporting layers
-    schemaGate(ctx)
+      // wh layer (dbt `table` with housekeeping — dbt_project.yml:33-34)
+      val wh = phase(Seq(
+        "dim_customer" -> Wh.dimCustomer(ctx),
+        "dim_supplier" -> Wh.dimSupplier(ctx),
+        "dim_part" -> Wh.dimPart(ctx),
+        "dim_part_supplier_xrf" -> Wh.dimPartSupplierXrf(ctx),
+        "fct_orders" -> Wh.fctOrders(ctx),
+        "fct_orders_items" -> Wh.fctOrdersItems(ctx),
+        "rpt_pricing_summary" -> Wh.rptPricingSummary(ctx),
+        "rpt_minimum_cost_suppliers" -> Wh.rptMinimumCostSuppliers(ctx)),
+        housekeeping = true)
 
-    // metrics + reports layers (dbt `table`, no housekeeping); intermediate
-    // models stay views (dbt_project.yml:35-36) and extension operators are
-    // not dbt models — selected via the Registry materialization tag
-    val reports = Registry.all.iterator
-      .collect { case (n, en) if en.mat == Registry.Mat.Table => n -> en }
-      .map { case (n, en) => write(n, en.fn(ctx), housekeeping = false) }
-      .toSeq
+      // schema-test gate (reference fct_orders.yml / fct_orders_items.yml):
+      // violations abort the build before the reporting layers
+      schemaGate(ctx)
 
-    ods ++ wh ++ reports
+      // metrics + reports layers (dbt `table`, no housekeeping); intermediate
+      // models stay views (dbt_project.yml:35-36) and extension operators are
+      // not dbt models — selected via the Registry materialization tag
+      val reports = phase(
+        Registry.all.iterator
+          .collect { case (n, en) if en.mat == Registry.Mat.Table =>
+            n -> en.fn(ctx)
+          }.toSeq,
+        housekeeping = false)
+
+      ods ++ wh ++ reports
+    } finally { pool.shutdown() }
   }
 
   /** unique / not_null / relationships checks; throws on violation. */

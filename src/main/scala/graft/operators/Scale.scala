@@ -57,7 +57,16 @@ object Scale {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val pid = "__go_pid"
-    val parted = df.repartitionByRange(p, order: _*)
+    // The range exchange SAMPLES its child to pick boundaries, then reads it
+    // again for the real pass — an unpersisted input (often a full fact
+    // join+aggregate) would be computed twice. Persist it unless the caller
+    // already did (e.g. a chained globalOrder whose input is the previous
+    // call's cached relation).
+    val input =
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    val parted = input.repartitionByRange(p, order: _*)
       .withColumn(pid, spark_partition_id())
 
     // phase 1: per-range local row numbers / running sums (parallel).
