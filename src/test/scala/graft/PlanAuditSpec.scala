@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: the properties that make these plans survive a 100×
+  * scale-up are asserted, not assumed — predicate pushdown reaches the
+  * parquet scan, column pruning shrinks ReadSchema to what the query needs,
+  * and snowflake dimension joins broadcast instead of shuffling the fact. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private lazy val ctx = Ctx(spark, "/root/testdata/sf0.001")
+
+  private def scans(plan: SparkPlan): Seq[FileSourceScanExec] = {
+    val expanded = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    expanded.flatMap(_.collect { case f: FileSourceScanExec => f })
+  }
+
+  test("filter pushdown reaches the embeddings parquet scan (ann_brute_force)") {
+    val plan = extensions.Similarity.annBruteForce(ctx).queryExecution.executedPlan
+    val embScans = scans(plan).filter(_.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(embScans.nonEmpty)
+    // the query-side scan carries the vec_id < 10 predicate into parquet
+    assert(embScans.exists(_.metadata.get("PushedFilters").exists(_.contains("LessThan(vec_id,10)"))),
+      embScans.map(_.metadata.get("PushedFilters")).mkString("; "))
+  }
+
+  test("column pruning: text_token_count reads only the columns it uses") {
+    val plan = extensions.Text.tokenCount(ctx).queryExecution.executedPlan
+    val docScans = scans(plan).filter(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScans.nonEmpty)
+    docScans.foreach { f =>
+      val cols = f.requiredSchema.fieldNames.toSet
+      assert(cols.subsetOf(Set("doc_id", "text", "n_chars")),
+        s"scan reads more than needed: $cols")
+    }
+  }
+
+  test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
+    val df = layers.Wh.dimCustomer(ctx)
+    df.collect() // finalize any adaptive decisions
+    // the join tree sits under the Store persist's InMemoryRelation, so
+    // audit the full tree string (which includes cached child plans)
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected nation+region broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension join degenerated to a sort-merge join")
+  }
+}
