@@ -198,4 +198,8 @@ w_fct_orders_items AS (
 
   /** Compose a full oracle query: shared CTE library + the query body. */
   def q(body: String): String = s"WITH $CTES\n$body"
+
+  /** Same, but RECURSIVE — for oracle twins that need a recursive CTE
+    * (DuckDB allows WITH RECURSIVE even when most CTEs are plain). */
+  def qr(body: String): String = s"WITH RECURSIVE $CTES\n$body"
 }

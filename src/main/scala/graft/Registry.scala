@@ -1215,6 +1215,46 @@ object Registry {
          |JOIN r_sizes sa ON c.doc_a = sa.doc_id
          |JOIN r_sizes sb ON c.doc_b = sb.doc_id
          |ORDER BY 1, 2""".stripMargin),
+    "dedup_clusters" -> Entry(
+      ctx => extensions.Text.dedupClusters(ctx).orderBy("doc_id"),
+      Some(Oracle.qr(
+        s"""$duckTokCtes
+           |, r_csig AS (SELECT doc_id,
+           |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+           |  FROM r_sh GROUP BY 1)
+           |, r_cband AS (
+           |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_csig
+           |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_csig
+           |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_csig
+           |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_csig)
+           |, r_ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM r_cband a JOIN r_cband b ON a.band_idx = b.band_idx
+           |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+           |, r_csz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
+           |, r_cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
+           |    FROM r_ccand c
+           |    JOIN r_sh sa ON sa.doc_id = c.doc_a
+           |    JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           |    GROUP BY 1, 2)
+           |, r_nd AS (SELECT i.doc_a, i.doc_b
+           |    FROM r_cinter i
+           |    JOIN r_csz sa ON i.doc_a = sa.doc_id
+           |    JOIN r_csz sb ON i.doc_b = sb.doc_id
+           |    WHERE ${dv("i.intersection", "NULLIF(sa.set_size + sb.set_size - i.intersection, 0)")} >= 0.5)
+           |, r_und AS (SELECT doc_a AS a, doc_b AS b FROM r_nd
+           |    UNION SELECT doc_b, doc_a FROM r_nd)
+           |, r_reach AS (
+           |    SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM r_und) n
+           |    UNION
+           |    SELECT r.src, e.b FROM r_reach r JOIN r_und e ON r.dst = e.a)
+           |, r_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           |    FROM r_reach GROUP BY 1)
+           |, r_cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           |    FROM r_comp GROUP BY 1)
+           |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           |  c.doc_id = c.cluster_id AS is_cluster_keeper
+           |FROM r_comp c JOIN r_cs s USING (cluster_id)
+           |ORDER BY c.doc_id""".stripMargin))),
     "dedup_simhash" -> e(
       ctx => extensions.Text.dedupSimhash(ctx).orderBy("doc_id"),
       s"""$duckTokCtes

@@ -258,4 +258,55 @@ object Text {
           nullifZero(col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
       .filter(col("jaccard") >= 0.1)
   }
+
+  /** Near-duplicate CLUSTERING: connected components over the MinHash
+    * near-dup pairs (jaccard >= 0.5), emitting one canonical keeper per
+    * cluster — the step that turns pairwise dedup into an actionable
+    * "keep/drop" list for a training corpus.
+    *
+    * Spark-first shape: iterative min-label propagation to the fixpoint
+    * (label(doc) := min(label(doc), min label among neighbours); converges
+    * in <= diameter rounds; each round is one shuffle join + aggregate).
+    * The fixpoint is the exact per-component minimum doc_id — deterministic
+    * regardless of iteration strategy — so the DuckDB twin computes the same
+    * result via a recursive transitive closure. At 100 TB the same loop runs
+    * with the alternating large-star/small-star optimization (O(log d)
+    * rounds); the per-round plan here is already the scalable one
+    * (edge-partitioned join, no driver-side graph).
+    */
+  def dedupClusters(ctx: Ctx): DataFrame = {
+    val pairs = dedupMinhashLsh(ctx)
+      .filter(col("is_near_duplicate"))
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter(col("label") =!= col("old_label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_cluster_keeper"))
+  }
 }
