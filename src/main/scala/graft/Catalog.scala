@@ -40,5 +40,6 @@ object Catalog {
     }
     modelViews(ctx).foreach { case (name, df) => df().createOrReplaceTempView(name) }
     functions.BitHamming.register(ctx.spark)
+    functions.Hll.register(ctx.spark)
   }
 }
