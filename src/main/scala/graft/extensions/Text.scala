@@ -292,15 +292,16 @@ object Text {
           Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
+      // carry the previous label through so convergence is a filter on the
+      // materialized result, not an extra join per round
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("__prev"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter(col("label") =!= col("old_label"))
-        .isEmpty
+      converged = next.filter(col("label") =!= col("__prev")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.drop("__prev")
     }
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
