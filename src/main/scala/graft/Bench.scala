@@ -52,10 +52,14 @@ object Bench {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(buildDir))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the single JSON line short — the driver's
+    // r1 capture truncated a long tail mid-JSON
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":$buildSec,"build_tables":$built}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built}""")
     spark.stop()
   }
 }
