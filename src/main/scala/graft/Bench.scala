@@ -40,6 +40,31 @@ object Bench {
       } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // streaming surface: the events table replayed as a file stream through
+    // the watermarked hourly aggregation (Streams.hourlyCounts), AvailableNow
+    // trigger -> noop sink; reported as sustained events/second
+    val streamRate =
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val path = s"$sfDir/events.parquet"
+        val nEvents = spark.read.parquet(path).count()
+        val schema = spark.read.parquet(path).schema
+        // the file stream source needs a directory: glob-filter the sf dir
+        val src = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .select(
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val ts = System.nanoTime()
+        val q = streaming.Streams.hourlyCounts(src).writeStream
+          .format("noop").outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        nEvents / ((System.nanoTime() - ts) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+
     Store.clear(spark) // cold build: nothing reused from the query loop
     val buildDir =
       java.nio.file.Files.createTempDirectory("graft_bench_build").toString
@@ -59,7 +84,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}""")
     spark.stop()
   }
 }
