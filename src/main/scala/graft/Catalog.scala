@@ -41,5 +41,6 @@ object Catalog {
     modelViews(ctx).foreach { case (name, df) => df().createOrReplaceTempView(name) }
     functions.BitHamming.register(ctx.spark)
     functions.Hll.register(ctx.spark)
+    functions.CosineSim.register(ctx.spark)
   }
 }

@@ -20,16 +20,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import M._
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-
+  /** Cosine via the native codegen'd [[graft.functions.CosineSim]] — same
+    * sequential-fold semantics as the previous aggregate(zip_with(...)) HOF
+    * form (bit-identical, oracle-verified) minus its per-row interpreted
+    * lambda dispatch. Each caller registers the function on its session. */
   private def cosine(a: String, b: String): Column =
-    expr(dotExpr(a, b)) /
-      (sqrt(expr(dotExpr(a, a))) * sqrt(expr(dotExpr(b, b))))
+    expr(s"cosine_sim($a, $b)")
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 10), the top
     * 5 nearest neighbours among all other vectors. */
   def annBruteForce(ctx: Ctx, k: Int = 5): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
     val e = ctx.tbl("embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -61,6 +62,7 @@ object Similarity {
     * cosine floor is calibrated to the testdata's similarity scale (label
     * clusters peak near 0.5), keeping the result non-empty at every SF. */
   def annLshBuckets(ctx: Ctx): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
     val e = ctx.tbl("embeddings").select(
       col("vec_id"), col("embedding"), col("label"), bucketExpr.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
@@ -93,6 +95,7 @@ object Similarity {
     * pattern that bounds the scan to a fraction of the corpus at scale.
     * Queries here: vec_id in [10, 20); top-3 within probed cells. */
   def annIvf(ctx: Ctx, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
     val e = ctx.tbl("embeddings")
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
