@@ -192,8 +192,11 @@ object Reports {
       "__rn_f" -> Seq(col("frequency"), col("customer_key")),
       "__rn_m" -> Seq(col("monetary_d"), col("customer_key"))
     ).foldLeft(base) { case (d, (name, ord)) =>
+      // calls 2 and 3 consume the previous call's output — a deterministic
+      // projection over its cached relation — so they skip the input cache
       Scale.globalOrder(d, order = ord, rn = Some(name),
-        totalCount = if (name == "__rn_r") Some("__n") else None)
+        totalCount = if (name == "__rn_r") Some("__n") else None,
+        persistInput = name == "__rn_r")
     }
     val scored = withRns
       .withColumn("r_score", Scale.ntileFromRowNumber(col("__rn_r"), col("__n"), 5))

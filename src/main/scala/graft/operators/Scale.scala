@@ -43,6 +43,11 @@ object Scale {
     *                `order`; input columns must be exact (decimal/integer)
     * @param totals  (input column, output column) pairs: grand totals
     * @param totalCount output column for the grand row count, if wanted
+    * @param persistInput set false ONLY when `df` is already deterministic
+    *                and cheap to re-evaluate (e.g. a projection over a
+    *                cached relation, like a previous globalOrder output) —
+    *                skips the extra cache while keeping the sampling pass
+    *                consistent with the data pass
     */
   def globalOrder(
       df: DataFrame,
@@ -51,7 +56,8 @@ object Scale {
       cums: Seq[(String, String)] = Nil,
       totals: Seq[(String, String)] = Nil,
       totalCount: Option[String] = None,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      persistInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val p =
       if (numPartitions > 0) numPartitions
@@ -63,7 +69,7 @@ object Scale {
     // already did (e.g. a chained globalOrder whose input is the previous
     // call's cached relation).
     val input =
-      if (df.storageLevel == StorageLevel.NONE)
+      if (persistInput && df.storageLevel == StorageLevel.NONE)
         df.persist(StorageLevel.MEMORY_AND_DISK)
       else df
     val parted = input.repartitionByRange(p, order: _*)
