@@ -1124,6 +1124,42 @@ object Registry {
        |, r_simhash AS (SELECT doc_id,
        |    ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
        |  FROM r_votes)""".stripMargin
+
+  /** MinHash near-dup pairs (jaccard >= 0.5) -> undirected edges ->
+    * recursive transitive closure -> per-doc component minimum. Twin of
+    * extensions.Text.dedupClusters' label-propagation fixpoint; requires a
+    * WITH RECURSIVE prefix (Oracle.qr). */
+  private val duckClusterCtes =
+    s""", r_csig AS (SELECT doc_id,
+       |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+       |  FROM r_sh GROUP BY 1)
+       |, r_cband AS (
+       |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_csig
+       |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_csig
+       |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_csig
+       |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_csig)
+       |, r_ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM r_cband a JOIN r_cband b ON a.band_idx = b.band_idx
+       |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |, r_csz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
+       |, r_cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
+       |    FROM r_ccand c
+       |    JOIN r_sh sa ON sa.doc_id = c.doc_a
+       |    JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |    GROUP BY 1, 2)
+       |, r_nd AS (SELECT i.doc_a, i.doc_b
+       |    FROM r_cinter i
+       |    JOIN r_csz sa ON i.doc_a = sa.doc_id
+       |    JOIN r_csz sb ON i.doc_b = sb.doc_id
+       |    WHERE ${dv("i.intersection", "NULLIF(sa.set_size + sb.set_size - i.intersection, 0)")} >= 0.5)
+       |, r_und AS (SELECT doc_a AS a, doc_b AS b FROM r_nd
+       |    UNION SELECT doc_b, doc_a FROM r_nd)
+       |, r_reach AS (
+       |    SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM r_und) n
+       |    UNION
+       |    SELECT r.src, e.b FROM r_reach r JOIN r_und e ON r.dst = e.a)
+       |, r_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |    FROM r_reach GROUP BY 1)""".stripMargin
   private def duckDot(a: String, b: String) = s"list_dot_product($a, $b)"
   private def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
@@ -1219,42 +1255,50 @@ object Registry {
       ctx => extensions.Text.dedupClusters(ctx).orderBy("doc_id"),
       Some(Oracle.qr(
         s"""$duckTokCtes
-           |, r_csig AS (SELECT doc_id,
-           |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-           |  FROM r_sh GROUP BY 1)
-           |, r_cband AS (
-           |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_csig
-           |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_csig
-           |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_csig
-           |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_csig)
-           |, r_ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |    FROM r_cband a JOIN r_cband b ON a.band_idx = b.band_idx
-           |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-           |, r_csz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-           |, r_cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
-           |    FROM r_ccand c
-           |    JOIN r_sh sa ON sa.doc_id = c.doc_a
-           |    JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-           |    GROUP BY 1, 2)
-           |, r_nd AS (SELECT i.doc_a, i.doc_b
-           |    FROM r_cinter i
-           |    JOIN r_csz sa ON i.doc_a = sa.doc_id
-           |    JOIN r_csz sb ON i.doc_b = sb.doc_id
-           |    WHERE ${dv("i.intersection", "NULLIF(sa.set_size + sb.set_size - i.intersection, 0)")} >= 0.5)
-           |, r_und AS (SELECT doc_a AS a, doc_b AS b FROM r_nd
-           |    UNION SELECT doc_b, doc_a FROM r_nd)
-           |, r_reach AS (
-           |    SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM r_und) n
-           |    UNION
-           |    SELECT r.src, e.b FROM r_reach r JOIN r_und e ON r.dst = e.a)
-           |, r_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-           |    FROM r_reach GROUP BY 1)
+           |$duckClusterCtes
            |, r_cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
            |    FROM r_comp GROUP BY 1)
            |SELECT c.doc_id, c.cluster_id, s.cluster_size,
            |  c.doc_id = c.cluster_id AS is_cluster_keeper
            |FROM r_comp c JOIN r_cs s USING (cluster_id)
            |ORDER BY c.doc_id""".stripMargin))),
+    "corpus_selection" -> Entry(
+      ctx => extensions.Text.corpusSelection(ctx).orderBy("doc_id"),
+      Some(Oracle.qr(
+        s"""$duckTokCtes
+           |$duckClusterCtes
+           |, r_cq AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           |    (${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} * 0.5
+           |     + (1 - ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.3
+           |     + (1 - ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.2) AS quality_score
+           |  FROM r_toks)
+           |, r_clid AS (SELECT doc_id, lang AS labeled_lang,
+           |    CASE WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
+           |           >= len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
+           |          AND len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
+           |           >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
+           |         THEN 'en'
+           |         WHEN len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
+           |           >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
+           |         THEN 'de' ELSE 'fr' END AS predicted_lang
+           |  FROM r_toks)
+           |, r_cfp AS (SELECT doc_id,
+           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM documents)
+           |, r_ckeep AS (SELECT fp, MIN(doc_id) AS keep FROM r_cfp GROUP BY 1)
+           |, r_exact_drop AS (SELECT f.doc_id FROM r_cfp f
+           |    JOIN r_ckeep k ON f.fp = k.fp AND f.doc_id <> k.keep)
+           |, r_near_drop AS (SELECT doc_id FROM r_comp WHERE doc_id <> cluster_id)
+           |SELECT d.doc_id, d.source, d.lang, d.n_chars,
+           |  q.n_tokens, q.quality_score, l.predicted_lang
+           |FROM documents d
+           |JOIN r_cq q USING (doc_id)
+           |JOIN r_clid l USING (doc_id)
+           |WHERE q.quality_score >= 0.5 AND q.n_tokens >= 10
+           |  AND l.predicted_lang = l.labeled_lang
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM r_exact_drop)
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM r_near_drop)
+           |ORDER BY d.doc_id""".stripMargin))),
     "dedup_simhash" -> e(
       ctx => extensions.Text.dedupSimhash(ctx).orderBy("doc_id"),
       s"""$duckTokCtes

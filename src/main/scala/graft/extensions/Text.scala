@@ -259,6 +259,37 @@ object Text {
       .filter(col("jaccard") >= 0.1)
   }
 
+  /** End-to-end training-corpus selection — the composition every large
+    * pipeline runs before tokenization: keep a document iff
+    *   (a) quality_score >= 0.5 and >= 10 tokens,
+    *   (b) the n-gram language id agrees with the labeled language,
+    *   (c) it is the canonical keeper of its exact-duplicate group, and
+    *   (d) it is not a dropped member of a near-duplicate cluster.
+    * All four signals are the library's own operators; the drop lists are
+    * anti-joins (never a collected blacklist), so the plan stays one
+    * distributed pipeline at any corpus size. */
+  def corpusSelection(ctx: Ctx): DataFrame = {
+    val q = quality(ctx).select("doc_id", "n_tokens", "quality_score")
+    val lid = languageId(ctx).select("doc_id", "labeled_lang", "predicted_lang")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val exactDrop = docs(ctx).select(col("doc_id"), md5(norm).as("fingerprint"))
+      .join(dedupExact(ctx).select("fingerprint", "keep_doc_id"), Seq("fingerprint"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select("doc_id")
+    val nearDrop = dedupClusters(ctx)
+      .filter(!col("is_cluster_keeper"))
+      .select("doc_id")
+    docs(ctx).select("doc_id", "source", "lang", "n_chars")
+      .join(q, Seq("doc_id"))
+      .join(lid, Seq("doc_id"))
+      .join(exactDrop, Seq("doc_id"), "left_anti")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 10
+        && col("predicted_lang") === col("labeled_lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("n_tokens"), col("quality_score"), col("predicted_lang"))
+  }
+
   /** Near-duplicate CLUSTERING: connected components over the MinHash
     * near-dup pairs (jaccard >= 0.5), emitting one canonical keeper per
     * cluster — the step that turns pairwise dedup into an actionable
