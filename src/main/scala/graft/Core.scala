@@ -49,13 +49,30 @@ object Store {
         })
     }
 
-  /** Unpersist and drop every entry of one session (frees executor memory
-    * across sfDir changes / before a cold full-build measurement). */
+  // operator-internal persists (Scale.globalOrder, dedup clustering, ...)
+  // registered here so clear() can free them with the table cache
+  private val tracked = TrieMap[String, List[DataFrame]]()
+
+  /** Register an operator-internal persisted relation for session-scoped
+    * cleanup; returns the DataFrame unchanged. */
+  def track(spark: SparkSession, df: DataFrame): DataFrame = {
+    val id = idOf(spark)
+    tracked.updateWith(id) {
+      case Some(l) => Some(df :: l)
+      case None    => Some(df :: Nil)
+    }
+    df
+  }
+
+  /** Unpersist and drop every entry of one session — table cache AND
+    * tracked operator persists (frees executor memory across sfDir changes
+    * / before a cold full-build measurement). */
   def clear(spark: SparkSession): Unit = {
     val id = idOf(spark)
     cache.keys.filter(_._1 == id).foreach { k =>
       cache.remove(k).foreach(df => { df.unpersist(false); () })
     }
+    tracked.remove(id).foreach(_.foreach(df => { df.unpersist(false); () }))
   }
 }
 

@@ -309,10 +309,10 @@ object Text {
     val pairs = dedupMinhashLsh(ctx)
       .filter(col("is_near_duplicate"))
       .select("doc_a", "doc_b")
-    val edges = pairs
+    val edges = graft.Store.track(ctx.spark, pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .persist()
+      .persist())
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
@@ -334,6 +334,7 @@ object Text {
       labels.unpersist()
       labels = next.drop("__prev")
     }
+    graft.Store.track(ctx.spark, labels)
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -70,7 +70,7 @@ object Scale {
     // call's cached relation).
     val input =
       if (persistInput && df.storageLevel == StorageLevel.NONE)
-        df.persist(StorageLevel.MEMORY_AND_DISK)
+        graft.Store.track(spark, df.persist(StorageLevel.MEMORY_AND_DISK))
       else df
     val parted = input.repartitionByRange(p, order: _*)
       .withColumn(pid, spark_partition_id())
@@ -88,9 +88,10 @@ object Scale {
     val wRow = Window.partitionBy(pid).orderBy(order: _*)
     val wCum = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local0 = rn.fold(parted)(_ => parted.withColumn("__go_lrn", row_number().over(wRow)))
-    val local = cums.foldLeft(local0) { case (d, (c, _)) =>
-      d.withColumn(s"__go_lcum_$c", sum(col(c)).over(wCum))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val local = graft.Store.track(spark,
+      cums.foldLeft(local0) { case (d, (c, _)) =>
+        d.withColumn(s"__go_lcum_$c", sum(col(c)).over(wCum))
+      }.persist(StorageLevel.MEMORY_AND_DISK))
 
     // phase 2: one row per range -> prefix offsets via triangular self-join
     val sumCols = (cums.map(_._1) ++ totals.map(_._1)).distinct
