@@ -77,14 +77,36 @@ object Bench {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(buildDir))
-    // millisecond precision keeps the single JSON line short — the driver's
-    // r1 capture truncated a long tail mid-JSON
+    // The driver captures only the last ~2 KB of stdout: a JSON line naming
+    // all 84 queries exceeds that and gets truncated at the FRONT, so it
+    // never parses (BENCH_r02 "parsed": null). The LAST line is therefore a
+    // compact one — totals plus the slowest queries up to a hard character
+    // budget — and the full per-query map goes to an earlier stdout line and
+    // to BENCH_DETAIL.json next to the build.
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}"""
+    println(s"BENCH_DETAIL: $detail")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val budget = 1200 // chars for the "queries" object in the compact line
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + f2(v)
+      if (used + entry.length + 1 <= budget) { shown += entry; used += entry.length + 1 }
+    }
+    val compactQs = shown.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}""")
     spark.stop()
   }
 }

@@ -313,9 +313,13 @@ object Text {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .persist())
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    // `persisted` is always the DataFrame .persist() was called on — the
+    // round's `labels` is a Project over it, whose unpersist would be a
+    // no-op (non-cascading, not sameResult with the cached plan)
+    var persisted = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    var labels = persisted
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -331,10 +335,11 @@ object Text {
           col("label").as("__prev"))
         .persist()
       converged = next.filter(col("label") =!= col("__prev")).isEmpty
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = next
       labels = next.drop("__prev")
     }
-    graft.Store.track(ctx.spark, labels)
+    graft.Store.track(ctx.spark, persisted)
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -45,4 +45,39 @@ class CosineSimSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c")
     assert(mismatch.head().isNullAt(0))
   }
+
+  test("zero-norm vector yields null (Divide semantics), both eval paths") {
+    // codegen path
+    val gen = spark.sql(
+      "SELECT cosine_sim(array(0D, 0D), array(1D, 2D)) AS c1, " +
+        "cosine_sim(array(1D, 2D), array(0D, 0D)) AS c2")
+    val row = gen.head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // interpreted path (eval through a literal fold, no wholestage)
+    val interp = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).eval(null)
+    assert(interp == null)
+    // and it must agree with the non-ANSI Divide semantics the HOF form had
+    // (under ANSI — the session default — the HOF form would throw instead;
+    // DuckDB 1.0 returns NULL for double x/0, so null is the oracle-parity
+    // answer)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val hofRow = spark.sql(
+        s"SELECT ${hof("array(0D, 0D)", "array(1D, 2D)")} AS h").head()
+      assert(hofRow.isNullAt(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
+  test("non-float/double array arguments fail analysis") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_sim"))
+  }
 }
