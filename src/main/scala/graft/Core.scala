@@ -49,6 +49,17 @@ object Store {
         })
     }
 
+  /** Memoize a built DataFrame per (session, sfDir) WITHOUT an extra
+    * persist — for operators that manage their own persistence internally
+    * (the cluster fixpoint loop already persists its labels): cross-query
+    * reuse of the finished plan, not a second storage layer. clear() drops
+    * the entry; its unpersist is a harmless no-op on the derived plan while
+    * the operator's own tracked persists do the real freeing. */
+  def memo(ctx: Ctx, name: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.getOrElseUpdate((idOf(ctx.spark), ctx.dir, "memo:" + name), build)
+    }
+
   // operator-internal persists (Scale.globalOrder, dedup clustering, ...)
   // registered here so clear() can free them with the table cache
   private val tracked = TrieMap[String, List[DataFrame]]()

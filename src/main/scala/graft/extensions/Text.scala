@@ -305,7 +305,7 @@ object Text {
     * rounds); the per-round plan here is already the scalable one
     * (edge-partitioned join, no driver-side graph).
     */
-  def dedupClusters(ctx: Ctx): DataFrame = {
+  def dedupClusters(ctx: Ctx): DataFrame = graft.Store.memo(ctx, "dedup_cluster_labels") {
     val pairs = dedupMinhashLsh(ctx)
       .filter(col("is_near_duplicate"))
       .select("doc_a", "doc_b")
@@ -316,8 +316,13 @@ object Text {
     // `persisted` is always the DataFrame .persist() was called on — the
     // round's `labels` is a Project over it, whose unpersist would be a
     // no-op (non-cascading, not sameResult with the cached plan)
-    var persisted = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // round 0 folds the first propagation into the node-set aggregate:
+    // label(doc) = min(doc, min neighbour) — same single shuffle a distinct
+    // would cost, one fewer fixpoint round
+    var persisted = edges
+      .groupBy(col("doc_a"))
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
+      .select(col("doc_a").as("doc_id"), col("label"))
       .persist()
     var labels = persisted
     var converged = false
@@ -334,7 +339,12 @@ object Text {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("__prev"))
         .persist()
-      converged = next.filter(col("label") =!= col("__prev")).isEmpty
+      // count(), not isEmpty: a take-1 probe would materialize only part of
+      // next's cache, and unpersisting the predecessor below would then
+      // force the uncomputed partitions to re-derive the whole lineage
+      // chain on the following round — the full scan pins every partition
+      // of next BEFORE its parent cache is dropped
+      converged = next.filter(col("label") =!= col("__prev")).count() == 0L
       persisted.unpersist()
       persisted = next
       labels = next.drop("__prev")

@@ -185,19 +185,29 @@ object Reports {
       countDistinct(col("order_key")).as("frequency"),
       sum("gross_item_sales_amount").as("monetary_d"))
     val ref = fo.agg(max("order_date").as("reference_date"))
-    val base = om.crossJoin(ref)
+    val base = graft.Store.track(ctx.spark, om.crossJoin(ref)
       .withColumn("recency_days", datediff(col("reference_date"), col("last_order_date")))
-    val withRns = Seq[(String, Seq[org.apache.spark.sql.Column])](
-      "__rn_r" -> Seq(col("recency_days").desc, col("customer_key")),
-      "__rn_f" -> Seq(col("frequency"), col("customer_key")),
-      "__rn_m" -> Seq(col("monetary_d"), col("customer_key"))
-    ).foldLeft(base) { case (d, (name, ord)) =>
-      // calls 2 and 3 consume the previous call's output — a deterministic
-      // projection over its cached relation — so they skip the input cache
-      Scale.globalOrder(d, order = ord, rn = Some(name),
-        totalCount = if (name == "__rn_r") Some("__n") else None,
-        persistInput = name == "__rn_r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the three global orderings are independent: compute each row number
+    // over a minimal two-column projection of the cached base (narrow range
+    // exchanges, no chained window-over-window re-evaluation) and join the
+    // branches back on the key — same bit-exact ntile inputs as a chained
+    // pass, one relation-wide exchange per branch instead of a widening one
+    def rnBranch(name: String, ordCol: String, desc: Boolean, withN: Boolean) = {
+      val ord =
+        if (desc) Seq(col(ordCol).desc, col("customer_key"))
+        else Seq(col(ordCol), col("customer_key"))
+      Scale.globalOrder(base.select(col("customer_key"), col(ordCol)),
+        order = ord, rn = Some(name),
+        totalCount = if (withN) Some("__n") else None,
+        persistInput = false)
+        .select(col("customer_key") +: (col(name) +:
+          (if (withN) Seq(col("__n")) else Nil)): _*)
     }
+    val withRns = base
+      .join(rnBranch("__rn_r", "recency_days", desc = true, withN = true), Seq("customer_key"))
+      .join(rnBranch("__rn_f", "frequency", desc = false, withN = false), Seq("customer_key"))
+      .join(rnBranch("__rn_m", "monetary_d", desc = false, withN = false), Seq("customer_key"))
     val scored = withRns
       .withColumn("r_score", Scale.ntileFromRowNumber(col("__rn_r"), col("__n"), 5))
       .withColumn("f_score", Scale.ntileFromRowNumber(col("__rn_f"), col("__n"), 5))
