@@ -1481,6 +1481,22 @@ object Registry {
         |  CAST(MIN(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_seen_epoch
         |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
         |ORDER BY 1, 2, 3""".stripMargin),
+    "events_asof_attribution" -> e(
+      ctx => extensions.Events.asofAttribution(ctx).orderBy("event_id"),
+      """, r_apo AS (SELECT event_id, user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase')
+        |, r_ato AS (SELECT user_id AS touch_user, ts AS touch_ts,
+        |    event_type AS last_touch_type FROM events
+        |    WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch_s,
+        |  p.value,
+        |  t.last_touch_type,
+        |  CAST(epoch_ns(t.touch_ts) // 1000000000 AS BIGINT) AS last_touch_epoch_s,
+        |  CAST((epoch_ns(p.ts) - epoch_ns(t.touch_ts)) // 1000000000 AS BIGINT) AS secs_since_touch
+        |FROM r_apo p ASOF LEFT JOIN r_ato t
+        |  ON p.user_id = t.touch_user AND p.ts >= t.touch_ts
+        |ORDER BY event_id""".stripMargin),
     "media_features" -> e(
       ctx => extensions.Multimodal.mediaFeatures(ctx).orderBy("media_id"),
       """SELECT doc_id AS media_id, 'text' AS modality, source,

@@ -97,6 +97,33 @@ object Events {
           nullifZero(sum(when(col("event_type") === "click", 1).otherwise(0))))
           .as("purchase_conversion_rate"))
 
+  /** Last-touch attribution: each purchase event joined to the same user's
+    * most recent at-or-before non-purchase event — the canonical AS-OF
+    * JOIN, running on the custom sort-merge operator
+    * ([[graft.plans.AsOfJoin]]: LogicalPlan + Strategy + SparkPlan, the
+    * SURVEY §2.10 tier-(c) extension path). Times stay in the exact
+    * integer nanosecond domain end-to-end, so the match and all outputs
+    * are bit-comparable with the oracle twin, DuckDB's native
+    * `ASOF LEFT JOIN` over TIMESTAMP_NS (the same total order; (user_id,
+    * ts) is unique in the testdata, so the latest-match row is unique). */
+  def asofAttribution(ctx: Ctx): DataFrame = {
+    val ev = events(ctx)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("touch_user"), col("ts").as("touch_ts"),
+        col("event_type").as("last_touch_type"))
+    graft.plans.AsOf.joinAsOf(purchases, touches,
+        "user_id", "touch_user", "ts", "touch_ts")
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("purchase_epoch_s"),
+        col("value"),
+        col("last_touch_type"),
+        expr("touch_ts div 1000000000").as("last_touch_epoch_s"),
+        expr("(ts - touch_ts) div 1000000000").as("secs_since_touch"))
+  }
+
   /** Stream-style dedup on the natural key (user_id, event_type, minute):
     * the testdata carries no event_id duplicates, so exact-id dedup would be
     * vacuous — instead this collapses same-user same-type events inside a

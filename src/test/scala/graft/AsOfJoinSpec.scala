@@ -1,0 +1,102 @@
+package graft
+
+import graft.plans.{AsOf, AsOfJoinExec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom as-of join (LogicalPlan + Strategy + SparkPlan) must produce
+  * exactly the rows a composed-ops reference implementation produces, run
+  * as a sort-merge pass (no cartesian/broadcast-nested-loop candidate
+  * explosion), and never match across null keys or null times. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private lazy val ctx = Ctx(spark, "/root/testdata/sf0.001")
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("matches the composed-ops (join + latest-row window) reference") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = ctx.tbl("events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val touches = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("touch_user"), $"ts".as("touch_ts"),
+        $"event_type".as("touch_type"))
+    val actual = AsOf.joinAsOf(purchases, touches,
+      "user_id", "touch_user", "ts", "touch_ts")
+
+    // reference: range join + keep-the-latest window (the shape the custom
+    // operator exists to avoid — O(candidates) explode, two extra shuffles)
+    val expected = purchases
+      .join(touches, $"user_id" === $"touch_user" && $"ts" >= $"touch_ts", "left")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy($"touch_ts".desc_nulls_last)))
+      .filter($"__rn" === 1).drop("__rn")
+
+    val cols = actual.columns.map(col).toIndexedSeq
+    assert(actual.count() == purchases.count()) // left-outer cardinality
+    assert(actual.select(cols: _*).except(expected.select(cols: _*)).isEmpty
+      && expected.select(cols: _*).except(actual.select(cols: _*)).isEmpty)
+  }
+
+  test("plans as AsOfJoinExec with co-partitioned sort-merge children") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = extensions.Events.asofAttribution(ctx)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    val s = plan.toString
+    assert(s.contains("AsOfJoin"), s"AsOfJoinExec missing from plan:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"candidate explosion in plan:\n$s")
+    // EnsureRequirements must have hash-partitioned both children on the key
+    assert("hashpartitioning\\((user_id|touch_user)".r
+      .findAllIn(s.toLowerCase).size >= 2, s"missing key exchanges:\n$s")
+  }
+
+  test("null keys and null times never match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(10L), Option(100L)),  // normal match
+      (2L, None, Option(100L)),         // null key
+      (3L, Option(10L), None),          // null time
+      (4L, Option(10L), Option(5L))     // before every right row
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option(10L), Option(50L), "a"),
+      (Option(10L), Option(90L), "b"),
+      (Option.empty[Long], Option(1L), "nullkey"),
+      (Option(10L), Option.empty[Long], "nulltime")
+    ).toDF("rk", "rt", "tag")
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("b"), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("every left row of a key matches independently (forward pointer)") {
+    import spark.implicits._
+    // three left rows same key with increasing times straddling right rows
+    val left = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 7L, 30L), (4L, 8L, 25L))
+      .toDF("id", "k", "t")
+    val right = Seq((7L, 10L, "r10"), (7L, 15L, "r15"), (7L, 29L, "r29"),
+      (8L, 24L, "s24")).toDF("rk", "rt", "tag")
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt")
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "r10", 2L -> "r15", 3L -> "r29", 4L -> "s24"))
+  }
+}
