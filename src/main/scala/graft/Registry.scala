@@ -1481,6 +1481,24 @@ object Registry {
         |  CAST(MIN(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_seen_epoch
         |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
         |ORDER BY 1, 2, 3""".stripMargin),
+    "corpus_split" -> e(
+      ctx => extensions.Text.corpusSplit(ctx).orderBy("doc_id"),
+      """SELECT doc_id, source, lang, n_chars,
+        |  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS split_hash,
+        |  CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'bf' THEN 'train'
+        |       WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'df' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "corpus_mix" -> e(
+      ctx => extensions.Text.corpusMix(ctx).orderBy("source", "sample_rank"),
+      """SELECT doc_id, source, lang, n_chars,
+        |  CAST(rn AS INT) AS sample_rank, n_source_docs
+        |FROM (SELECT doc_id, source, lang, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY source) AS n_source_docs
+        |      FROM documents) x WHERE rn <= 10
+        |ORDER BY source, sample_rank""".stripMargin),
     "events_asof_attribution" -> e(
       ctx => extensions.Events.asofAttribution(ctx).orderBy("event_id"),
       """, r_apo AS (SELECT event_id, user_id, ts, value FROM events

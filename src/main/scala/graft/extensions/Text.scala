@@ -290,6 +290,37 @@ object Text {
         col("n_tokens"), col("quality_score"), col("predicted_lang"))
   }
 
+  /** Deterministic train/val/test assignment: the md5 of a salted doc key
+    * is uniform over hex strings, so fixed two-hex-char prefix ranges give
+    * an exact engine-independent 75 / 12.5 / 12.5 split ('00'-'bf' /
+    * 'c0'-'df' / 'e0'-'ff' of 256 buckets) — no RNG, stable under re-runs,
+    * and a document's split never depends on any other document. Map-side
+    * only: zero shuffles at any corpus size. */
+  def corpusSplit(ctx: Ctx): DataFrame = {
+    val h2 = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+    docs(ctx).select(
+      col("doc_id"), col("source"), col("lang"), col("n_chars"),
+      h2.as("split_hash"),
+      when(h2 <= "bf", "train").when(h2 <= "df", "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** Domain mixing: cap each source's contribution, members chosen in
+    * deterministic salted-md5 order (a keyed shuffle, uniform within the
+    * source) — the per-domain down-sampling step of corpus assembly. The
+    * window is partitioned by source, so the selection parallelizes across
+    * domains at any scale; no global order anywhere. */
+  def corpusMix(ctx: Ctx, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source")
+    val ord = w.orderBy(
+      md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
+    docs(ctx)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .withColumn("sample_rank", row_number().over(ord))
+      .withColumn("n_source_docs", count(lit(1)).over(w))
+      .filter(col("sample_rank") <= cap)
+  }
+
   /** Near-duplicate CLUSTERING: connected components over the MinHash
     * near-dup pairs (jaccard >= 0.5), emitting one canonical keeper per
     * cluster — the step that turns pairwise dedup into an actionable
