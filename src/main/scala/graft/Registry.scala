@@ -1499,6 +1499,18 @@ object Registry {
         |        COUNT(*) OVER (PARTITION BY source) AS n_source_docs
         |      FROM documents) x WHERE rn <= 10
         |ORDER BY source, sample_rank""".stripMargin),
+    "corpus_pack" -> e(
+      ctx => extensions.Text.corpusPack(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+         |  CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS pack_idx,
+         |  CAST((cum_tokens - n_tokens) % 1024 AS BIGINT) AS offset_in_pack
+         |FROM (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        SUM(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM r_toks) x
+         |ORDER BY doc_id""".stripMargin),
     "events_asof_attribution" -> e(
       ctx => extensions.Events.asofAttribution(ctx).orderBy("event_id"),
       """, r_apo AS (SELECT event_id, user_id, ts, value FROM events

@@ -321,6 +321,26 @@ object Text {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Sequence packing, concat-then-chunk: documents are laid out in
+    * deterministic doc_id order and cut into fixed token-budget context
+    * windows; each document reports the pack (chunk) its first token lands
+    * in and its offset inside that pack — the layout step before writing
+    * training shards. The exact global running token offset comes from the
+    * two-phase [[graft.operators.Scale.globalOrder]] cumsum, so there is no
+    * single-partition window over the corpus at any scale. */
+  def corpusPack(ctx: Ctx, budget: Int = 1024): DataFrame = {
+    val toks = docsTok(ctx).select(
+      col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_tokens"))
+    graft.operators.Scale.globalOrder(toks,
+        order = Seq(col("doc_id")),
+        cums = Seq("n_tokens" -> "cum_tokens"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("start_offset"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("pack_idx"),
+        ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
+  }
+
   /** Near-duplicate CLUSTERING: connected components over the MinHash
     * near-dup pairs (jaccard >= 0.5), emitting one canonical keeper per
     * cluster — the step that turns pairwise dedup into an actionable
