@@ -307,18 +307,25 @@ object Text {
 
   /** Domain mixing: cap each source's contribution, members chosen in
     * deterministic salted-md5 order (a keyed shuffle, uniform within the
-    * source) — the per-domain down-sampling step of corpus assembly. The
-    * window is partitioned by source, so the selection parallelizes across
-    * domains at any scale; no global order anywhere. */
+    * source) — the per-domain down-sampling step of corpus assembly.
+    * Selection goes through the two-phase [[graft.operators.TopK]] rewrite
+    * (salted local top-k, then a bounded survivors window), so a corpus
+    * with one dominant source never funnels that source through a single
+    * task; per-source totals come from a plain aggregate + join, not a
+    * whole-source window. */
   def corpusMix(ctx: Ctx, cap: Int = 10): DataFrame = {
-    val w = Window.partitionBy("source")
-    val ord = w.orderBy(
-      md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
-    docs(ctx)
+    val base = docs(ctx)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-      .withColumn("sample_rank", row_number().over(ord))
-      .withColumn("n_source_docs", count(lit(1)).over(w))
-      .filter(col("sample_rank") <= cap)
+    val sizes = base.groupBy("source").agg(count(lit(1)).as("n_source_docs"))
+    graft.operators.TopK.topKPerKey(base,
+        keys = Seq(col("source")),
+        order = Seq(md5(concat(lit("mix|"), col("doc_id").cast("string"))),
+          col("doc_id")),
+        saltOn = Seq(col("doc_id")),
+        k = cap, rankCol = "sample_rank")
+      .join(sizes, Seq("source"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("sample_rank"), col("n_source_docs"))
   }
 
   /** Sequence packing, concat-then-chunk: documents are laid out in
