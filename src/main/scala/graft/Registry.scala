@@ -1415,6 +1415,16 @@ object Registry {
          |        FROM r_probes p
          |        JOIN r_assigned a ON p.cell_id = a.cell_id AND p.query_id != a.vec_id) z) y
          |WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin),
+    "embedding_quantize" -> e(
+      ctx => extensions.Similarity.embeddingQuantize(ctx).orderBy("vec_id", "idx"),
+      """, r_qe AS (SELECT vec_id, idx, CAST(embedding[idx + 1] AS DOUBLE) AS vd
+        |    FROM (SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS idx
+        |          FROM embeddings))
+        |, r_qs AS (SELECT idx, MIN(vd) AS dmin, MAX(vd) AS dmax FROM r_qe GROUP BY 1)
+        |SELECT e.vec_id, CAST(e.idx AS INT) AS idx, s.dmin, s.dmax,
+        |  CAST(ROUND((e.vd - s.dmin) * 255 / NULLIF(s.dmax - s.dmin, 0), 0) AS INT) AS q
+        |FROM r_qe e JOIN r_qs s ON e.idx = s.idx
+        |ORDER BY vec_id, idx""".stripMargin),
     "label_centroids" -> e(
       ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
       """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,

@@ -129,6 +129,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-dimension int8 (0..255) quantization of the embedding column —
+    * the storage-compression step before shipping vectors to an ANN index.
+    * Two passes, both linear: explode -> per-dim min/max (64 rows,
+    * broadcast back) -> affine quantize. Cross-engine exact: float ->
+    * double casts are lossless, the affine expression keeps one IEEE
+    * operation order in both engines, and round-at-scale-0 on identical
+    * doubles is bit-identical (the verified Macros.rnd rule); degenerate
+    * dims (max == min) emit null via the nullif guard, as in the oracle. */
+  def embeddingQuantize(ctx: Ctx): DataFrame = {
+    val expl = ctx.tbl("embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "vf")))
+      .select(col("vec_id"), col("idx"), col("vf").cast("double").as("vd"))
+    val stats = expl.groupBy("idx").agg(min("vd").as("dmin"), max("vd").as("dmax"))
+    expl.join(broadcast(stats), Seq("idx"))
+      .select(col("vec_id"), col("idx"), col("dmin"), col("dmax"),
+        rnd((col("vd") - col("dmin")) * 255 / nullifZero(col("dmax") - col("dmin")), 0)
+          .cast("int").as("q"))
+  }
+
   /** Per-label centroids — the IVF coarse-quantizer building block: one
     * explode + per-(label, dim) mean, emitted as scalar (label, idx,
     * n_vectors, dim_mean) rows so the result is hashable and oracle-checked.
