@@ -46,6 +46,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join children push their event_type filters into the parquet scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = extensions.Events.asofAttribution(ctx).queryExecution.executedPlan
+    val evScans = scans(plan).filter(_.metadata.get("Location").exists(_.contains("events")))
+    // both sides of the custom operator are ordinary children to the
+    // optimizer: the purchase/non-purchase predicates must reach parquet
+    assert(evScans.size >= 2, s"expected two event scans, got ${evScans.size}")
+    assert(evScans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(event_type,purchase)"))),
+      evScans.map(_.metadata.get("PushedFilters")).mkString("; "))
+    assert(evScans.exists(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("Not(EqualTo(event_type,purchase))"))),
+      evScans.map(_.metadata.get("PushedFilters")).mkString("; "))
+  }
+
   test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
     val df = layers.Wh.dimCustomer(ctx)
     df.collect() // finalize any adaptive decisions
