@@ -1509,6 +1509,29 @@ object Registry {
         |        COUNT(*) OVER (PARTITION BY source) AS n_source_docs
         |      FROM documents) x WHERE rn <= 10
         |ORDER BY source, sample_rank""".stripMargin),
+    "corpus_decontaminate" -> e(
+      ctx => extensions.Text.decontaminate(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_dsp AS (SELECT doc_id,
+         |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'bf' THEN 'train'
+         |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'df' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |, r_dtag AS (SELECT s.doc_id, s.shingle, p.split
+         |    FROM r_sh s JOIN r_dsp p ON s.doc_id = p.doc_id)
+         |, r_drare AS (SELECT shingle FROM r_dtag GROUP BY 1 HAVING COUNT(*) <= 50)
+         |, r_dtr AS (SELECT t.doc_id AS train_doc, t.shingle
+         |    FROM r_dtag t JOIN r_drare r ON t.shingle = r.shingle WHERE t.split <> 'test')
+         |, r_dte AS (SELECT t.doc_id AS test_doc, t.shingle
+         |    FROM r_dtag t JOIN r_drare r ON t.shingle = r.shingle WHERE t.split = 'test')
+         |, r_dpairs AS (SELECT train_doc, test_doc, COUNT(*) AS shared
+         |    FROM r_dtr a JOIN r_dte b ON a.shingle = b.shingle GROUP BY 1, 2)
+         |SELECT train_doc AS doc_id,
+         |  COUNT(DISTINCT test_doc) AS n_test_docs_overlapping,
+         |  MAX(shared) AS max_shared_shingles,
+         |  CAST(SUM(shared) AS BIGINT) AS total_shared_shingles,
+         |  MAX(shared) >= 3 AS is_contaminated
+         |FROM r_dpairs GROUP BY 1 ORDER BY 1""".stripMargin),
     "corpus_pack" -> e(
       ctx => extensions.Text.corpusPack(ctx).orderBy("doc_id"),
       s"""$duckTokCtes

@@ -348,6 +348,39 @@ object Text {
         ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
   }
 
+  /** Benchmark decontamination: for every training document, report its
+    * shingle overlap with the held-out test split — the leak check every
+    * training corpus runs against its eval sets. Join shape is the scale
+    * path: (doc, shingle) pairs tagged with their [[corpusSplit]] split,
+    * shingles capped at a document frequency of `maxShingleDf` (stopword
+    * n-grams are non-discriminative and would otherwise create hot keys —
+    * the cap bounds every shingle's join fan-out at df², the standard
+    * decontamination practice), then one shuffle join on shingle and two
+    * partial-aggregatable groupBys. Only overlapping training docs are
+    * emitted; `is_contaminated` flags >= `minShared` shared shingles with
+    * a single test doc. */
+  def decontaminate(ctx: Ctx, maxShingleDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val tagged = shingleSet(ctx)
+      .join(corpusSplit(ctx).select(col("doc_id"), col("split")), Seq("doc_id"))
+    val rare = tagged.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val t = tagged.join(rare, Seq("shingle"))
+    val train = t.filter(col("split") =!= "test")
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val test = t.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    train.join(test, Seq("shingle"))
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .groupBy(col("train_doc").as("doc_id"))
+      .agg(
+        countDistinct(col("test_doc")).as("n_test_docs_overlapping"),
+        max("shared_shingles").as("max_shared_shingles"),
+        sum("shared_shingles").as("total_shared_shingles"),
+        (max("shared_shingles") >= minShared).as("is_contaminated"))
+  }
+
   /** Near-duplicate CLUSTERING: connected components over the MinHash
     * near-dup pairs (jaccard >= 0.5), emitting one canonical keeper per
     * cluster — the step that turns pairwise dedup into an actionable
