@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => plans.PushFilterThroughAsOf)
     ()
   }
 }

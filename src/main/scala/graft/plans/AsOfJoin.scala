@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -44,6 +45,29 @@ case class AsOfJoin(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** A custom node is opaque to Catalyst's own pushdown rules, so a Filter
+  * sitting above [[AsOfJoin]] would stall there and the left scan would
+  * read everything. This rule restores the standard join behavior for the
+  * safe direction: deterministic conjuncts that reference only LEFT
+  * attributes commute with the as-of (every left row yields exactly one
+  * output row with its left columns intact) and move below the node,
+  * where PhysicalOperation / FileSourceStrategy carries them into the
+  * parquet scan. Right-side conjuncts must stay put (null-extension).
+  * Injected next to the strategy by [[graft.GraftExtensions]] /
+  * [[AsOf.register]]. */
+object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoin]] into [[AsOfJoinExec]]; injected via
@@ -151,11 +175,15 @@ case class AsOfJoinExec(
   * side's analyzed output), so no Column internals are touched. */
 object AsOf {
 
-  /** Idempotently add the planner strategy to an existing session. */
+  /** Idempotently add the planner strategy + pushdown rule to an existing
+    * session. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOf))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOf
   }
 
   /** left ASOF LEFT JOIN right ON leftKey = rightKey AND leftTime >= rightTime

@@ -69,6 +69,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       .findAllIn(s.toLowerCase).size >= 2, s"missing key exchanges:\n$s")
   }
 
+  test("left-side filters above the as-of node push into the left scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = ctx.tbl("events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("touch_user"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+    val q = AsOf.joinAsOf(purchases, touches,
+        "user_id", "touch_user", "ts", "touch_ts")
+      .filter(col("value") > 100.0) // references only the left side
+    val scans = finalPlan(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(s =>
+      s.contains("GreaterThan(value,100.0)"))),
+      scans.map(_.metadata.get("PushedFilters")).mkString("; "))
+    // and the rule must not have changed the result
+    val all = AsOf.joinAsOf(purchases, touches,
+      "user_id", "touch_user", "ts", "touch_ts")
+    assert(q.count() == all.filter(col("value") > 100.0).count())
+  }
+
   test("null keys and null times never match") {
     import spark.implicits._
     val left = Seq(
