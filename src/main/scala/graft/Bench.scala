@@ -1,15 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 
 /** Driver benchmark: per-query timings plus the full-build lifecycle twin.
   *
-  * Per-query action: sum(xxhash64(all columns)) — every output column of
-  * every row is computed and combined, so column pruning cannot gut
+  * Per-query action: bit_xor(xxhash64(all columns)) — every output column
+  * of every row is computed and combined, so column pruning cannot gut
   * projection-only queries the way a bare count() did (the final ORDER BY is
   * still eliminated under the aggregate, which is a uniform wash across
-  * queries, not a per-query bias).
+  * queries, not a per-query bias). bit_xor, NOT sum: under the session's
+  * default ANSI mode a sum of ~uniform 64-bit hashes overflows and aborts
+  * the action partway — xor is order-independent and cannot overflow.
   *
   * Full build: the reference's only published number is the end-to-end
   * `dbt build` (~5 min for 62 models at SF10, reference README.md:71 /
@@ -36,7 +38,7 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(sum("__h")).collect()
+          .agg(expr("bit_xor(__h)")).collect()
       } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }

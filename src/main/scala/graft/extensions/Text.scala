@@ -34,7 +34,15 @@ object Text {
 
   private def docs(ctx: Ctx): DataFrame = ctx.tbl("documents")
 
-  /** documents + tokens column (the twin of the oracle's r_toks CTE). */
+  /** documents + tokens column (the twin of the oracle's r_toks CTE).
+    * Deliberately NOT repartitioned after the (single-row-group, so
+    * one-task) scan: measured at sf0.1, an explicit exchange here makes
+    * every text query SLOWER (+1.5-3 s each) because shingle consumers
+    * re-evaluate this relation several times per plan and each evaluation
+    * would pay the extra shuffle stage, while the explode itself is cheap
+    * enough that the first aggregation shuffle already parallelizes the
+    * heavy work. (Contrast ods_orders_items, where the compute sits in the
+    * projection BEFORE any shuffle and a keyed repartition wins 2x.) */
   private def docsTok(ctx: Ctx): DataFrame =
     docs(ctx).withColumn("toks", expr(toksExpr))
 

@@ -32,7 +32,16 @@ object Ods {
   def ordersItems(ctx: Ctx): DataFrame = Store.table(ctx, "orders_items") {
     val o = Base.orders(ctx)
       .select("order_key", "order_date", "customer_key", "order_status_code")
-    val l = Base.lineItem(ctx)
+    // The projection below is the most compute-dense in the library (md5
+    // surrogate over 7 rendered columns + exact scaled-integer money math
+    // per row), and with a broadcast orders side NOTHING shuffles — its
+    // parallelism would be the parquet scan's row-group count (3 at sf0.1:
+    // 600k heavy rows on 3 tasks). One keyed repartition on the fact's
+    // natural key spreads the compute across the cluster AND leaves the
+    // persisted table hash-partitioned on order_key for downstream
+    // joins/aggregations — the bucketed-table layout a warehouse would
+    // choose for this fact anyway.
+    val l = Base.lineItem(ctx).repartition(col("order_key"))
     val stage1 = o.join(l, Seq("order_key"))
       .select(
         // Reference keys on (order_key, order_line_number)
