@@ -33,7 +33,15 @@ object Bench {
     // index + parquet reader init (fixed costs, not query work)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries (and
+    // skips the stream + build legs); unset = the full driver-facing run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -45,6 +53,13 @@ object Bench {
     // streaming surface: the events table replayed as a file stream through
     // the watermarked hourly aggregation (Streams.hourlyCounts), AvailableNow
     // trigger -> noop sink; reported as sustained events/second
+    if (only.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"subset","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val streamRate =
       try {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -370,15 +370,23 @@ object Text {
   def decontaminate(ctx: Ctx, maxShingleDf: Int = 50, minShared: Int = 3): DataFrame = {
     val tagged = shingleSet(ctx)
       .join(corpusSplit(ctx).select(col("doc_id"), col("split")), Seq("doc_id"))
-    val rare = tagged.groupBy("shingle")
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val t = tagged.join(rare, Seq("shingle"))
-    val train = t.filter(col("split") =!= "test")
-      .select(col("doc_id").as("train_doc"), col("shingle"))
-    val test = t.filter(col("split") === "test")
-      .select(col("doc_id").as("test_doc"), col("shingle"))
-    train.join(test, Seq("shingle"))
+    // One pass over the tagged pairs: group the (doc, split) postings per
+    // shingle, drop hot shingles in the same aggregate (df > cap ⇒ stopword
+    // n-gram), then emit train×test pairs by nested explode. Equivalent to
+    // the rare-filter + train⋈test self-join, but `tagged` is evaluated once
+    // instead of four times and the pair generation is shuffle-free. The df
+    // cap bounds every posting list at `maxShingleDf` entries, so the
+    // collect_list stays O(cap) per group at any corpus size.
+    val postings = tagged
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("split"))).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+    postings
+      .select(explode(expr("filter(docs, d -> d.split = 'test')")).as("t"),
+        col("docs"))
+      .select(col("t.doc_id").as("test_doc"),
+        explode(expr("filter(docs, d -> d.split <> 'test')")).as("tr"))
+      .select(col("tr.doc_id").as("train_doc"), col("test_doc"))
       .groupBy("train_doc", "test_doc")
       .agg(count(lit(1)).as("shared_shingles"))
       .groupBy(col("train_doc").as("doc_id"))
