@@ -1544,6 +1544,82 @@ object Registry {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
          |      FROM r_toks) x
          |ORDER BY doc_id""".stripMargin),
+    "text_repetition" -> e(
+      ctx => extensions.Text.repetition(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_rt AS (SELECT doc_id, unnest(toks) AS g FROM r_toks)
+         |, r_rt1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rt GROUP BY 1, 2)
+         |, r_tokstats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_unique_tokens, MAX(tf) AS top_tok_tf FROM r_rt1 GROUP BY 1)
+         |, r_rb AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS g FROM r_toks)
+         |, r_rb1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rb GROUP BY 1, 2)
+         |, r_bistats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |    MAX(tf) AS top_bigram_tf FROM r_rb1 GROUP BY 1)
+         |, r_rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END) AS g FROM r_toks)
+         |, r_rg1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rg GROUP BY 1, 2)
+         |, r_tristats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT) AS dup_trigram_occ
+         |  FROM r_rg1 GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens, t.n_unique_tokens,
+         |  ${dv("t.n_unique_tokens", "NULLIF(t.n_tokens, 0)")} AS unique_token_ratio,
+         |  ${dv("t.top_tok_tf", "NULLIF(t.n_tokens, 0)")} AS top_token_share,
+         |  ${dv("b.top_bigram_tf", "NULLIF(b.n_bigrams, 0)")} AS top_bigram_share,
+         |  ${dv("COALESCE(g.dup_trigram_occ, 0)", "NULLIF(g.n_trigrams, 0)")} AS dup_trigram_frac,
+         |  (${dv("b.top_bigram_tf", "NULLIF(b.n_bigrams, 0)")} > 0.1 OR
+         |   ${dv("COALESCE(g.dup_trigram_occ, 0)", "NULLIF(g.n_trigrams, 0)")} > 0.5) AS is_repetitive
+         |FROM r_tokstats t
+         |LEFT JOIN r_bistats b ON t.doc_id = b.doc_id
+         |LEFT JOIN r_tristats g ON t.doc_id = g.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+    "dedup_chunks" -> e(
+      ctx => extensions.Text.dedupChunks(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_ch0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+         |    THEN list_transform(range(0, len(toks) - 9, 10),
+         |      i -> md5(array_to_string(list_slice(toks, i + 1, i + 10), ' ')))
+         |    ELSE [] END) AS chunk_hash FROM r_toks)
+         |, r_ch AS (SELECT DISTINCT doc_id, chunk_hash FROM r_ch0)
+         |, r_chfirst AS (SELECT chunk_hash, MIN(doc_id) AS first_doc
+         |    FROM r_ch GROUP BY 1)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  ${dv("SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS dup_chunk_frac,
+         |  (${dv("SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} >= 0.5) AS is_mostly_duplicate
+         |FROM r_ch c JOIN r_chfirst f ON c.chunk_hash = f.chunk_hash
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "corpus_sample_stratified" -> e(
+      ctx => extensions.Text.sampleStratified(ctx).orderBy("lang"),
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN t < '4000' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  ${dv("SUM(CASE WHEN t < '4000' THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS achieved_rate,
+         |  CAST(0.25 AS DOUBLE) AS target_rate,
+         |  MIN(CASE WHEN t < '4000' THEN doc_id END) AS min_sampled_doc,
+         |  MAX(CASE WHEN t < '4000' THEN doc_id END) AS max_sampled_doc
+         |FROM (SELECT doc_id, lang,
+         |        substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) AS t
+         |      FROM documents) x
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "source_top_terms" -> e(
+      ctx => extensions.Text.sourceTopTerms(ctx).orderBy("source", "term_rank"),
+      s"""$duckTokCtes
+         |, r_st AS (SELECT source, unnest(toks) AS tok FROM r_toks)
+         |, r_stf AS (SELECT source, tok, COUNT(*) AS tf FROM r_st GROUP BY 1, 2)
+         |, r_sdf AS (SELECT tok, COUNT(*) AS source_df FROM r_stf GROUP BY 1)
+         |, r_ssc AS (SELECT f.source, f.tok, f.tf, d.source_df,
+         |    ${dv("f.tf", "d.source_df")} AS score
+         |  FROM r_stf f JOIN r_sdf d ON f.tok = d.tok)
+         |SELECT source, term_rank, tok, tf, source_df, score
+         |FROM (SELECT *,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score DESC, tok) AS INT) AS term_rank
+         |  FROM r_ssc) r
+         |WHERE term_rank <= 5
+         |ORDER BY source, term_rank""".stripMargin),
     "events_asof_attribution" -> e(
       ctx => extensions.Events.asofAttribution(ctx).orderBy("event_id"),
       """, r_apo AS (SELECT event_id, user_id, ts, value FROM events

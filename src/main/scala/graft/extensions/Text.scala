@@ -464,4 +464,110 @@ object Text {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_cluster_keeper"))
   }
+
+  /** Repetition-based quality signals (the Gopher/FineWeb "repetitive
+    * document" filters): unique-token ratio, the most frequent token's and
+    * bigram's share of the document, and the fraction of trigram occurrences
+    * that are in-document repeats. Each signal is a per-(doc, n-gram)
+    * count-then-per-doc rollup — two partial-aggregatable groupBys per
+    * n-gram order, all keyed on doc_id, no joins across documents. */
+  def repetition(ctx: Ctx): DataFrame = {
+    val bigramsOfToks =
+      """CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(0, size(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1]))
+        |  ELSE array() END""".stripMargin
+    def stats(gram: Column, n: String, extra: Seq[Column]) =
+      docsTok(ctx).select(col("doc_id"), explode(gram).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id").agg(sum("tf").as(n), extra: _*)
+    val tok = stats(col("toks"), "n_tokens", Seq(
+      count(lit(1)).as("n_unique_tokens"), max("tf").as("top_tok_tf")))
+    val bi = stats(expr(bigramsOfToks), "n_bigrams", Seq(max("tf").as("top_bigram_tf")))
+    val tri = stats(expr(shinglesOfToks), "n_trigrams", Seq(
+      sum(when(col("tf") > 1, col("tf")).otherwise(lit(0L))).as("dup_trigram_occ")))
+    tok.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_unique_tokens"),
+        dv(col("n_unique_tokens"), nullifZero(col("n_tokens"))).as("unique_token_ratio"),
+        dv(col("top_tok_tf"), nullifZero(col("n_tokens"))).as("top_token_share"),
+        dv(col("top_bigram_tf"), nullifZero(col("n_bigrams"))).as("top_bigram_share"),
+        dv(coalesce(col("dup_trigram_occ"), lit(0L)),
+          nullifZero(col("n_trigrams"))).as("dup_trigram_frac"),
+        (dv(col("top_bigram_tf"), nullifZero(col("n_bigrams"))) > 0.1 ||
+          dv(coalesce(col("dup_trigram_occ"), lit(0L)),
+            nullifZero(col("n_trigrams"))) > 0.5).as("is_repetitive"))
+  }
+
+  /** Sub-document (chunk-level) exact dedup: non-overlapping `chunkTokens`-
+    * token windows, md5-keyed; a chunk occurrence is a duplicate when an
+    * earlier document (by doc_id) contains the same chunk — the fixed-window
+    * stand-in for paragraph dedup on a corpus with no paragraph breaks.
+    * Scale shape: explode + distinct, one groupBy on the 32-hex chunk key
+    * for first-owner, one shuffle join back, one per-doc rollup. */
+  def dedupChunks(ctx: Ctx, chunkTokens: Int = 10): DataFrame = {
+    val chunkArr =
+      s"""CASE WHEN size(toks) >= $chunkTokens
+         |  THEN transform(sequence(0, size(toks) - $chunkTokens, $chunkTokens),
+         |    i -> md5(array_join(slice(toks, i + 1, $chunkTokens), ' ')))
+         |  ELSE array() END""".stripMargin
+    val occ = docsTok(ctx)
+      .select(col("doc_id"), explode(expr(chunkArr)).as("chunk_hash"))
+      .distinct()
+    val firstOwner = occ.groupBy("chunk_hash")
+      .agg(min("doc_id").as("first_doc"))
+    occ.join(firstOwner, Seq("chunk_hash"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        dv(col("n_dup_chunks"), nullifZero(col("n_chunks"))).as("dup_chunk_frac"),
+        (dv(col("n_dup_chunks"), nullifZero(col("n_chunks"))) >= 0.5)
+          .as("is_mostly_duplicate"))
+  }
+
+  /** Deterministic stratified sampling: per-language strata, keep rate 1/4
+    * decided by a 4-hex md5 prefix of the doc id (same salt-prefix device as
+    * [[corpusSplit]] — membership is a pure function of doc_id, so retries,
+    * re-runs and both engines agree). Emits the per-stratum audit: totals,
+    * sampled counts, achieved rate vs the 0.25 target. Pure map + one
+    * partial-aggregatable groupBy on a low-cardinality key. */
+  def sampleStratified(ctx: Ctx): DataFrame = {
+    val tag = substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))), 1, 4)
+    docs(ctx).select(col("doc_id"), col("lang"), tag.as("tag"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tag") < "4000", 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("tag") < "4000", col("doc_id"))).as("min_sampled_doc"),
+        max(when(col("tag") < "4000", col("doc_id"))).as("max_sampled_doc"))
+      .select(col("lang"), col("n_docs"), col("n_sampled"),
+        dv(col("n_sampled"), nullifZero(col("n_docs"))).as("achieved_rate"),
+        lit(0.25).as("target_rate"),
+        col("min_sampled_doc"), col("max_sampled_doc"))
+  }
+
+  /** Per-source characteristic terms, tf/df-scored: a token's score within a
+    * source is its term frequency over the number of sources containing it
+    * (the rational-arithmetic stand-in for tf-idf — exact in both engines,
+    * no transcendental log to diverge on). Top-5 per source through the
+    * skew-safe two-phase [[graft.operators.TopK.topKPerKey]], so one giant
+    * source cannot funnel its whole vocabulary through a single task. */
+  def sourceTopTerms(ctx: Ctx, k: Int = 5): DataFrame = {
+    val tf = docsTok(ctx)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val sourceDf = tf.groupBy("tok").agg(count(lit(1)).as("source_df"))
+    val scored = tf.join(sourceDf, Seq("tok"))
+      .withColumn("score", dv(col("tf"), col("source_df")))
+    graft.operators.TopK.topKPerKey(scored,
+        keys = Seq(col("source")),
+        order = Seq(col("score").desc, col("tok")),
+        saltOn = Seq(col("tok")),
+        k = k, rankCol = "term_rank")
+      .select(col("source"), col("term_rank").cast("int").as("term_rank"),
+        col("tok"), col("tf"), col("source_df"), col("score"))
+  }
 }
