@@ -52,6 +52,38 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (users/customers) — the static side is planned per
+    * micro-batch, broadcast when small, and needs no watermark (no state
+    * accumulates on a static side). The canonical "attach dimensions to a
+    * clickstream" shape. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream attribution join — the streaming twin of the batch as-of
+    * operator (graft.plans.AsOfJoin): each purchase is matched to the touch
+    * events of the same user in the preceding hour. Both sides are
+    * watermarked and the join condition is time-bounded on BOTH ends, so
+    * Spark can evict buffered state once the watermark passes the bound
+    * (unbounded state otherwise). Left outer: an un-attributed purchase
+    * still flows through, with nulls, once the watermark closes its window. */
+  def attribution(purchases: DataFrame, touches: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val t = touches
+      .select(col("user_id").as("touch_user"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+      .withWatermark("touch_ts", "1 hour")
+    p.join(t,
+      col("user_id") === col("touch_user") &&
+        col("touch_ts") <= col("purchase_ts") &&
+        col("touch_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .drop("touch_user")
+  }
+
   final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
   final case class UserSession(user_id: Long, n_events: Long,

@@ -50,6 +50,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static join attaches dimension columns per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Evt]
+    mem.addData(
+      Evt(1, ts(0), 100, "view", 1.0),
+      Evt(2, ts(5), 999, "view", 2.0))   // no dim row -> left join null
+    val dim = Seq((100L, "emea"), (101L, "apac")).toDF("user_id", "region")
+    val q = Streams.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "region").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("emea") && rows(2L).isEmpty)
+    } finally q.stop()
+  }
+
+  test("attribution: stream-stream interval join matches touches in window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[Evt]
+    val touches = MemoryStream[Evt]
+    touches.addData(
+      Evt(10, ts(0), 100, "click", 0.0),   // 30 min before -> in window
+      Evt(11, ts(25), 100, "view", 0.0),   // 5 min before  -> in window
+      Evt(12, ts(40), 101, "click", 0.0))  // other user
+    purchases.addData(Evt(1, ts(30), 100, "purchase", 9.99))
+    val q = Streams.attribution(purchases.toDF(), touches.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("purchase_id", "touch_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSet == Set((1L, "click"), (1L, "view")))
+    } finally q.stop()
+  }
+
   test("statefulSessions: gap splits sessions via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
