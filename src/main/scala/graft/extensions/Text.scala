@@ -56,6 +56,21 @@ object Text {
       .select(col("doc_id"), explode(expr(shinglesOfToks)).as("shingle"))
       .distinct()
 
+  /** One row per doc holding its whole shingle SET as an array, memoized and
+    * persisted per (session, sfDir): every shingle consumer (MinHash
+    * signatures, exact-Jaccard verifies, fingerprints, decontamination)
+    * derives narrowly from this one evaluation of the explode + distinct
+    * instead of re-running it per plan branch. Array length is bounded by
+    * document length, not corpus size; a cluster-scale run would back this
+    * with a bucketed write instead of an in-memory persist. */
+  private def shingleArr(ctx: Ctx): DataFrame =
+    graft.Store.memo(ctx, "doc_shingle_sets") {
+      graft.Store.track(ctx.spark,
+        shingleSet(ctx).groupBy("doc_id")
+          .agg(collect_list(col("shingle")).as("shingles"))
+          .persist())
+    }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token stream. */
   def tokenCount(ctx: Ctx): DataFrame =
     docsTok(ctx).select(
@@ -111,9 +126,10 @@ object Text {
   def fingerprint(ctx: Ctx): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     docs(ctx)
-      .join(shingleSet(ctx).groupBy("doc_id").agg(
-        count(lit(1)).as("shingle_count"),
-        min(md5(col("shingle"))).as("min_shingle_hash")), Seq("doc_id"), "left")
+      .join(shingleArr(ctx).select(col("doc_id"),
+        size(col("shingles")).cast("long").as("shingle_count"),
+        expr("array_min(transform(shingles, x -> md5(x)))").as("min_shingle_hash")),
+        Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         md5(norm).as("fingerprint"),
@@ -139,10 +155,13 @@ object Text {
     * verification. The band join is the scale path: candidates are generated
     * per-bucket, never all-pairs. */
   def dedupMinhashLsh(ctx: Ctx): DataFrame = {
-    val sh = shingleSet(ctx)
+    // signatures and set sizes derive narrowly from the shared shingle-set
+    // arrays; the exact verify is array_intersect on two doc-keyed joins
+    // instead of two (doc, shingle)-pair shuffles
+    val docArr = shingleArr(ctx)
     val sigCols = (0 until 16).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
+    val sig = docArr.select(col("doc_id") +: sigCols: _*)
     // unpivot bands to rows -> ONE self-join keyed on (band_idx, band_hash)
     // instead of four — single shuffle, the standard LSH bucket-join shape
     val bandRows = sig.select(col("doc_id"), expr(
@@ -156,25 +175,17 @@ object Text {
         Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("intersection"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
     cands
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        coalesce(col("intersection"), lit(0L)).as("intersection"),
-        (col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))).as("union_size"),
-        dv(coalesce(col("intersection"), lit(0L)),
-          nullifZero(col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))))
-          .as("jaccard"),
-        (dv(coalesce(col("intersection"), lit(0L)),
-          nullifZero(col("size_a") + col("size_b") - coalesce(col("intersection"), lit(0L))))
-          >= 0.5).as("is_near_duplicate"))
+        inter.as("intersection"),
+        union.as("union_size"),
+        dv(inter, nullifZero(union)).as("jaccard"),
+        (dv(inter, nullifZero(union)) >= 0.5).as("is_near_duplicate"))
   }
 
   /** SimHash (16-bit, md5-derived per-token bit votes): equal-signature
@@ -236,12 +247,14 @@ object Text {
     * Two docs sharing a band min-hash share the minimizing shingle, so every
     * candidate has intersection >= 1 and the verify join is inner. */
   def dedupNgramJaccard(ctx: Ctx): DataFrame = {
-    val sh = shingleSet(ctx)
+    // same per-doc shingle-ARRAY shape as dedupMinhashLsh: the explode runs
+    // once (shared memo), signatures are narrow array_min maps, the exact
+    // verify is array_intersect on doc-keyed joins
+    val docArr = shingleArr(ctx)
       .join(docs(ctx).select("doc_id", "source"), Seq("doc_id"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val sigCols = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id", "source").agg(sigCols.head, sigCols.tail: _*)
+      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
+    val sig = docArr.select(Seq(col("doc_id"), col("source")) ++ sigCols: _*)
     val bandRows = sig.select(col("doc_id"), col("source"), expr(
       "stack(8, " + (0 until 8).map(i => s"$i, h$i").mkString(", ")
         + ") AS (band_idx, band_hash)"))
@@ -251,19 +264,16 @@ object Text {
         col("doc_id").as("doc_b")), Seq("source", "band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("source", "doc_a", "doc_b").distinct()
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("source", "doc_a", "doc_b")
-      .agg(count(lit(1)).as("intersection"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    cands
+      .join(docArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(
-        col("source"), col("doc_a"), col("doc_b"), col("intersection"),
-        (col("size_a") + col("size_b") - col("intersection")).as("union_size"),
-        dv(col("intersection"),
-          nullifZero(col("size_a") + col("size_b") - col("intersection"))).as("jaccard"))
+        col("source"), col("doc_a"), col("doc_b"),
+        inter.as("intersection"),
+        union.as("union_size"),
+        dv(inter, nullifZero(union)).as("jaccard"))
       .filter(col("jaccard") >= 0.1)
   }
 
@@ -368,7 +378,8 @@ object Text {
     * emitted; `is_contaminated` flags >= `minShared` shared shingles with
     * a single test doc. */
   def decontaminate(ctx: Ctx, maxShingleDf: Int = 50, minShared: Int = 3): DataFrame = {
-    val tagged = shingleSet(ctx)
+    val tagged = shingleArr(ctx)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .join(corpusSplit(ctx).select(col("doc_id"), col("split")), Seq("doc_id"))
     // One pass over the tagged pairs: group the (doc, split) postings per
     // shingle, drop hot shingles in the same aggregate (df > cap ⇒ stopword
