@@ -1644,6 +1644,18 @@ object Registry {
         |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
         |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS checksum64
         |FROM documents ORDER BY media_id""".stripMargin),
+    "media_frame_sample" -> e(
+      ctx => extensions.Multimodal.frameSample(ctx)
+        .orderBy("media_id", "frame_idx"),
+      """, r_mfr AS (SELECT doc_id AS media_id, text,
+        |    CAST(unnest(range(0, length(text) // 32)) AS INT) AS frame_idx
+        |  FROM documents)
+        |SELECT media_id, frame_idx,
+        |  32 AS frame_bytes,
+        |  CAST(list_sum(list_transform(range(1, 33),
+        |    j -> ascii(substr(text, frame_idx * 32 + j, 1)))) % 997 AS BIGINT) AS frame_checksum
+        |FROM r_mfr WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin),
   )
 
   /** Full registry: every declared query, tagged with its materialization

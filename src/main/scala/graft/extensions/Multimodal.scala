@@ -61,4 +61,32 @@ object Multimodal {
       it.map(decodeStub)
     }.toDF()
   }
+
+  final case class Frame(
+    media_id: Long, frame_idx: Int, frame_bytes: Int, frame_checksum: Long)
+
+  /** Frame sampling: each payload is treated as a sequence of fixed-size
+    * frames and every `stride`-th full frame is emitted as its own row —
+    * the one-record-in, many-frames-out shape of video frame extraction.
+    * flatMap inside mapPartitions keeps the decode-batch structure of
+    * [[mediaFeatures]] (codec init once per partition, rows stream out);
+    * map-only, no shuffle, output size = input frames / stride. The frame
+    * "decode" is the same deterministic byte-checksum stub. */
+  def frameSample(ctx: Ctx, frameBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    mediaTable(ctx).as[MediaRecord].mapPartitions { it =>
+      // real pipeline: initialize the demuxer/decoder once here
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val off = i * frameBytes
+          var sum = 0L
+          var j = off
+          while (j < off + frameBytes) { sum += (r.payload(j) & 0xff); j += 1 }
+          Frame(r.media_id, i, frameBytes, sum % 997)
+        }
+      }
+    }.toDF()
+  }
 }
