@@ -60,6 +60,34 @@ class PlanAuditSpec extends AnyFunSuite {
       evScans.map(_.metadata.get("PushedFilters")).mkString("; "))
   }
 
+  test("source_top_terms has no single-partition window (two-phase top-k)") {
+    val plan = extensions.Text.sourceTopTerms(ctx).queryExecution.executedPlan
+    val windows = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }.flatMap(_.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    })
+    // both ranking windows must be partitioned (source [+ salt]); an empty
+    // partitionBy would funnel the whole vocabulary through one task
+    assert(windows.nonEmpty, plan.toString)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window:\n$w"))
+  }
+
+  test("column pruning: dedup_chunks and text_repetition read only doc_id+text") {
+    Seq(extensions.Text.dedupChunks(ctx), extensions.Text.repetition(ctx)).foreach { df =>
+      val docScans = scans(df.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("documents")))
+      assert(docScans.nonEmpty)
+      docScans.foreach { f =>
+        val cols = f.requiredSchema.fieldNames.toSet
+        assert(cols.subsetOf(Set("doc_id", "text", "n_chars")),
+          s"scan reads more than needed: $cols")
+      }
+    }
+  }
+
   test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
     val df = layers.Wh.dimCustomer(ctx)
     df.collect() // finalize any adaptive decisions
