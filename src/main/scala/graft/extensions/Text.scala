@@ -188,21 +188,32 @@ object Text {
         (dv(inter, nullifZero(union)) >= 0.5).as("is_near_duplicate"))
   }
 
+  /** Per-doc 16-bit simhash signature (md5-derived per-token bit votes),
+    * memoized and persisted per (session, sfDir): the signature relation is
+    * tiny (one short string per doc) but costs a full token explode + 16-vote
+    * aggregate to build, and the near-dup chunk SELF-join would otherwise
+    * evaluate that chain once per join side. */
+  private def simhashes(ctx: Ctx): DataFrame =
+    graft.Store.memo(ctx, "doc_simhashes") {
+      val toks = docsTok(ctx)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      val voteCols = (0 until 16).map(j =>
+        sum(when(substring(md5(col("tok")), j + 1, 1).isin(odd: _*), 1).otherwise(-1))
+          .as(s"v$j"))
+      val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      graft.Store.track(ctx.spark, votes.select(
+        col("doc_id"),
+        concat((0 until 16).map(j =>
+          when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+        .persist())
+    }
+
   /** SimHash (16-bit, md5-derived per-token bit votes): equal-signature
     * buckets are near-dup groups; one groupBy per token + one per doc. */
   def dedupSimhash(ctx: Ctx): DataFrame = {
-    val toks = docsTok(ctx)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-    // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
-    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val voteCols = (0 until 16).map(j =>
-      sum(when(substring(md5(col("tok")), j + 1, 1).isin(odd: _*), 1).otherwise(-1))
-        .as(s"v$j"))
-    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val simhash = votes.select(
-      col("doc_id"),
-      concat((0 until 16).map(j =>
-        when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+    val simhash = simhashes(ctx)
     simhash
       .join(simhash.groupBy("simhash").agg(
         count(lit(1)).as("bucket_size"), min("doc_id").as("bucket_keep_doc_id")),
@@ -219,7 +230,7 @@ object Text {
     * codegen'd [[graft.functions.BitHamming]] expression. */
   def dedupSimhashNear(ctx: Ctx, maxDist: Int = 2): DataFrame = {
     graft.functions.BitHamming.register(ctx.spark)
-    val sim = dedupSimhash(ctx).select("doc_id", "simhash")
+    val sim = simhashes(ctx)
     val chunks = sim.select(col("doc_id"), col("simhash"), expr(
       """stack(3,
         |  0, substring(simhash, 1, 6),
