@@ -32,13 +32,24 @@ object Catalog {
     "rpt_pricing_summary" -> (() => layers.Wh.rptPricingSummary(ctx)),
     "rpt_minimum_cost_suppliers" -> (() => layers.Wh.rptMinimumCostSuppliers(ctx)))
 
-  /** Register raw tables + model views + custom functions in the session. */
+  /** Register raw tables + model views + custom functions in the session.
+    *
+    * Every dbt-model query in the Registry (ods/wh/intermediate/metrics/
+    * reports — the reference's full relation set) is registered under its
+    * model name, so `spark.sql("... FROM customer_rfm_segments")` works
+    * like `ref('customer_rfm_segments')` in the reference. Extension
+    * operators are deliberately NOT auto-registered: some (cluster
+    * fixpoint, memoized signatures) run jobs during plan construction,
+    * which a catalog registration must never do. */
   def registerAll(ctx: Ctx): Unit = {
     rawTables.foreach { t =>
       if (t == "events") ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       ctx.tbl(t).createOrReplaceTempView(t)
     }
     modelViews(ctx).foreach { case (name, df) => df().createOrReplaceTempView(name) }
+    Registry.all.foreach { case (name, e) =>
+      if (e.mat != Registry.Mat.Extension) e.fn(ctx).createOrReplaceTempView(name)
+    }
     functions.BitHamming.register(ctx.spark)
     functions.Hll.register(ctx.spark)
     functions.CosineSim.register(ctx.spark)

@@ -15,4 +15,18 @@ class CatalogSpec extends SparkSpec {
     assert(r.forall(_.getInt(2) == 1))          // custom function usable in SQL
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
   }
+
+  test("every dbt model is SQL-addressable by its reference relation name") {
+    Catalog.registerAll(ctx)
+    val models = Registry.all.collect {
+      case (name, e) if e.mat != Registry.Mat.Extension => name
+    }
+    assert(models.size >= 60)
+    models.foreach(name => assert(spark.catalog.tableExists(name), name))
+    // spot-run one from each layer through plain SQL
+    Seq("ods_customers", "fct_orders", "int_market_basket",
+      "metrics_daily_revenue", "customer_rfm_segments").foreach { m =>
+      assert(spark.sql(s"SELECT * FROM $m LIMIT 1").collect().length == 1, m)
+    }
+  }
 }
