@@ -1604,6 +1604,19 @@ object Registry {
          |        substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) AS t
          |      FROM documents) x
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "corpus_length_stats" -> e(
+      ctx => extensions.Text.lengthStats(ctx).orderBy("source"),
+      s"""$duckTokCtes
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+         |  CAST(MIN(len(toks)) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(len(toks)) AS BIGINT) AS max_tokens,
+         |  ${avgE("len(toks)")} AS avg_tokens,
+         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY len(toks)) AS p25_tokens,
+         |  percentile_cont(0.50) WITHIN GROUP (ORDER BY len(toks)) AS p50_tokens,
+         |  percentile_cont(0.75) WITHIN GROUP (ORDER BY len(toks)) AS p75_tokens,
+         |  percentile_cont(0.95) WITHIN GROUP (ORDER BY len(toks)) AS p95_tokens
+         |FROM r_toks GROUP BY 1 ORDER BY 1""".stripMargin),
     "source_top_terms" -> e(
       ctx => extensions.Text.sourceTopTerms(ctx).orderBy("source", "term_rank"),
       s"""$duckTokCtes

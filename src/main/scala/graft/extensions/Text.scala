@@ -571,6 +571,27 @@ object Text {
         col("min_sampled_doc"), col("max_sampled_doc"))
   }
 
+  /** Corpus length-distribution report: per-source document/token counts and
+    * exact token-count percentiles (p25/p50/p75/p95, linear interpolation) —
+    * the length profile a pipeline consults before choosing context-window
+    * and truncation budgets. One partial-aggregatable groupBy on the bounded
+    * source key; percentile_cont is per-group sort of the group's own
+    * values, never a global order. */
+  def lengthStats(ctx: Ctx): DataFrame =
+    docsTok(ctx)
+      .select(col("source"), size(col("toks")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        min("n_toks").as("min_tokens"),
+        max("n_toks").as("max_tokens"),
+        avgE(col("n_toks")).as("avg_tokens"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY n_toks)").as("p25_tokens"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY n_toks)").as("p50_tokens"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY n_toks)").as("p75_tokens"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY n_toks)").as("p95_tokens"))
+
   /** Per-source characteristic terms, tf/df-scored: a token's score within a
     * source is its term frequency over the number of sources containing it
     * (the rational-arithmetic stand-in for tf-idf — exact in both engines,
