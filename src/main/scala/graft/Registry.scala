@@ -1649,6 +1649,24 @@ object Registry {
         |FROM r_apo p ASOF LEFT JOIN r_ato t
         |  ON p.user_id = t.touch_user AND p.ts >= t.touch_ts
         |ORDER BY event_id""".stripMargin),
+    "events_asof_windowed" -> e(
+      ctx => extensions.Events.asofAttributionWindowed(ctx).orderBy("event_id"),
+      """, r_wpo AS (SELECT event_id, user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase')
+        |, r_wto AS (SELECT user_id AS touch_user, ts AS touch_ts,
+        |    event_type AS last_touch_type FROM events
+        |    WHERE event_type <> 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch_s,
+        |  p.value,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000 THEN t.last_touch_type END AS last_touch_type,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000
+        |    THEN CAST(epoch_ns(t.touch_ts) // 1000000000 AS BIGINT) END AS last_touch_epoch_s,
+        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000
+        |    THEN CAST((epoch_ns(p.ts) - epoch_ns(t.touch_ts)) // 1000000000 AS BIGINT) END AS secs_since_touch
+        |FROM r_wpo p ASOF LEFT JOIN r_wto t
+        |  ON p.user_id = t.touch_user AND p.ts >= t.touch_ts
+        |ORDER BY event_id""".stripMargin),
     "media_features" -> e(
       ctx => extensions.Multimodal.mediaFeatures(ctx).orderBy("media_id"),
       """SELECT doc_id AS media_id, 'text' AS modality, source,

@@ -124,6 +124,30 @@ object Events {
         expr("(ts - touch_ts) div 1000000000").as("secs_since_touch"))
   }
 
+  /** As-of attribution with a bounded lookback window (pandas merge_asof
+    * `tolerance`): the last touch attributes a purchase only when it fired
+    * within `tolSecs` before it — older touches null-extend. Exercises the
+    * custom operator's tolerance path end-to-end; same two-shuffle
+    * sort-merge plan as [[asofAttribution]]. */
+  def asofAttributionWindowed(ctx: Ctx, tolSecs: Long = 600): DataFrame = {
+    val ev = events(ctx)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("touch_user"), col("ts").as("touch_ts"),
+        col("event_type").as("last_touch_type"))
+    graft.plans.AsOf.joinAsOf(purchases, touches,
+        "user_id", "touch_user", "ts", "touch_ts",
+        tolerance = Some(tolSecs * 1000000000L))
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("purchase_epoch_s"),
+        col("value"),
+        col("last_touch_type"),
+        expr("touch_ts div 1000000000").as("last_touch_epoch_s"),
+        expr("(ts - touch_ts) div 1000000000").as("secs_since_touch"))
+  }
+
   /** Stream-style dedup on the natural key (user_id, event_type, minute):
     * the testdata carries no event_id duplicates, so exact-id dedup would be
     * vacuous — instead this collapses same-user same-type events inside a

@@ -37,7 +37,8 @@ case class AsOfJoin(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -75,8 +76,8 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] with PredicateHelper {
   * ([[AsOf.register]]). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -86,6 +87,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -119,6 +121,7 @@ case class AsOfJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val tol = tolerance
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -157,8 +160,17 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = !lk.anyNull && !ltRow.isNullAt(0) &&
+        val pointerMatch = !lk.anyNull && !ltRow.isNullAt(0) &&
           lastKey != null && keyOrd.compare(lastKey, lk) == 0
+        // tolerance (pandas merge_asof semantics): a latest-match older than
+        // leftTime - tol null-extends instead of matching. Time columns are
+        // integral (validated in AsOf.joinAsOf), so the bound is a long
+        // subtraction on the projected values.
+        val matched = pointerMatch && (tol match {
+          case Some(t) =>
+            ltRow.getLong(0) - rTimeProj(lastMatch).getLong(0) <= t
+          case None => true
+        })
         numOutputRows += 1
         if (matched) { numMatched += 1; outProj(joined(l, lastMatch)) }
         else outProj(joined(l, nullRight))
@@ -191,11 +203,17 @@ object AsOf {
     * right columns (null-extended). Right columns are re-aliased when the
     * two sides share attribute ids (self-join), so callers can as-of a
     * relation against itself.
+    *
+    * `tolerance` (pandas merge_asof semantics): when set, a latest match
+    * older than `leftTime - tolerance` null-extends instead of matching —
+    * "the last touch, but only if within the attribution window". Units are
+    * those of the (integral, LongType) time columns.
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -207,9 +225,14 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    if (tolerance.isDefined)
+      Seq(lt, rt).foreach(a => require(
+        a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of tolerance needs LongType time columns, '${a.name}' is ${a.dataType}"))
     GraftPlanBridge.ofRows(spark, AsOfJoin(
       lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      lt, rt, tolerance))
   }
 }

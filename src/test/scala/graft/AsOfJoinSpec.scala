@@ -122,4 +122,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "r10", 2L -> "r15", 3L -> "r29", 4L -> "s24"))
   }
+
+  test("tolerance: matches older than the bound null-extend (merge_asof semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 7L, 100L)).toDF("id", "k", "t")
+    val right = Seq((7L, 8L, "r8"), (7L, 18L, "r18")).toDF("rk", "rt", "tag")
+    // bound = 5: id 1 matches r8 (gap 2), id 2 matches r18 (gap 2),
+    // id 3's latest match r18 has gap 82 -> null-extended, not re-matched
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt",
+        tolerance = Some(5L))
+      .select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("r8"), 2L -> Some("r18"), 3L -> None))
+    // non-long time columns are rejected up front when a tolerance is set
+    val intTimes = Seq((1, 7, 10)).toDF("id", "k", "t")
+    val intRight = Seq((7, 8, "x")).toDF("rk", "rt", "tag")
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(intTimes, intRight, "k", "rk", "t", "rt", tolerance = Some(5L))
+    }
+  }
 }
