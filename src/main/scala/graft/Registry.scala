@@ -1675,6 +1675,16 @@ object Registry {
         |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
         |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS checksum64
         |FROM documents ORDER BY media_id""".stripMargin),
+    "media_resize" -> e(
+      ctx => extensions.Multimodal.mediaResize(ctx).orderBy("media_id"),
+      """SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(length(text) AS BIGINT) AS original_bytes,
+        |  64 AS resized_bytes,
+        |  CAST(GREATEST(0, 64 - length(text)) AS INT) AS pad_bytes,
+        |  length(text) > 64 AS was_truncated,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+        |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS resized_checksum
+        |FROM documents ORDER BY media_id""".stripMargin),
     "media_frame_sample" -> e(
       ctx => extensions.Multimodal.frameSample(ctx)
         .orderBy("media_id", "frame_idx"),

@@ -62,6 +62,34 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class Resized(
+    media_id: Long, modality: String, original_bytes: Long,
+    resized_bytes: Int, pad_bytes: Int, was_truncated: Boolean,
+    resized_checksum: Long)
+
+  /** Resize: normalize every payload to a fixed `target` byte length —
+    * truncate long payloads, zero-pad short ones — the batch-shape stand-in
+    * for image resize / audio resample (fixed-size tensors out regardless of
+    * input size). Same mapPartitions structure; zero padding contributes
+    * nothing to the checksum stub, mirroring how letterbox padding carries
+    * no signal. */
+  def mediaResize(ctx: Ctx, target: Int = 64): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    mediaTable(ctx).as[MediaRecord].mapPartitions { it =>
+      // real pipeline: initialize the resize kernel once here
+      it.map { r =>
+        val n = math.min(r.payload.length, target)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (r.payload(i) & 0xff); i += 1 }
+        Resized(r.media_id, r.modality, r.payload.length.toLong,
+          target, math.max(0, target - r.payload.length),
+          r.payload.length > target, sum % 997)
+      }
+    }.toDF()
+  }
+
   final case class Frame(
     media_id: Long, frame_idx: Int, frame_bytes: Int, frame_checksum: Long)
 
