@@ -1697,6 +1697,76 @@ object Registry {
         |    j -> ascii(substr(text, frame_idx * 32 + j, 1)))) % 997 AS BIGINT) AS frame_checksum
         |FROM r_mfr WHERE frame_idx % 4 = 0
         |ORDER BY media_id, frame_idx""".stripMargin),
+    "regional_revenue_rollup" -> e(
+      ctx => extensions.Analytics.regionalRevenueRollup(ctx)
+        .orderBy(col("region_subtotal"), coalesce(col("region_name"), lit("")),
+          col("nation_subtotal"), coalesce(col("nation_name"), lit(""))),
+      s"""SELECT c.customer_region_name AS region_name,
+         |  c.customer_nation_name AS nation_name,
+         |  CAST(GROUPING(c.customer_region_name) AS INT) AS region_subtotal,
+         |  CAST(GROUPING(c.customer_nation_name) AS INT) AS nation_subtotal,
+         |  COUNT(DISTINCT o.order_key) AS order_count,
+         |  COUNT(DISTINCT o.customer_key) AS customer_count,
+         |  ${sumD("o.gross_item_sales_amount")} AS gross_revenue,
+         |  ${sumD("o.net_item_sales_amount")} AS net_revenue
+         |FROM w_fct_orders o JOIN w_dim_customer c ON o.customer_key = c.customer_key
+         |GROUP BY ROLLUP(c.customer_region_name, c.customer_nation_name)
+         |ORDER BY region_subtotal, COALESCE(region_name, ''),
+         |  nation_subtotal, COALESCE(nation_name, '')""".stripMargin),
+    "customer_value_percentiles" -> e(
+      ctx => extensions.Analytics.customerValuePercentiles(ctx)
+        .orderBy("customer_key"),
+      s""", r_cvp AS (SELECT customer_key, COUNT(*) AS order_count,
+         |    SUM(gross_item_sales_amount) AS spend_d
+         |  FROM w_fct_orders GROUP BY 1)
+         |SELECT customer_key, CAST(spend_d AS DOUBLE) AS total_spend,
+         |  order_count,
+         |  CAST(RANK() OVER w AS INT) AS spend_rank,
+         |  PERCENT_RANK() OVER w AS pct_rank,
+         |  CUME_DIST() OVER w AS cume_dist_val
+         |FROM r_cvp
+         |WINDOW w AS (ORDER BY spend_d DESC)
+         |ORDER BY customer_key""".stripMargin),
+    "corpus_bigram_lm" -> e(
+      ctx => extensions.Text.bigramLm(ctx).orderBy("w1", "next_rank"),
+      s"""$duckTokCtes
+         |, r_bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM r_toks WHERE len(toks) >= 2)
+         |, r_bc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM r_bg GROUP BY 1, 2)
+         |, r_bt AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count
+         |  FROM r_bc GROUP BY 1)
+         |SELECT w1, next_rank, w2, pair_count, w1_count, prob
+         |FROM (SELECT c.w1,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.w1
+         |      ORDER BY c.pair_count DESC, c.w2) AS INT) AS next_rank,
+         |    c.w2, c.pair_count, t.w1_count,
+         |    ${dv("c.pair_count", "t.w1_count")} AS prob
+         |  FROM r_bc c JOIN r_bt t ON c.w1 = t.w1) r
+         |WHERE next_rank <= 3
+         |ORDER BY w1, next_rank""".stripMargin),
+    "events_peak_windows" -> e(
+      ctx => extensions.Events.peakWindows(ctx).orderBy("peak_rank"),
+      s""", r_pke AS (SELECT event_id, user_id,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value
+         |  FROM events)
+         |, r_pkh AS (SELECT sec // 3600 * 3600 AS hour_start,
+         |    COUNT(*) AS hour_events
+         |  FROM r_pke GROUP BY 1)
+         |, r_pkw AS (SELECT * FROM (SELECT
+         |      CAST(ROW_NUMBER() OVER (ORDER BY hour_events DESC, hour_start) AS INT) AS peak_rank,
+         |      hour_start, hour_events,
+         |      hour_start - 1800 AS win_start, hour_start + 5400 AS win_end
+         |    FROM r_pkh) x WHERE peak_rank <= 3)
+         |SELECT w.peak_rank, CAST(w.hour_start AS BIGINT) AS hour_start,
+         |  w.hour_events,
+         |  CAST(w.win_start AS BIGINT) AS win_start,
+         |  CAST(w.win_end AS BIGINT) AS win_end,
+         |  COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users,
+         |  ${sumD("CAST(e.value AS DECIMAL(18,6))")} AS total_value,
+         |  MIN(e.event_id) AS min_event_id, MAX(e.event_id) AS max_event_id
+         |FROM r_pke e JOIN r_pkw w ON e.sec >= w.win_start AND e.sec < w.win_end
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin),
   )
 
   /** Full registry: every declared query, tagged with its materialization

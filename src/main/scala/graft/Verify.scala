@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (mirrors Bench): SPARK_GRAFT_ONLY=a,b dumps a subset;
+    // unset (the driver's mode) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // remove any previous dump first: a failed query must NOT leave a
       // stale (previous-run) result behind for the compare step
       val dest = new java.io.File(s"$outDir/$name")

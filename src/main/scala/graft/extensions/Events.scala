@@ -164,4 +164,44 @@ object Events {
         min("event_id").as("keep_event_id"),
         min(tsSec).as("first_seen_epoch"))
       .filter(col("occurrences") > 1)
+
+  /** Peak-load attribution via a genuine RANGE join: find the top-3
+    * busiest hours, widen each into a 90-minute analysis window
+    * [hour-30min, hour+90min), then join every event whose timestamp
+    * falls INSIDE a window (windows overlap adjacent hours and each
+    * other, so this is interval containment, not a bucket equi-join).
+    *
+    * Scale shape: the window side is aggregated to one row per hour —
+    * cardinality bounded by elapsed wall-time, not data volume — ranked
+    * through the two-phase [[graft.operators.TopK]] (constant key: phase 1
+    * salts the hours across tasks, phase 2 ranks the ≤ salts·k
+    * survivors), and the 3 final windows broadcast to a
+    * BroadcastNestedLoopJoin: a 100 TB scan pays 3 comparisons per row
+    * and shuffles nothing. */
+  def peakWindows(ctx: Ctx, topN: Int = 3): DataFrame = {
+    val ev = events(ctx).select(
+      col("event_id"), col("user_id"), tsSec.as("sec"), col("value"))
+    val hours = ev
+      .groupBy(expr("sec div 3600 * 3600").as("hour_start"))
+      .agg(count(lit(1)).as("hour_events"))
+    val wins = graft.operators.TopK.topKPerKey(hours,
+        keys = Seq(lit(1)),
+        order = Seq(col("hour_events").desc, col("hour_start")),
+        saltOn = Seq(col("hour_start")),
+        k = topN, rankCol = "peak_rank")
+      .select(
+        col("peak_rank").cast("int").as("peak_rank"),
+        col("hour_start"), col("hour_events"),
+        (col("hour_start") - 1800).as("win_start"),
+        (col("hour_start") + 5400).as("win_end"))
+    ev.join(broadcast(wins),
+        col("sec") >= col("win_start") && col("sec") < col("win_end"))
+      .groupBy("peak_rank", "hour_start", "hour_events", "win_start", "win_end")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"))
+  }
 }

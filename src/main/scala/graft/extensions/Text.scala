@@ -613,4 +613,34 @@ object Text {
       .select(col("source"), col("term_rank").cast("int").as("term_rank"),
         col("tok"), col("tf"), col("source_df"), col("score"))
   }
+
+  /** Corpus bigram language-model statistics: for every head word, the
+    * top-k next words by count with the conditional probability
+    * P(next | head) = pair_count / head_count as an exact integer ratio in
+    * double — the n-gram LM table a data pipeline derives before training
+    * (vocabulary pruning, perplexity baselines). One explode and two
+    * partial-aggregatable groupBys; the per-head ranking goes through the
+    * skew-safe two-phase [[graft.operators.TopK.topKPerKey]] so a
+    * stop-word head ("the") that dominates the corpus cannot funnel its
+    * whole continuation set through a single task. */
+  def bigramLm(ctx: Ctx, k: Int = 3): DataFrame = {
+    val pairs = docsTok(ctx)
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |    i -> named_struct('w1', toks[i], 'w2', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val tot = cnt.groupBy("w1").agg(sum("pair_count").as("w1_count"))
+    val scored = cnt.join(tot, Seq("w1"))
+      .withColumn("prob", dv(col("pair_count"), col("w1_count")))
+    graft.operators.TopK.topKPerKey(scored,
+        keys = Seq(col("w1")),
+        order = Seq(col("pair_count").desc, col("w2")),
+        saltOn = Seq(col("w2")),
+        k = k, rankCol = "next_rank")
+      .select(col("w1"), col("next_rank").cast("int").as("next_rank"),
+        col("w2"), col("pair_count"), col("w1_count"), col("prob"))
+  }
 }

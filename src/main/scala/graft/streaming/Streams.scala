@@ -52,6 +52,18 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id", "ts")
 
+  /** Natural-key double-fire suppression — the streaming twin of
+    * extensions.Events.dedupEvents: same-user same-type events inside one
+    * minute collapse to the first arrival. dropDuplicatesWithinWatermark
+    * (not dropDuplicates) so a key's dedup state is EVICTED once the
+    * watermark passes it: without an exactly-once event id the key space
+    * is unbounded and plain dropDuplicates state would grow forever. */
+  def dedupNaturalKey(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute_start", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_start")
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension (users/customers) — the static side is planned per
     * micro-batch, broadcast when small, and needs no watermark (no state

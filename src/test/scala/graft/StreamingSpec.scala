@@ -50,6 +50,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupNaturalKey: same-minute double fires collapse, distinct keys survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Evt]
+    mem.addData(
+      Evt(10, ts(0), 100, "view", 1.0),
+      Evt(11, ts(0), 100, "view", 1.0),   // same user/type/minute: dropped
+      Evt(12, ts(0), 100, "click", 1.0),  // different type: kept
+      Evt(13, ts(1), 100, "view", 1.0))   // next minute: kept
+    val q = Streams.dedupNaturalKey(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_nk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_nk").count() == 3)
+    } finally q.stop()
+  }
+
   test("enrich: stream-static join attaches dimension columns per batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

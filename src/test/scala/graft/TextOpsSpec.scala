@@ -56,6 +56,19 @@ class TextOpsSpec extends SparkSpec {
     assert(!distinct.getBoolean(7))
   }
 
+  test("bigramLm: continuation counts and probabilities by construction") {
+    val rows = Text.bigramLm(fctx).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // head 'x' (doc 2 is "x"*10): only continuation is 'x', 9 pairs
+    assert(rows(("x", 1)) == (("x", 9L, 9L, 1.0)))
+    // head 'w0': followed by w1 in docs 0 and 1, by y1 in doc 4
+    assert(rows(("w0", 1)) == (("w1", 2L, 3L, 2.0 / 3.0)))
+    assert(rows(("w0", 2)) == (("y1", 1L, 3L, 1.0 / 3.0)))
+    // doc 3 "a b": a single bigram with probability 1
+    assert(rows(("a", 1)) == (("b", 1L, 1L, 1.0)))
+  }
+
   test("sampleStratified: membership is the md5-prefix rule, per stratum") {
     val expected = fctx.tbl("documents")
       .select(col("lang"), col("doc_id"),
