@@ -189,25 +189,31 @@ object Reports {
       .withColumn("recency_days", datediff(col("reference_date"), col("last_order_date")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the three global orderings are independent: compute each row number
-    // over a minimal two-column projection of the cached base (narrow range
-    // exchanges, no chained window-over-window re-evaluation) and join the
+    // over a minimal two-column projection of the cached base and join the
     // branches back on the key — same bit-exact ntile inputs as a chained
-    // pass, one relation-wide exchange per branch instead of a widening one
-    def rnBranch(name: String, ordCol: String, desc: Boolean, withN: Boolean) = {
-      val ord =
-        if (desc) Seq(col(ordCol).desc, col("customer_key"))
-        else Seq(col(ordCol), col("customer_key"))
+    // pass. Recency (day counts: a wide discrete domain whose per-value
+    // groups are bounded by daily order volume) uses the cheaper
+    // value-distribution rewrite — no sampling pass, no range repartition.
+    // Frequency's domain is a tiny set of order counts (whole value groups
+    // would funnel through single window tasks at scale) and monetary is a
+    // near-unique decimal sum (distribution degenerates): both keep the
+    // full two-phase range ordering, which splits heavy/unique values
+    // across ranges via the tie-break.
+    val rnRecency =
+      Scale.rnByValueDistribution(
+          base.select(col("customer_key"), col("recency_days")),
+          value = "recency_days", desc = true, tie = Seq(col("customer_key")),
+          rn = "__rn_r", totalCount = Some("__n"))
+        .select(col("customer_key"), col("__rn_r"), col("__n"))
+    def rnRange(name: String, ordCol: String) =
       Scale.globalOrder(base.select(col("customer_key"), col(ordCol)),
-        order = ord, rn = Some(name),
-        totalCount = if (withN) Some("__n") else None,
-        persistInput = false)
-        .select(col("customer_key") +: (col(name) +:
-          (if (withN) Seq(col("__n")) else Nil)): _*)
-    }
+        order = Seq(col(ordCol), col("customer_key")),
+        rn = Some(name), persistInput = false)
+        .select(col("customer_key"), col(name))
     val withRns = base
-      .join(rnBranch("__rn_r", "recency_days", desc = true, withN = true), Seq("customer_key"))
-      .join(rnBranch("__rn_f", "frequency", desc = false, withN = false), Seq("customer_key"))
-      .join(rnBranch("__rn_m", "monetary_d", desc = false, withN = false), Seq("customer_key"))
+      .join(rnRecency, Seq("customer_key"))
+      .join(rnRange("__rn_f", "frequency"), Seq("customer_key"))
+      .join(rnRange("__rn_m", "monetary_d"), Seq("customer_key"))
     val scored = withRns
       .withColumn("r_score", Scale.ntileFromRowNumber(col("__rn_r"), col("__n"), 5))
       .withColumn("f_score", Scale.ntileFromRowNumber(col("__rn_f"), col("__n"), 5))

@@ -126,6 +126,71 @@ object Scale {
     withCount.drop(withCount.columns.filter(_.startsWith("__go_")): _*)
   }
 
+  /** Exact global row number for a LOW-CARDINALITY order column — the
+    * cheap sibling of [[globalOrder]] when the ordering value is discrete
+    * (day counts, order counts, scores): instead of sampling + range
+    * repartitioning the relation, aggregate the VALUE DISTRIBUTION
+    * (one partial-aggregatable shuffle, one row per distinct value),
+    * prefix-sum it into per-value offsets, and broadcast the offsets back:
+    *
+    *   rn(row) = (# rows with a strictly-earlier value) + row_number
+    *             within the row's value group ordered by `tie`.
+    *
+    * Identical to the single-partition `row_number()` (and to
+    * [[globalOrder]]'s rn) because the value groups partition the order.
+    * The per-value window shuffles once on the value; the offsets pass
+    * runs on the distinct-value relation — its cardinality is a property
+    * of the DOMAIN (e.g. ≤ tens of thousands of distinct day counts), not
+    * of data volume, the same footprint contract as [[globalOrder]]'s
+    * triangular offsets join.
+    *
+    * Applicability is a BAND, not just a lower bound: (a) near-unique
+    * values (money sums) degenerate the distribution to one row per input
+    * row — that is [[globalOrder]]'s job; (b) tiny enum domains (a 5-value
+    * status, an order count that tops out at 50) concentrate whole value
+    * groups in single window tasks — the hot-key funnel this module
+    * exists to avoid — so they too belong to [[globalOrder]], whose range
+    * order includes the tie-break and therefore SPLITS heavy value groups
+    * across ranges. Use this form when the domain is wide enough that a
+    * single value's group stays task-sized (day counts, bucketed
+    * timestamps, ids-per-hour).
+    *
+    * @param value exact-typed discrete order column (must be a plain
+    *              column of `df`)
+    * @param desc  order direction for `value`
+    * @param tie   tie-break within a value group (must complete a total
+    *              order)
+    */
+  def rnByValueDistribution(
+      df: DataFrame,
+      value: String,
+      desc: Boolean,
+      tie: Seq[Column],
+      rn: String,
+      totalCount: Option[String] = None): DataFrame = {
+    val counts = df.groupBy(col(value)).agg(count(lit(1)).as("__vd_cnt"))
+    // per-value prefix offsets via the same triangular join globalOrder
+    // uses for its P-range offsets — no Window node, so the plan keeps the
+    // "no empty-partition window" invariant. O(V²) pairs over the
+    // distribution relation: fine for the discrete domains this operator
+    // is for, the reason near-unique values must use globalOrder instead.
+    val a = counts.select(col(value), col("__vd_cnt"))
+    val b = counts.select(col(value).as("__vd_bv"), col("__vd_cnt").as("__vd_bc"))
+    val before =
+      if (desc) col("__vd_bv") > col(value) else col("__vd_bv") < col(value)
+    val offsets = a.crossJoin(broadcast(b))
+      .groupBy(col(value))
+      .agg(
+        sum(when(before, col("__vd_bc")).otherwise(lit(0L))).as("__vd_off"),
+        sum(col("__vd_bc")).as("__vd_total"))
+    val wLocal = Window.partitionBy(col(value)).orderBy(tie: _*)
+    val joined = df.join(broadcast(offsets), Seq(value))
+      .withColumn(rn,
+        (col("__vd_off") + row_number().over(wLocal)).cast("int"))
+    totalCount.fold(joined.drop("__vd_off", "__vd_total"))(n =>
+      joined.withColumn(n, col("__vd_total")).drop("__vd_off", "__vd_total"))
+  }
+
   /** SQL RANK() over the same ordering the unique row number was built on,
     * with ties on `tieCols`: the rank of a row is the smallest row number in
     * its tie group — one shuffle on the tie value, never single-partition. */

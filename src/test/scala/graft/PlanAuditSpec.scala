@@ -88,6 +88,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup is one Expand + one aggregate, no per-level re-scan") {
+    val plan = extensions.Analytics.regionalRevenueRollup(ctx)
+      .queryExecution.executedPlan
+    val tree = plan.toString
+    assert("ExpandExec|Expand".r.findAllIn(tree).nonEmpty, tree)
+    // exactly one orders scan: the three grouping levels come from Expand,
+    // not from unioning three separate aggregations of the fact
+    val orderScans = scans(plan).filter(
+      _.metadata.get("Location").exists(_.contains("orders")))
+    assert(orderScans.size <= 2, // fct_orders' own self-join reads orders twice
+      s"rollup re-scans the fact per level: ${orderScans.size} orders scans")
+  }
+
+  test("bigram LM and percentile windows are all partitioned (two-phase)") {
+    Seq(extensions.Text.bigramLm(ctx),
+        extensions.Analytics.customerValuePercentiles(ctx)).foreach { df =>
+      val windows = df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      })
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window:\n$w"))
+    }
+  }
+
   test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
     val df = layers.Wh.dimCustomer(ctx)
     df.collect() // finalize any adaptive decisions

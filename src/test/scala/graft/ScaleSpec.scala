@@ -67,6 +67,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(actual.select(cols: _*).except(expected.select(cols: _*)).isEmpty)
   }
 
+  test("rnByValueDistribution matches single-partition row_number, asc and desc") {
+    val d = df   // ~50 distinct v over 997 rows: heavy value groups
+    val expected = d
+      .withColumn("rn_a", row_number().over(Window.orderBy(col("v"), col("k"))))
+      .withColumn("rn_d", row_number().over(Window.orderBy(col("v").desc, col("k"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val actual = Scale.rnByValueDistribution(
+      Scale.rnByValueDistribution(d, "v", desc = false, Seq(col("k")), "rn_a"),
+      "v", desc = true, Seq(col("k")), "rn_d", totalCount = Some("n"))
+    val cols = Seq("k", "v", "rn_a", "rn_d", "n").map(col)
+    assert(expected.select(cols: _*).except(actual.select(cols: _*)).isEmpty)
+    assert(actual.select(cols: _*).except(expected.select(cols: _*)).isEmpty)
+    // and its plan carries no empty-partition window (the offsets side is
+    // a triangular join, not a cumsum window)
+    val globalWindows = actual.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("ntileFromRowNumber handles n < k (each row its own bucket)") {
     import spark.implicits._
     val d = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "v")
