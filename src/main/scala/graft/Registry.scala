@@ -1745,6 +1745,22 @@ object Registry {
          |  FROM r_bc c JOIN r_bt t ON c.w1 = t.w1) r
          |WHERE next_rank <= 3
          |ORDER BY w1, next_rank""".stripMargin),
+    "events_user_journeys" -> e(
+      ctx => extensions.Events.userJourneys(ctx).orderBy("from_type", "to_type"),
+      s""", r_uj AS (SELECT user_id, event_id, ts, event_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events)
+         |, r_ujc AS (SELECT event_type AS from_type, next_type AS to_type,
+         |    COUNT(*) AS n_transitions
+         |  FROM r_uj WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |, r_ujt AS (SELECT from_type,
+         |    CAST(SUM(n_transitions) AS BIGINT) AS from_total
+         |  FROM r_ujc GROUP BY 1)
+         |SELECT c.from_type, c.to_type, c.n_transitions, t.from_total,
+         |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
+         |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
+         |ORDER BY c.from_type, c.to_type""".stripMargin),
     "events_peak_windows" -> e(
       ctx => extensions.Events.peakWindows(ctx).orderBy("peak_rank"),
       s""", r_pke AS (SELECT event_id, user_id,

@@ -165,6 +165,28 @@ object Events {
         min(tsSec).as("first_seen_epoch"))
       .filter(col("occurrences") > 1)
 
+  /** Per-user journey transition matrix (the Markov view of the event
+    * stream): every adjacent (from_type -> to_type) pair in a user's
+    * time-ordered events, with transition counts and the conditional
+    * transition probability as an exact integer ratio. One lead() window
+    * per user partition (never global), then two partial-aggregatable
+    * groupBys over the tiny type×type space. */
+  def userJourneys(ctx: Ctx): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events(ctx)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy("from_type")
+      .agg(sum("n_transitions").as("from_total"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        col("from_total"),
+        dv(col("n_transitions"), col("from_total")).as("transition_prob"))
+  }
+
   /** Peak-load attribution via a genuine RANGE join: find the top-3
     * busiest hours, widen each into a 90-minute analysis window
     * [hour-30min, hour+90min), then join every event whose timestamp

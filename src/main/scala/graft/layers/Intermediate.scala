@@ -77,12 +77,25 @@ object Intermediate {
     * bounded by order size — safe at any scale factor). */
   def marketBasket(ctx: Ctx): DataFrame = {
     val op = Wh.fctOrdersItems(ctx).select("order_key", "part_key").distinct()
-    val pairs = op.as("a")
-      .join(op.as("b"),
-        col("a.order_key") === col("b.order_key")
-          && col("a.part_key") < col("b.part_key"))
-      .groupBy(col("a.part_key").as("part_a"), col("b.part_key").as("part_b"))
-      .agg(countDistinct(col("a.order_key")).as("co_occurrence_count"))
+    // pair generation as basket-explosion instead of the reference's
+    // self-join (int_market_basket.sql joins the item relation to itself):
+    // one aggregate on order_key + an in-row i<j expansion replaces two
+    // exchanges and a join of the same relation. Quadratic only within an
+    // order (baskets are bounded by order size); a pair occurs at most
+    // once per basket, so count(*) over pairs == the self-join's
+    // count(distinct order_key).
+    val baskets = op.groupBy("order_key")
+      .agg(sort_array(collect_set(col("part_key"))).as("parts"))
+    val pairs = baskets
+      .select(explode(expr(
+        """CASE WHEN size(parts) >= 2
+          |  THEN flatten(transform(sequence(0, size(parts) - 2),
+          |    i -> transform(sequence(i + 1, size(parts) - 1),
+          |      j -> named_struct('part_a', parts[i], 'part_b', parts[j]))))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("co_occurrence_count"))
     val totals = op.groupBy("part_key")
       .agg(countDistinct(col("order_key")).as("order_count"))
     pairs
