@@ -1761,6 +1761,80 @@ object Registry {
          |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
          |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
          |ORDER BY c.from_type, c.to_type""".stripMargin),
+    "source_similarity" -> e(
+      ctx => extensions.Text.sourceSimilarity(ctx).orderBy("source_a", "source_b"),
+      s"""$duckTokCtes
+         |, r_ssh AS (SELECT DISTINCT t.source, s.shingle
+         |    FROM r_sh s JOIN r_toks t ON s.doc_id = t.doc_id)
+         |, r_ssz AS (SELECT source, COUNT(*) AS set_size FROM r_ssh GROUP BY 1)
+         |, r_sinter AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS intersection
+         |  FROM r_ssh a JOIN r_ssh b ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, i.intersection,
+         |  za.set_size AS size_a, zb.set_size AS size_b,
+         |  ${dv("i.intersection", "(za.set_size + zb.set_size - i.intersection)")} AS jaccard
+         |FROM r_sinter i
+         |JOIN r_ssz za ON i.source_a = za.source
+         |JOIN r_ssz zb ON i.source_b = zb.source
+         |ORDER BY source_a, source_b""".stripMargin),
+    "customer_activity_setops" -> e(
+      ctx => extensions.Analytics.customerActivitySetOps(ctx)
+        .orderBy("membership", "customer_key"),
+      """, r_so99 AS (SELECT customer_key FROM w_fct_orders
+        |    WHERE EXTRACT(YEAR FROM order_date) = 1999)
+        |, r_so00 AS (SELECT customer_key FROM w_fct_orders
+        |    WHERE EXTRACT(YEAR FROM order_date) = 2000)
+        |SELECT membership, customer_key FROM (
+        |  SELECT 'retained' AS membership, customer_key FROM
+        |    (SELECT customer_key FROM r_so99 INTERSECT SELECT customer_key FROM r_so00)
+        |  UNION ALL
+        |  SELECT 'churned' AS membership, customer_key FROM
+        |    (SELECT customer_key FROM r_so99 EXCEPT SELECT customer_key FROM r_so00)
+        |  UNION ALL
+        |  SELECT 'acquired' AS membership, customer_key FROM
+        |    (SELECT customer_key FROM r_so00 EXCEPT SELECT customer_key FROM r_so99)
+        |) x ORDER BY membership, customer_key""".stripMargin),
+    "order_priority_pivot" -> e(
+      ctx => extensions.Analytics.orderPriorityPivot(ctx).orderBy("order_year"),
+      """SELECT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year,
+        |  CAST(SUM(CASE WHEN order_priority_code = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
+        |  CAST(SUM(CASE WHEN order_priority_code = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_orders,
+        |  CAST(SUM(CASE WHEN order_priority_code = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_orders,
+        |  CAST(SUM(CASE WHEN order_priority_code = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified_orders,
+        |  CAST(SUM(CASE WHEN order_priority_code = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_orders,
+        |  COUNT(*) AS total_orders
+        |FROM w_fct_orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    "customer_order_bookends" -> e(
+      ctx => extensions.Analytics.customerOrderBookends(ctx).orderBy("order_key"),
+      """SELECT customer_key, order_key, order_date,
+        |  CAST(order_amount AS DOUBLE) AS order_amount,
+        |  FIRST_VALUE(order_key) OVER w AS first_order_key,
+        |  LAST_VALUE(order_key) OVER w AS last_order_key,
+        |  NTH_VALUE(order_key, 2) OVER w AS second_order_key,
+        |  CAST(FIRST_VALUE(order_amount) OVER w AS DOUBLE) AS first_order_amount,
+        |  CAST(LAST_VALUE(order_amount) OVER w AS DOUBLE) AS last_order_amount,
+        |  order_key = FIRST_VALUE(order_key) OVER w AS is_first_order
+        |FROM base_orders
+        |WINDOW w AS (PARTITION BY customer_key ORDER BY order_date, order_key
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY order_key""".stripMargin),
+    "ann_knn_graph" -> e(
+      ctx => extensions.Similarity.annKnnGraph(ctx).orderBy("vec_id", "rank"),
+      s""", r_emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+         |    ${(0 until 8).map(j =>
+              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rn
+         |  FROM (SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |          ${duckCos("a.ed", "b.ed")} AS cosine
+         |        FROM r_emb2 a JOIN r_emb2 b
+         |          ON a.bucket = b.bucket AND a.vec_id != b.vec_id) y) x
+         |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin),
     "events_peak_windows" -> e(
       ctx => extensions.Events.peakWindows(ctx).orderBy("peak_rank"),
       s""", r_pke AS (SELECT event_id, user_id,

@@ -1,7 +1,7 @@
 package graft.extensions
 
 import graft.{Ctx, Macros => M}
-import graft.layers.Wh
+import graft.layers.{Ods, Wh}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,6 +55,76 @@ object Analytics {
           sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
           sum("net_item_sales_amount").cast("double").as("net_revenue"))
     finally conf.set(key, prev)
+  }
+
+  /** Year-over-year customer activity via genuine set operators — the §2.7
+    * family the reference never exercises (its one union-like shape is the
+    * full-outer trade-balance join). INTERSECT / EXCEPT here are Catalyst's
+    * native set-op plans (aggregate-backed left-semi / left-anti on the
+    * distinct key set): one shuffle each on customer_key, partial-aggregated
+    * map-side, no row-level window — the same plan shape at 100 TB.
+    *
+    *   retained = active(1999) ∩ active(2000)
+    *   churned  = active(1999) ∖ active(2000)
+    *   acquired = active(2000) ∖ active(1999)
+    */
+  def customerActivitySetOps(ctx: Ctx): DataFrame = {
+    val fo = Wh.fctOrders(ctx)
+    def active(y: Int): DataFrame =
+      fo.filter(year(col("order_date")) === y).select(col("customer_key"))
+    val a = active(1999)
+    val b = active(2000)
+    a.intersect(b).withColumn("membership", lit("retained"))
+      .unionByName(a.except(b).withColumn("membership", lit("churned")))
+      .unionByName(b.except(a).withColumn("membership", lit("acquired")))
+      .select(col("membership"), col("customer_key"))
+  }
+
+  /** Order counts per year spread across the five priority classes — the
+    * PIVOT relational shape (reference twin of the conditional-sum flags in
+    * models/intermediate/int_supplier_performance.sql:22-23, lifted to a
+    * real pivot). The value list is EXPLICIT: `.pivot(col, values)` with the
+    * domain enumerated skips the extra distinct-values discovery job Spark
+    * otherwise runs — the difference between one pass and two at scale.
+    * Plans as a single hash aggregate with five pivot-CASE branches. */
+  def orderPriorityPivot(ctx: Ctx): DataFrame = {
+    val priorities = Seq(
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val outNames = Seq(
+      "urgent_orders", "high_orders", "medium_orders",
+      "not_specified_orders", "low_orders")
+    val pivoted = Wh.fctOrders(ctx)
+      .withColumn("order_year", year(col("order_date")))
+      .groupBy("order_year")
+      .pivot("order_priority_code", priorities)
+      .agg(count(lit(1)))
+    val renamed = priorities.zip(outNames).foldLeft(pivoted) {
+      case (df, (v, n)) => df.withColumn(n, coalesce(col(s"`$v`"), lit(0L)))
+    }
+    renamed.select(
+      (col("order_year") +: outNames.map(col) :+
+        outNames.map(col).reduce(_ + _).as("total_orders")): _*)
+  }
+
+  /** First / last / second order per customer via the FIRST_VALUE /
+    * LAST_VALUE / NTH_VALUE window family over an explicit full-partition
+    * ROWS frame (the §2.5 value-navigation functions the reference's lag()
+    * models never touch). One row per order; the window partitions on
+    * customer_key — bounded per-customer partitions, never a global sort. */
+  def customerOrderBookends(ctx: Ctx): DataFrame = {
+    val w = Window.partitionBy("customer_key")
+      .orderBy(col("order_date"), col("order_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Ods.orders(ctx).select(
+      col("customer_key"), col("order_key"), col("order_date"),
+      col("order_amount"),
+      first(col("order_key")).over(w).as("first_order_key"),
+      last(col("order_key")).over(w).as("last_order_key"),
+      nth_value(col("order_key"), 2).over(w).as("second_order_key"),
+      first(col("order_amount")).over(w).cast("double").as("first_order_amount"),
+      last(col("order_amount")).over(w).cast("double").as("last_order_amount"))
+      .withColumn("is_first_order", col("order_key") === col("first_order_key"))
+      .withColumn("order_amount", col("order_amount").cast("double"))
   }
 
   /** Per-customer spend with PERCENT_RANK / CUME_DIST over the whole

@@ -79,6 +79,34 @@ object Similarity {
       .filter(col("cosine") >= 0.3)
   }
 
+  /** Approximate k-NN GRAPH construction: every vector's top-k nearest
+    * bucket-mates — the neighbourhood graph that semantic dedup and
+    * graph-based ANN indexes (HNSW seeding, NN-Descent) start from.
+    * Candidates come from the shared 8-bit LSH bucket (per-bucket join, the
+    * same 100 TB-safe shape as [[annLshBuckets]]); the per-vector top-k then
+    * goes through the salted two-phase [[graft.operators.TopK]] rewrite, so
+    * a hot bucket (all-alike corpus) cannot funnel one vector's candidates
+    * through a single task. Vectors alone in their bucket yield no rows —
+    * the standard LSH recall trade-off, not an error. */
+  def annKnnGraph(ctx: Ctx, k: Int = 3): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    val e = ctx.tbl("embeddings")
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("ea"))
+    val b = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), cosine("ea", "eb").as("cosine"))
+    graft.operators.TopK.topKPerKey(
+        pairs,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cosine").desc, col("neighbor_id")),
+        saltOn = Seq(col("neighbor_id")),
+        k = k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate detection: LSH buckets + a cosine
     * threshold — the embedding-space analogue of MinHash dedup. 0.4 sits in
     * the top ~0.1% of this corpus's pair-cosine distribution (its vectors

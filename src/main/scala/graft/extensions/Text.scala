@@ -377,6 +377,38 @@ object Text {
         ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
   }
 
+  /** Exact pairwise SOURCE-level content overlap: Jaccard between each
+    * source pair's distinct shingle inventory — the corpus-curation view of
+    * "which feeds duplicate each other" (mirror detection, crawl overlap).
+    * Computed via a shingle-postings equi-join (each shingle meets only the
+    * sources containing it), never a source × source cross join; both
+    * groupBys are partial-aggregatable. The exact form's cost grows with
+    * shared-shingle density — at 100 TB the drop-in replacement is the
+    * [[graft.functions.MinHashSketch]] aggregate (one fixed-size sketch per
+    * source, estimate = matching-slot fraction; see MinHashSpec for the
+    * accuracy band), which this query's exact output calibrates. */
+  def sourceSimilarity(ctx: Ctx): DataFrame = {
+    val srcSh = docs(ctx).select(col("doc_id"), col("source"))
+      .join(shingleArr(ctx), Seq("doc_id"))
+      .select(col("source"), explode(col("shingles")).as("shingle"))
+      .distinct()
+    val sz = srcSh.groupBy("source").agg(count(lit(1)).as("set_size"))
+    val inter = srcSh.select(col("shingle"), col("source").as("source_a"))
+      .join(srcSh.select(col("shingle"), col("source").as("source_b")), Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(sz.select(col("source").as("source_a"), col("set_size").as("size_a")),
+        Seq("source_a"))
+      .join(sz.select(col("source").as("source_b"), col("set_size").as("size_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("intersection"),
+        col("size_a"), col("size_b"),
+        dv(col("intersection"),
+          col("size_a") + col("size_b") - col("intersection")).as("jaccard"))
+  }
+
   /** Benchmark decontamination: for every training document, report its
     * shingle overlap with the held-out test split — the leak check every
     * training corpus runs against its eval sets. Join shape is the scale
