@@ -1761,6 +1761,43 @@ object Registry {
          |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
          |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
          |ORDER BY c.from_type, c.to_type""".stripMargin),
+    "corpus_vocab" -> e(
+      ctx => extensions.Text.corpusVocab(ctx).orderBy("token_id"),
+      s"""$duckTokCtes
+         |, r_vt AS (SELECT doc_id, unnest(toks) AS tok FROM r_toks)
+         |, r_vc AS (SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |    FROM r_vt GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS token_id,
+         |  tok, tf, df
+         |FROM r_vc ORDER BY token_id""".stripMargin),
+    "events_value_histogram" -> e(
+      ctx => extensions.Events.valueHistogram(ctx).orderBy("event_type", "bucket"),
+      s""", r_vh AS (SELECT event_type,
+         |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+         |    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, bucket,
+         |  bucket * 25.0 AS bucket_lo, (bucket + 1) * 25.0 AS bucket_hi,
+         |  n_events, min_value, max_value,
+         |  ${dv("n_events", "SUM(n_events) OVER (PARTITION BY event_type)")} AS share_of_type
+         |FROM r_vh ORDER BY event_type, bucket""".stripMargin),
+    "order_priority_melt" -> e(
+      ctx => extensions.Analytics.orderPriorityMelt(ctx)
+        .orderBy("order_year", "priority_class"),
+      """, r_py AS (SELECT DISTINCT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year
+        |    FROM w_fct_orders)
+        |, r_pc AS (SELECT * FROM (VALUES
+        |    ('1-URGENT', 'urgent_orders'), ('2-HIGH', 'high_orders'),
+        |    ('3-MEDIUM', 'medium_orders'), ('4-NOT SPECIFIED', 'not_specified_orders'),
+        |    ('5-LOW', 'low_orders')) t(code, priority_class))
+        |, r_pn AS (SELECT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year,
+        |    order_priority_code AS code, COUNT(*) AS n
+        |  FROM w_fct_orders GROUP BY 1, 2)
+        |SELECT y.order_year, c.priority_class,
+        |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_orders
+        |FROM r_py y CROSS JOIN r_pc c
+        |LEFT JOIN r_pn n ON n.order_year = y.order_year AND n.code = c.code
+        |ORDER BY y.order_year, c.priority_class""".stripMargin),
     "source_similarity" -> e(
       ctx => extensions.Text.sourceSimilarity(ctx).orderBy("source_a", "source_b"),
       s"""$duckTokCtes

@@ -106,6 +106,20 @@ object Analytics {
         outNames.map(col).reduce(_ + _).as("total_orders")): _*)
   }
 
+  /** The inverse reshape: Spark's native UNPIVOT (Dataset.unpivot → Catalyst
+    * Expand, one map-side pass, no join or shuffle) melts the wide pivot
+    * matrix back to (year, priority_class, n_orders) long form. Because the
+    * pivot emitted a DENSE matrix (zero-filled), the melt carries zero rows
+    * too — the oracle mirrors that with a years × classes spine. */
+  def orderPriorityMelt(ctx: Ctx): DataFrame = {
+    val countCols = Seq("urgent_orders", "high_orders", "medium_orders",
+      "not_specified_orders", "low_orders")
+    orderPriorityPivot(ctx).unpivot(
+      Array(col("order_year")),
+      countCols.map(col).toArray,
+      "priority_class", "n_orders")
+  }
+
   /** First / last / second order per customer via the FIRST_VALUE /
     * LAST_VALUE / NTH_VALUE window family over an explicit full-partition
     * ROWS frame (the §2.5 value-navigation functions the reference's lag()

@@ -31,6 +31,33 @@ object Events {
   /** floor'd epoch seconds from the nano count (ts >= 0 in testdata). */
   private val tsSec = expr("ts div 1000000000")
 
+  /** Equi-width value histogram per event type — the distribution-profiling
+    * pass a pipeline runs before choosing clip/normalization bounds. One
+    * partial-aggregatable groupBy on (type, bucket); the share-of-type
+    * window sits above the ≤ types × buckets aggregate (tiny by
+    * construction: bucket count is value_range / width, data-size
+    * independent), the documented safe empty-over shape. Bucket ids are
+    * exact integer floors of an IEEE division both engines evaluate
+    * identically; min/max are order-insensitive, so no double-sum hazard. */
+  def valueHistogram(ctx: Ctx, width: Double = 25.0): DataFrame = {
+    val agg = events(ctx)
+      .groupBy(col("event_type"),
+        floor(col("value") / width).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val wt = Window.partitionBy("event_type")
+    agg
+      .withColumn("type_total", sum(col("n_events")).over(wt))
+      .select(
+        col("event_type"), col("bucket"),
+        (col("bucket") * width).as("bucket_lo"),
+        ((col("bucket") + 1) * width).as("bucket_hi"),
+        col("n_events"), col("min_value"), col("max_value"),
+        dv(col("n_events"), col("type_total")).as("share_of_type"))
+  }
+
   /** JSON extraction from the props payload (get_json_object — codegen'd). */
   def jsonExtract(ctx: Ctx): DataFrame =
     events(ctx).select(

@@ -377,6 +377,24 @@ object Text {
         ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
   }
 
+  /** Vocabulary construction: every distinct token with its corpus term
+    * frequency, document frequency, and a STABLE dense integer id — the
+    * token-table pass of a tokenizer-training / feature-hashing pipeline.
+    * Ids are assigned by (tf desc, token) through the two-phase
+    * [[graft.operators.Scale.globalOrder]] row number, so the id assignment
+    * is deterministic AND never funnels the vocabulary through one task
+    * (web-scale vocabularies run to billions of distinct tokens before
+    * frequency pruning). */
+  def corpusVocab(ctx: Ctx): DataFrame = {
+    val tf = docsTok(ctx)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    graft.operators.Scale.globalOrder(tf,
+        order = Seq(col("tf").desc, col("tok")), rn = Some("token_id"))
+      .select(col("token_id"), col("tok"), col("tf"), col("df"))
+  }
+
   /** Exact pairwise SOURCE-level content overlap: Jaccard between each
     * source pair's distinct shingle inventory — the corpus-curation view of
     * "which feeds duplicate each other" (mirror detection, crawl overlap).
