@@ -1761,6 +1761,19 @@ object Registry {
          |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
          |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
          |ORDER BY c.from_type, c.to_type""".stripMargin),
+    "corpus_sample_weighted" -> e(
+      ctx => extensions.Text.sampleWeighted(ctx).orderBy("source"),
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  ${dv("SUM(LEAST(n_chars, 2000))", "(COUNT(*) * 2000)")} AS target_rate,
+         |  ${dv("SUM(CASE WHEN kept THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS achieved_rate,
+         |  MIN(CASE WHEN kept THEN doc_id END) AS min_sampled_doc,
+         |  MAX(CASE WHEN kept THEN doc_id END) AS max_sampled_doc
+         |FROM (SELECT doc_id, source, n_chars,
+         |        ('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 2000
+         |          < n_chars * 65536 AS kept
+         |      FROM documents) x
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "corpus_vocab" -> e(
       ctx => extensions.Text.corpusVocab(ctx).orderBy("token_id"),
       s"""$duckTokCtes

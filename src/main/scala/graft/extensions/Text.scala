@@ -621,6 +621,34 @@ object Text {
         col("min_sampled_doc"), col("max_sampled_doc"))
   }
 
+  /** Length-proportional weighted sampling: each document is kept with
+    * probability n_chars / 2000 (capped at 1) — the token-budget sampling
+    * shape where longer documents are proportionally likelier to survive,
+    * so the SAMPLE's token mass tracks the corpus's. Acceptance is the
+    * deterministic md5-uniform draw compared against the weight ENTIRELY in
+    * integer arithmetic (draw * 2000 < n_chars * 65536) — no IEEE division
+    * anywhere near the decision, so re-runs, retried tasks and the oracle
+    * agree exactly. Map-side only per doc + one bounded groupBy on source. */
+  def sampleWeighted(ctx: Ctx, fullChars: Int = 2000): DataFrame = {
+    val draw = conv(
+      substring(md5(concat(lit("wsample|"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val kept = (draw * fullChars) < (col("n_chars") * 65536L)
+    docs(ctx)
+      .select(col("doc_id"), col("source"), col("n_chars"), kept.as("kept"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(least(col("n_chars"), lit(fullChars.toLong))).as("weight_mass"),
+        min(when(col("kept"), col("doc_id"))).as("min_sampled_doc"),
+        max(when(col("kept"), col("doc_id"))).as("max_sampled_doc"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        dv(col("weight_mass"), col("n_docs") * fullChars).as("target_rate"),
+        dv(col("n_sampled"), nullifZero(col("n_docs"))).as("achieved_rate"),
+        col("min_sampled_doc"), col("max_sampled_doc"))
+  }
+
   /** Corpus length-distribution report: per-source document/token counts and
     * exact token-count percentiles (p25/p50/p75/p95, linear interpolation) —
     * the length profile a pipeline consults before choosing context-window

@@ -116,6 +116,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph, vocab, histogram: no empty-partition window anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq(extensions.Similarity.annKnnGraph(ctx),
+        extensions.Text.corpusVocab(ctx),
+        extensions.Events.valueHistogram(ctx)).foreach { df =>
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"single-partition window:\n${global.mkString}")
+    }
+    // and the knn top-k windows benefit from WindowGroupLimit pushdown:
+    // partial per-partition top-k BEFORE the exchange (Spark 4 plans the
+    // row_number<=k filter as a group-limit, so even the salted phase ships
+    // at most k rows per (key, salt) into the shuffle)
+    val knnPhysical = extensions.Similarity.annKnnGraph(ctx)
+      .queryExecution.executedPlan.toString
+    assert(knnPhysical.contains("WindowGroupLimit"), knnPhysical)
+  }
+
+  test("unpivot melt is one Expand over the pivot, no extra shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }.flatMap(_.collect { case s: ShuffleExchangeExec => s }).size
+    val pivotPlan = extensions.Analytics.orderPriorityPivot(ctx)
+      .queryExecution.executedPlan
+    val meltPlan = extensions.Analytics.orderPriorityMelt(ctx)
+      .queryExecution.executedPlan
+    assert("ExpandExec|Expand".r.findAllIn(meltPlan.toString).nonEmpty,
+      meltPlan.toString)
+    assert(shuffles(meltPlan) == shuffles(pivotPlan),
+      s"melt added a shuffle: ${shuffles(meltPlan)} vs ${shuffles(pivotPlan)}")
+  }
+
   test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
     val df = layers.Wh.dimCustomer(ctx)
     df.collect() // finalize any adaptive decisions
