@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic-table source (DataSource V2) — the §2.1 custom
+  * SOURCE counterpart to the custom operators: benchmark data at ANY scale
+  * factor without writing a byte to storage.
+  *
+  *   spark.read.format("graft-synth")
+  *     .option("table", "lineitem").option("sf", "10")
+  *     .option("partitions", "64").load()
+  *
+  * Design for the 100 TB case:
+  *  - one InputPartition per row range, generated independently — scan
+  *    parallelism is the `partitions` option, no driver-side materialization
+  *    and no storage at all (a SF10k bench needs zero disk);
+  *  - row content is a pure function of the global row id (splitmix64
+  *    mixing), so the SAME rows appear whatever the partition count — a
+  *    re-run, a different cluster width, or a retried task always sees
+  *    identical data (the property object stores have and Random does not);
+  *  - column pruning is pushed INTO the generator
+  *    (SupportsPushDownRequiredColumns): unprojected columns are never even
+  *    computed — the source-side twin of parquet ReadSchema pruning;
+  *  - LIMIT is pushed down (SupportsPushDownLimit): `.load().limit(1000)`
+  *    generates at most `limit` rows per partition instead of the full SF
+  *    (Spark still applies the final exact limit).
+  *
+  * The row distributions are TPC-H-flavored (uniform keys, money in cents,
+  * dates over 1995–2001) — shaped for engine benchmarking, not a dbgen
+  * replacement (reference scripts/generate_data.py:38-46 uses DuckDB's
+  * dbgen; this source exists so scale tests need no pre-generated data).
+  */
+class Synth extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Synth.schemaFor(options.getOrDefault("table", "lineitem"))
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SynthTable(
+      opts.getOrDefault("table", "lineitem"),
+      opts.getDouble("sf", 0.01),
+      opts.getInt("partitions", 32))
+  }
+}
+
+object Synth {
+  /** SF1 row counts (reference scripts/generate_data.py:24: SF1 ≈ 6M
+    * lineitem); other tables in TPC-H proportion. */
+  def rowsFor(table: String, sf: Double): Long = table match {
+    case "lineitem" => (6000000L * sf).toLong.max(1L)
+    case "orders"   => (1500000L * sf).toLong.max(1L)
+    case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
+  }
+
+  def schemaFor(table: String): StructType = table match {
+    case "lineitem" => StructType(Seq(
+      StructField("l_orderkey", LongType, nullable = false),
+      StructField("l_partkey", LongType, nullable = false),
+      StructField("l_suppkey", LongType, nullable = false),
+      StructField("l_linenumber", IntegerType, nullable = false),
+      StructField("l_quantity", DoubleType, nullable = false),
+      StructField("l_extendedprice", DoubleType, nullable = false),
+      StructField("l_discount", DoubleType, nullable = false),
+      StructField("l_returnflag", StringType, nullable = false),
+      StructField("l_shipdate", DateType, nullable = false)))
+    case "orders" => StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType, nullable = false),
+      StructField("o_totalprice", DoubleType, nullable = false),
+      StructField("o_orderdate", DateType, nullable = false),
+      StructField("o_orderpriority", StringType, nullable = false)))
+    case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
+  }
+
+  /** splitmix64: full-period mixer; (rowId, column ordinal) -> iid uniform
+    * 64-bit stream. Pure, so any partition regenerates any row. */
+  def mix(rowId: Long, salt: Long): Long = {
+    var z = rowId * 0x9E3779B97F4A7C15L + salt * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def u(rowId: Long, salt: Long, n: Long): Long =
+    java.lang.Long.remainderUnsigned(mix(rowId, salt), n)
+
+  /** 1995-01-01 .. 2001-08-01 in days-since-epoch (matches testdata span). */
+  private val dateLo = java.time.LocalDate.of(1995, 1, 1).toEpochDay.toInt
+  private val dateHi = java.time.LocalDate.of(2001, 8, 1).toEpochDay.toInt
+
+  private val flags = Array("A", "N", "R").map(UTF8String.fromString)
+  private val priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW").map(UTF8String.fromString)
+
+  /** Value of column `name` for global row `rowId` — money lands on cent
+    * values (up to IEEE representation) so a decimal(16,4) cast recovers
+    * the intended amount losslessly. */
+  def colValue(table: String, name: String, rowId: Long, sf: Double): Any =
+    (table, name) match {
+      case ("lineitem", "l_orderkey")   => u(rowId, 1, rowsFor("orders", sf)) + 1L
+      case ("lineitem", "l_partkey")    => u(rowId, 2, (200000L * sf).toLong.max(1L)) + 1L
+      case ("lineitem", "l_suppkey")    => u(rowId, 3, (10000L * sf).toLong.max(1L)) + 1L
+      case ("lineitem", "l_linenumber") => (u(rowId, 4, 7L) + 1L).toInt
+      case ("lineitem", "l_quantity")   => (u(rowId, 5, 50L) + 1L).toDouble
+      case ("lineitem", "l_extendedprice") => (u(rowId, 6, 9999900L) + 100L) / 100.0
+      case ("lineitem", "l_discount")   => u(rowId, 7, 11L) / 100.0
+      case ("lineitem", "l_returnflag") => flags(u(rowId, 8, 3L).toInt)
+      case ("lineitem", "l_shipdate")   => (dateLo + u(rowId, 9, (dateHi - dateLo).toLong)).toInt
+      case ("orders", "o_orderkey")     => rowId + 1L
+      case ("orders", "o_custkey")      => u(rowId, 11, (150000L * sf).toLong.max(1L)) + 1L
+      case ("orders", "o_totalprice")   => (u(rowId, 12, 49999900L) + 100L) / 100.0
+      case ("orders", "o_orderdate")    => (dateLo + u(rowId, 13, (dateHi - dateLo).toLong)).toInt
+      case ("orders", "o_orderpriority") => priorities(u(rowId, 14, 5L).toInt)
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
+    }
+}
+
+private class SynthTable(table: String, sf: Double, partitions: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"synth_${table}_sf$sf"
+  override def schema(): StructType = Synth.schemaFor(table)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(table, sf, partitions)
+}
+
+private class SynthScanBuilder(table: String, sf: Double, partitions: Int)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  private var required: StructType = Synth.schemaFor(table)
+  private var limit: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // partial pushdown: each partition stops after `limit` rows; Spark still
+  // applies the exact global limit above (hence `false`)
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; false }
+
+  override def build(): Scan =
+    new SynthScan(table, sf, partitions, required, limit)
+}
+
+private case class SynthInputPartition(start: Long, end: Long) extends InputPartition
+
+private class SynthScan(
+    table: String, sf: Double, partitions: Int,
+    required: StructType, limit: Long)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth $table sf=$sf cols=${required.fieldNames.mkString(",")}" +
+      (if (limit != Long.MaxValue) s" limit=$limit" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = Synth.rowsFor(table, sf)
+    val p = math.max(1, math.min(partitions.toLong, total)).toInt
+    (0 until p).map { i =>
+      val start = total * i / p
+      val end = total * (i + 1) / p
+      // guard the cap against Long overflow when no limit was pushed
+      val cap = if (limit >= end - start) end else start + limit
+      SynthInputPartition(start, cap)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SynthReaderFactory(table, sf, required.fieldNames.toSeq)
+}
+
+private case class SynthReaderFactory(table: String, sf: Double, cols: Seq[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val sp = partition.asInstanceOf[SynthInputPartition]
+    new PartitionReader[InternalRow] {
+      private var row = sp.start - 1
+      override def next(): Boolean = { row += 1; row < sp.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.map(c => Synth.colValue(table, c, row, sf)))
+      override def close(): Unit = ()
+    }
+  }
+}

