@@ -1761,6 +1761,45 @@ object Registry {
          |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
          |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
          |ORDER BY c.from_type, c.to_type""".stripMargin),
+    "source_lang_diversity" -> e(
+      ctx => extensions.Text.sourceLangDiversity(ctx).orderBy("source"),
+      s""", r_ld AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2)
+         |, r_lda AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    COUNT(*) AS n_langs, CAST(SUM(c * c) AS BIGINT) AS ss
+         |  FROM r_ld GROUP BY 1)
+         |, r_ldm AS (SELECT source, lang AS majority_lang, c AS mc FROM (
+         |    SELECT source, lang, c, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY c DESC, lang DESC) AS rn FROM r_ld) x WHERE rn = 1)
+         |SELECT a.source, a.n_docs, a.n_langs, m.majority_lang,
+         |  ${dv("m.mc", "a.n_docs")} AS majority_share,
+         |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
+         |FROM r_lda a JOIN r_ldm m ON a.source = m.source
+         |ORDER BY a.source""".stripMargin),
+    "events_anomaly_zscore" -> e(
+      ctx => extensions.Events.anomalyZscore(ctx).orderBy("event_type", "day_idx"),
+      """, r_az AS (SELECT event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day_idx,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |, r_azw AS (SELECT event_type, day_idx, n_events,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS w_sum,
+        |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS w_sumsq,
+        |    COUNT(n_events) OVER w AS w_cnt
+        |  FROM r_az
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |, r_azm AS (SELECT event_type, day_idx, n_events, w_cnt,
+        |    CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE) AS w_mean,
+        |    SQRT((CAST(w_sumsq AS DOUBLE)
+        |        - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+        |      / (CAST(w_cnt AS DOUBLE) - 1)) AS w_sd
+        |  FROM r_azw WHERE w_cnt >= 2)
+        |SELECT event_type, day_idx, n_events, w_cnt, w_mean, w_sd,
+        |  CASE WHEN w_sd = 0 THEN NULL
+        |    ELSE (CAST(n_events AS DOUBLE) - w_mean) / w_sd END AS z_score,
+        |  ABS(CASE WHEN w_sd = 0 THEN NULL
+        |    ELSE (CAST(n_events AS DOUBLE) - w_mean) / w_sd END) > 2 AS is_anomaly
+        |FROM r_azm ORDER BY event_type, day_idx""".stripMargin),
     "corpus_sample_weighted" -> e(
       ctx => extensions.Text.sampleWeighted(ctx).orderBy("source"),
       s"""SELECT source, COUNT(*) AS n_docs,

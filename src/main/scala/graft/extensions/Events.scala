@@ -58,6 +58,44 @@ object Events {
         dv(col("n_events"), col("type_total")).as("share_of_type"))
   }
 
+  /** Day-over-day volume anomaly detection: each (event_type, day)'s count
+    * z-scored against its own trailing week (ROWS BETWEEN 7 PRECEDING AND 1
+    * PRECEDING — the current day never contaminates its own baseline).
+    * The rolling mean/stddev come from exact BIGINT window sums (n, n²)
+    * pushed through the same exact-sums stddev form as Macros.stddevE, so
+    * both engines do identical IEEE arithmetic on identical integers. The
+    * window partitions on event_type — bounded by days-per-type, never a
+    * global sort; a constant baseline (sd = 0) yields a NULL z-score rather
+    * than ±Inf. */
+  def anomalyZscore(ctx: Ctx): DataFrame = {
+    val daily = events(ctx)
+      .groupBy(col("event_type"), expr("ts div 1000000000 div 86400").as("day_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(-7, -1)
+    val withSums = daily.select(
+        col("event_type"), col("day_idx"), col("n_events"),
+        sum(col("n_events")).over(w).as("w_sum"),
+        sum(col("n_events") * col("n_events")).over(w).as("w_sumsq"),
+        count(col("n_events")).over(w).as("w_cnt"))
+      .filter(col("w_cnt") >= 2)
+    val mean = dv(col("w_sum"), col("w_cnt"))
+    val sd = sqrt(
+      (col("w_sumsq").cast("double")
+        - col("w_sum").cast("double") * col("w_sum").cast("double")
+          / col("w_cnt").cast("double"))
+        / (col("w_cnt").cast("double") - 1))
+    withSums
+      .withColumn("w_mean", mean)
+      .withColumn("w_sd", sd)
+      .withColumn("z_score",
+        when(col("w_sd") === 0, lit(null))
+          .otherwise((col("n_events").cast("double") - col("w_mean")) / col("w_sd")))
+      .select(col("event_type"), col("day_idx"), col("n_events"),
+        col("w_cnt"), col("w_mean"), col("w_sd"), col("z_score"),
+        (abs(col("z_score")) > 2).as("is_anomaly"))
+  }
+
   /** JSON extraction from the props payload (get_json_object — codegen'd). */
   def jsonExtract(ctx: Ctx): DataFrame =
     events(ctx).select(

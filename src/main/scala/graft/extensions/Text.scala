@@ -377,6 +377,29 @@ object Text {
         ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
   }
 
+  /** Per-source language-mix profile: majority language and Gini impurity —
+    * the mixture signal corpus curation uses to spot mislabeled or
+    * aggregated feeds. Impurity is DELIBERATELY Gini (1 - Σp²) rather than
+    * entropy: it is a ratio of exact integers (n² - Σc²) / n², so both
+    * engines compute the identical double, whereas log() is a
+    * transcendental whose last ulp is library-dependent. Majority pick is
+    * max(struct(count, lang)) — one aggregate, deterministic tie-break, no
+    * window. Two bounded groupBys, both partial-aggregatable. */
+  def sourceLangDiversity(ctx: Ctx): DataFrame = {
+    val cnt = docs(ctx).groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    cnt.groupBy("source")
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("c"), col("lang"))).as("__m"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("__m.lang").as("majority_lang"),
+        dv(col("__m.c"), col("n_docs")).as("majority_share"),
+        dv(col("n_docs") * col("n_docs") - col("__ss"),
+          col("n_docs") * col("n_docs")).as("gini_impurity"))
+  }
+
   /** Vocabulary construction: every distinct token with its corpus term
     * frequency, document frequency, and a STABLE dense integer id — the
     * token-table pass of a tokenizer-training / feature-hashing pipeline.

@@ -110,6 +110,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinkIncremental: streamed rollup table == batch recompute, incl. a late update") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinc").toString
+    val target = s"$dir/rollup"
+    val mem = MemoryStream[Evt]
+    def hts(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val writer = Streams.sinkIncremental(
+      Streams.hourlyCounts(mem.toDF()), target, s"$dir/chk")
+    val q = writer.start()
+    try {
+      // batch 1: two hours of data
+      mem.addData(
+        Evt(1, hts(10, 0), 100, "view", 1.0),
+        Evt(2, hts(10, 30), 101, "view", 2.0),
+        Evt(3, hts(11, 0), 100, "click", 3.0))
+      q.processAllAvailable()
+      // batch 2: new hour + a LATE event updating hour 10 (inside watermark)
+      mem.addData(
+        Evt(4, hts(12, 0), 102, "view", 4.0),
+        Evt(5, hts(10, 45), 102, "view", 5.0))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(target)
+        .select(col("hour_epoch"), col("event_type"), col("n_events"),
+          col("total_value"))
+      // the batch truth over the same five events
+      val all = Seq(
+        (hts(10, 0), "view", 1.0), (hts(10, 30), "view", 2.0),
+        (hts(11, 0), "click", 3.0), (hts(12, 0), "view", 4.0),
+        (hts(10, 45), "view", 5.0)).toDF("ts", "event_type", "value")
+      val expected = all
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        .select(col("window.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+      assert(streamed.exceptAll(expected).isEmpty
+        && expected.exceptAll(streamed).isEmpty,
+        s"streamed:\n${streamed.collect().mkString("\n")}\nexpected:\n${expected.collect().mkString("\n")}")
+      // the late event REPLACED hour 10's view row (not appended beside it)
+      assert(streamed.filter(col("event_type") === "view"
+        && col("hour_epoch") === hts(10, 0).getTime / 1000).count() == 1)
+    } finally q.stop()
+  }
+
   test("statefulSessions: gap splits sessions via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
