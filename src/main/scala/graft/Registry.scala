@@ -1425,6 +1425,36 @@ object Registry {
         |  CAST(ROUND((e.vd - s.dmin) * 255 / NULLIF(s.dmax - s.dmin, 0), 0) AS INT) AS q
         |FROM r_qe e JOIN r_qs s ON e.idx = s.idx
         |ORDER BY vec_id, idx""".stripMargin),
+    "ann_quantized_recall" -> e(
+      ctx => extensions.Similarity.annQuantizedRecall(ctx).orderBy("query_id"),
+      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+         |, r_qre AS (SELECT vec_id, idx, CAST(embedding[idx + 1] AS DOUBLE) AS vd
+         |    FROM (SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS idx
+         |          FROM embeddings))
+         |, r_qrs AS (SELECT idx, MIN(vd) AS dmin, MAX(vd) AS dmax FROM r_qre GROUP BY 1)
+         |, r_qrr AS (SELECT e.vec_id, e.idx,
+         |    CASE WHEN s.dmax = s.dmin THEN s.dmin
+         |      ELSE s.dmin + ROUND((e.vd - s.dmin) * 255 / (s.dmax - s.dmin), 0)
+         |        * (s.dmax - s.dmin) / 255 END AS rd
+         |  FROM r_qre e JOIN r_qrs s ON e.idx = s.idx)
+         |, r_qrv AS (SELECT vec_id, list(rd ORDER BY idx) AS rv FROM r_qrr GROUP BY 1)
+         |, r_qx AS (SELECT query_id, cand_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${duckCos("a.ed", "b.ed")} DESC, b.vec_id) AS rn
+         |    FROM r_emb a JOIN r_emb b ON a.vec_id < 10 AND a.vec_id != b.vec_id) x
+         |  WHERE rn <= 5)
+         |, r_qv AS (SELECT query_id, cand_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${duckCos("a.rv", "b.rv")} DESC, b.vec_id) AS rn
+         |    FROM r_qrv a JOIN r_qrv b ON a.vec_id < 10 AND a.vec_id != b.vec_id) x
+         |  WHERE rn <= 5)
+         |SELECT e.query_id, COUNT(e.cand_id) AS n_exact, COUNT(q.cand_id) AS n_overlap,
+         |  ${dv("COUNT(q.cand_id)", "COUNT(e.cand_id)")} AS recall_at_k
+         |FROM r_qx e LEFT JOIN r_qv q
+         |  ON e.query_id = q.query_id AND e.cand_id = q.cand_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "label_centroids" -> e(
       ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
       """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,

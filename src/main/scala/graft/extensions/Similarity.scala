@@ -176,6 +176,53 @@ object Similarity {
           .cast("int").as("q"))
   }
 
+  /** Quantized-retrieval quality: recall@k of int8-reconstructed vectors
+    * against exact-float retrieval, per query — the measurement that
+    * decides whether a pipeline can serve ANN from 4x-smaller quantized
+    * embeddings. Reconstruction is the exact affine inverse of
+    * [[embeddingQuantize]] (identical IEEE ops in both engines; constant
+    * dims reconstruct to their single value); the reconstructed vector is
+    * reassembled in INDEX order (array_sort over (idx, value) structs —
+    * collect_list order is shuffle-dependent, the sort makes the fold
+    * deterministic) so the sequential cosine fold is bit-stable. Top-k on
+    * both sides uses the same (cosine desc, cand) total order; overlap and
+    * recall are exact-integer arithmetic. */
+  def annQuantizedRecall(ctx: Ctx, k: Int = 5): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    val rd = when(col("dmax") === col("dmin"), col("dmin"))
+      .otherwise(col("dmin")
+        + col("q").cast("double") * (col("dmax") - col("dmin")) / 255.0)
+    val rv = embeddingQuantize(ctx)
+      .select(col("vec_id"), col("idx"), rd.as("rd"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(idx, rd))), x -> x.rd)")
+        .as("rv"))
+    def topK(vecs: DataFrame, vcol: String): DataFrame = {
+      val qs = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col(vcol).as("qv"))
+      val cs = vecs.select(col("vec_id").as("cand_id"), col(vcol).as("cv"))
+      broadcast(qs).crossJoin(cs)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), cosine("qv", "cv").as("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+        .filter(col("rank") <= k)
+    }
+    val exact = topK(ctx.tbl("embeddings")
+      .select(col("vec_id"), col("embedding")), "embedding")
+    val quant = topK(rv, "rv")
+    exact.as("e")
+      .join(quant.as("qq"),
+        col("e.query_id") === col("qq.query_id")
+          && col("e.cand_id") === col("qq.cand_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(
+        count(col("e.cand_id")).as("n_exact"),
+        count(col("qq.cand_id")).as("n_overlap"))
+      .select(col("query_id"), col("n_exact"), col("n_overlap"),
+        dv(col("n_overlap"), col("n_exact")).as("recall_at_k"))
+  }
+
   /** Per-label centroids — the IVF coarse-quantizer building block: one
     * explode + per-(label, dim) mean, emitted as scalar (label, idx,
     * n_vectors, dim_mean) rows so the result is hashable and oracle-checked.
