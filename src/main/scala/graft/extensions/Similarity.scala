@@ -46,11 +46,19 @@ object Similarity {
   }
 
   /** 8-bit deterministic-hyperplane signature (random-projection LSH with a
-    * fixed integer weight grid w(i,j) = (i*31 + j*17) % 7 - 3). */
-  private def bucketExpr: Column = {
+    * fixed integer weight grid w(i,j) = (i*31 + j*17) % 7 - 3), via the
+    * native codegen'd [[graft.functions.LshSign]] — bit-identical to the
+    * interpreted HOF form it replaced (kept below for the parity spec). */
+  private def bucketExpr: Column = expr("lsh_sign(embedding)")
+
+  /** The original per-bit aggregate(transform(...)) HOF stack — interpreted
+    * by Catalyst (8 lambda folds + 8 intermediate arrays per row); retained
+    * solely so LshSignSpec can assert the native expression matches it
+    * exactly on real and adversarial inputs. */
+  private[graft] def bucketExprHof(arrCol: String): Column = {
     val bits = (0 until 8).map { j =>
-      val s = s"""aggregate(transform(sequence(0, size(embedding) - 1),
-                 |  i -> CAST(embedding[i] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+      val s = s"""aggregate(transform(sequence(0, size($arrCol) - 1),
+                 |  i -> CAST($arrCol[i] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
                  |  0D, (acc, v) -> acc + v)""".stripMargin
       when(expr(s) >= 0, "1").otherwise("0")
     }
@@ -63,6 +71,7 @@ object Similarity {
     * clusters peak near 0.5), keeping the result non-empty at every SF. */
   def annLshBuckets(ctx: Ctx): DataFrame = {
     graft.functions.CosineSim.register(ctx.spark)
+    graft.functions.LshSign.register(ctx.spark)
     val e = ctx.tbl("embeddings").select(
       col("vec_id"), col("embedding"), col("label"), bucketExpr.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
@@ -90,6 +99,7 @@ object Similarity {
     * the standard LSH recall trade-off, not an error. */
   def annKnnGraph(ctx: Ctx, k: Int = 3): DataFrame = {
     graft.functions.CosineSim.register(ctx.spark)
+    graft.functions.LshSign.register(ctx.spark)
     val e = ctx.tbl("embeddings")
       .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("ea"))

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the 8-bit deterministic-hyperplane LSH
+  * signature over a float/double array — the codegen'd replacement for the
+  * per-bit `aggregate(transform(sequence(...), i -> emb[i] * w(i,j)), 0D, +)`
+  * higher-order-function stack, which Catalyst evaluates interpreted (eight
+  * lambda-dispatched folds and eight intermediate arrays per row).
+  *
+  * BIT-IDENTICAL to the HOF form (and therefore to the DuckDB oracle's
+  * bucket CTE): for each bit j the dot product with the fixed integer
+  * weight grid w(i, j) = (i*31 + j*17) % 7 - 3 accumulates in ascending
+  * index order — the same sequential left fold — and the bit is '1' iff the
+  * sum >= 0 under the same primitive double comparison. A null element
+  * nulls every per-j HOF sum, whose `when(sum >= 0, ...)` then falls
+  * through to '0' — mirrored here as an all-'0' signature.
+  */
+case class LshSign(child: Expression, bits: Int = 8)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_sign"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> argument, got " +
+        other.catalogString)
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) {
+      if (arr.isNullAt(i)) anyNull = true
+      i += 1
+    }
+    val out = new Array[Char](bits)
+    var j = 0
+    while (j < bits) {
+      if (anyNull) out(j) = '0'
+      else {
+        var s = 0.0
+        var k = 0
+        while (k < n) {
+          val x = if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
+          s += x * ((k * 31 + j * 17) % 7 - 3).toDouble
+          k += 1
+        }
+        out(j) = if (s >= 0.0) '1' else '0'
+      }
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val anyNull = ctx.freshName("anyNull")
+      val chars = ctx.freshName("chars")
+      val get = if (isFloat) s"(double) $a.getFloat($k)" else s"$a.getDouble($k)"
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($a.isNullAt($i)) $anyNull = true;
+         |}
+         |final char[] $chars = new char[$bits];
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($anyNull) { $chars[$j] = '0'; continue; }
+         |  double $s = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $s += ($get) * (double) (($k * 31 + $j * 17) % 7 - 3);
+         |  }
+         |  $chars[$j] = $s >= 0.0 ? '1' : '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  new String($chars));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSign =
+    copy(child = newChild)
+}
+
+object LshSign {
+  /** Register `lsh_sign(arr)` for SQL text / expr(...). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sign",
+      exprs => LshSign(exprs.head),
+      "built-in")
+}
