@@ -1805,6 +1805,24 @@ object Registry {
          |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
          |FROM r_lda a JOIN r_ldm m ON a.source = m.source
          |ORDER BY a.source""".stripMargin),
+    "events_retention_triangle" -> e(
+      ctx => extensions.Events.retentionTriangle(ctx)
+        .orderBy("cohort_day", "day_offset"),
+      """, r_rd AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day_idx
+        |  FROM events)
+        |, r_rf AS (SELECT user_id, MIN(day_idx) AS cohort_day FROM r_rd GROUP BY 1)
+        |, r_rs AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_users
+        |    FROM r_rf GROUP BY 1)
+        |, r_ra AS (SELECT f.cohort_day, d.day_idx - f.cohort_day AS day_offset,
+        |    COUNT(DISTINCT d.user_id) AS active_users
+        |  FROM r_rd d JOIN r_rf f ON d.user_id = f.user_id
+        |  WHERE d.day_idx - f.cohort_day <= 13
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_users,
+        |  (CAST(a.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)) AS retention_rate
+        |FROM r_ra a JOIN r_rs s ON a.cohort_day = s.cohort_day
+        |ORDER BY a.cohort_day, a.day_offset""".stripMargin),
     "events_anomaly_zscore" -> e(
       ctx => extensions.Events.anomalyZscore(ctx).orderBy("event_type", "day_idx"),
       """, r_az AS (SELECT event_type,

@@ -96,6 +96,34 @@ object Events {
         (abs(col("z_score")) > 2).as("is_anomaly"))
   }
 
+  /** Cohort retention triangle over event users — each user's cohort is
+    * their first-seen day; cell (cohort_day, offset) holds the fraction of
+    * that cohort active offset days later (the product-analytics DAU
+    * retention matrix; the customer-side twin is
+    * `metrics_customer_retention` on monthly order cohorts). Three
+    * partial-aggregatable shuffles, all keyed on user_id or the bounded
+    * (cohort, offset) pair — no window, no skew exposure beyond the user
+    * key itself. Offsets capped at `maxOffset` (output stays
+    * days × offsets small at any event volume). */
+  def retentionTriangle(ctx: Ctx, maxOffset: Int = 13): DataFrame = {
+    val days = events(ctx)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day_idx"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day_idx").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_users"))
+    days.join(first, Seq("user_id"))
+      .select(col("cohort_day"),
+        (col("day_idx") - col("cohort_day")).as("day_offset"), col("user_id"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        dv(col("active_users"), col("cohort_users")).as("retention_rate"))
+  }
+
   /** JSON extraction from the props payload (get_json_object — codegen'd). */
   def jsonExtract(ctx: Ctx): DataFrame =
     events(ctx).select(
