@@ -82,6 +82,22 @@ object Bench {
         nEvents / ((System.nanoTime() - ts) / 1e9)
       } catch { case _: Throwable => -1.0 }
 
+    // synthetic-source throughput: SF1 lineitem (6M rows) generated on the
+    // fly through the graft-synth DSv2 source and aggregated — the
+    // zero-storage bench path (generator + whole-stage agg, no disk)
+    val synthRate =
+      try {
+        val n = 6000000L
+        val t = System.nanoTime()
+        spark.read.format("graft-synth")
+          .option("table", "lineitem").option("sf", "1")
+          .option("partitions", cpus)
+          .load()
+          .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+          .collect()
+        n / ((System.nanoTime() - t) / 1e9)
+      } catch { case _: Throwable => -1.0 }
+
     Store.clear(spark) // cold build: nothing reused from the query loop
     val buildDir =
       java.nio.file.Files.createTempDirectory("graft_bench_build").toString
@@ -108,7 +124,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}"""
     println(s"BENCH_DETAIL: $detail")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -123,7 +139,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { shown += entry; used += entry.length + 1 }
     }
     val compactQs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}""")
     spark.stop()
   }
 }
