@@ -534,11 +534,24 @@ object Text {
           Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nbr_label").as("nbr_min"))
+      // pointer jumping: each round also adopts the CURRENT label of its
+      // label (every label value is itself a node — labels are min doc ids
+      // — so the self-join always hits). Plain neighbour-min propagation
+      // needs O(diameter) rounds — a 100-doc duplication chain is 100
+      // shuffles; with the jump the label chain halves every round,
+      // O(log diameter). Same fixpoint: labels only ever decrease, bounded
+      // below by the component minimum, so acceleration cannot change the
+      // converged result (the recursive-CTE oracle pins it).
+      val jump = labels.select(
+        col("doc_id").as("label"), col("label").as("__lbl2"))
       // carry the previous label through so convergence is a filter on the
       // materialized result, not an extra join per round
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .join(jump, Seq("label"))
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          least(col("__lbl2"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))))
+            .as("label"),
           col("label").as("__prev"))
         .persist()
       // count(), not isEmpty: a take-1 probe would materialize only part of
