@@ -1805,6 +1805,61 @@ object Registry {
          |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
          |FROM r_lda a JOIN r_ldm m ON a.source = m.source
          |ORDER BY a.source""".stripMargin),
+    "dedup_minhash_recall" -> e(
+      ctx => extensions.Text.minhashRecall(ctx),
+      s"""$duckTokCtes
+         |, r_mrs AS (SELECT doc_id FROM documents
+         |    WHERE substr(md5('rsample|' || CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+         |, r_msh AS (SELECT s.doc_id, s.shingle FROM r_sh s
+         |    JOIN r_mrs m ON s.doc_id = m.doc_id)
+         |, r_msz AS (SELECT doc_id, COUNT(*) AS sz FROM r_msh GROUP BY 1)
+         |, r_mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |    FROM r_msh a JOIN r_msh b
+         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2)
+         |, r_mtruth AS (SELECT i.doc_a, i.doc_b FROM r_mi i
+         |    JOIN r_msz za ON i.doc_a = za.doc_id
+         |    JOIN r_msz zb ON i.doc_b = zb.doc_id
+         |    WHERE ${dv("i.i", "(za.sz + zb.sz - i.i)")} >= 0.5)
+         |, r_msig AS (SELECT doc_id,
+         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+         |  FROM r_sh GROUP BY 1)
+         |, r_mbands AS (
+         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_msig
+         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_msig
+         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_msig
+         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_msig)
+         |, r_mdet AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM r_mbands a
+         |    JOIN r_mbands b ON a.band_idx = b.band_idx
+         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |    JOIN r_mrs sa ON a.doc_id = sa.doc_id
+         |    JOIN r_mrs sb ON b.doc_id = sb.doc_id)
+         |SELECT COUNT(*) AS n_true_pairs,
+         |  CAST(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_detected,
+         |  ${dv("SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)",
+               "NULLIF(COUNT(*), 0)")} AS recall
+         |FROM r_mtruth t
+         |LEFT JOIN r_mdet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b""".stripMargin),
+    "customer_order_gaps" -> e(
+      ctx => extensions.Analytics.customerOrderGaps(ctx).orderBy("segment"),
+      s""", r_og AS (SELECT o.customer_key,
+         |    datediff('day', LAG(o.order_date) OVER w, o.order_date) AS gap_days,
+         |    c.customer_market_segment_name AS segment
+         |  FROM base_orders o JOIN base_customer c
+         |    ON o.customer_key = c.customer_key
+         |  WINDOW w AS (PARTITION BY o.customer_key
+         |    ORDER BY o.order_date, o.order_key))
+         |SELECT segment,
+         |  COUNT(DISTINCT CASE WHEN gap_days IS NOT NULL THEN customer_key END)
+         |    AS repeat_customers,
+         |  COUNT(gap_days) AS n_gaps,
+         |  ${dv("SUM(gap_days)", "COUNT(gap_days)")} AS avg_gap_days,
+         |  MIN(gap_days) AS min_gap_days,
+         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days) AS median_gap_days,
+         |  MAX(gap_days) AS max_gap_days
+         |FROM r_og GROUP BY 1 ORDER BY 1""".stripMargin),
     "events_retention_triangle" -> e(
       ctx => extensions.Events.retentionTriangle(ctx)
         .orderBy("cohort_day", "day_offset"),

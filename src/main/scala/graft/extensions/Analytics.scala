@@ -141,6 +141,35 @@ object Analytics {
       .withColumn("order_amount", col("order_amount").cast("double"))
   }
 
+  /** Inter-purchase interval distribution per market segment: the gap in
+    * days between each customer's consecutive orders (lag over the bounded
+    * per-customer partition — the §2.5 inter-event-interval shape), rolled
+    * up to segment-level count/avg/min/median/max. Dates subtract to exact
+    * integers, the average is a ratio of exact sums, and percentile_cont
+    * sorts only each segment's own gaps — never a global order. */
+  def customerOrderGaps(ctx: Ctx): DataFrame = {
+    val w = Window.partitionBy("customer_key")
+      .orderBy(col("order_date"), col("order_key"))
+    val gaps = Ods.orders(ctx)
+      .select(col("customer_key"), col("order_key"), col("order_date"))
+      .withColumn("gap_days",
+        datediff(col("order_date"), lag(col("order_date"), 1).over(w)))
+      .join(Wh.dimCustomer(ctx)
+        .select(col("customer_key"),
+          col("customer_market_segment_name").as("segment")),
+        Seq("customer_key"))
+    gaps.groupBy("segment")
+      .agg(
+        countDistinct(when(col("gap_days").isNotNull, col("customer_key")))
+          .as("repeat_customers"),
+        count(col("gap_days")).as("n_gaps"),
+        dv(sum(col("gap_days")), count(col("gap_days"))).as("avg_gap_days"),
+        min(col("gap_days")).as("min_gap_days"),
+        expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY gap_days)")
+          .as("median_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
+
   /** Per-customer spend with PERCENT_RANK / CUME_DIST over the whole
     * customer population — the textbook single-partition global window,
     * rebuilt on [[graft.operators.Scale.globalOrder]]'s two-phase row

@@ -188,6 +188,45 @@ object Text {
         (dv(inter, nullifZero(union)) >= 0.5).as("is_near_duplicate"))
   }
 
+  /** LSH recall evaluation — does the 4-band/16-signature MinHash scheme
+    * actually find the near-duplicates it should? On a deterministic
+    * 1/4 sample of documents (md5-prefix draw, the honest way to ground-
+    * truth at scale: exact all-pairs Jaccard is quadratic, so you audit a
+    * sample, never the corpus), compute every true pair (exact Jaccard
+    * >= 0.5 via the shingle-postings join) and check which of them the
+    * banded LSH candidate stage surfaced. One summary row: true pairs,
+    * detected pairs, recall. The eval harness every dedup deployment runs
+    * before trusting its bands. */
+  def minhashRecall(ctx: Ctx): DataFrame = {
+    val sampled = docs(ctx).select(col("doc_id"))
+      .filter(substring(
+        md5(concat(lit("rsample|"), col("doc_id").cast("string"))), 1, 1) < "4")
+    val sh = shingleArr(ctx).join(sampled, Seq("doc_id"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(dv(col("inter"),
+        col("sz_a") + col("sz_b") - col("inter")) >= 0.5)
+      .select("doc_a", "doc_b")
+    val detected = dedupMinhashLsh(ctx)
+      .filter(col("is_near_duplicate"))
+      .join(sampled.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(sampled.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("det"))
+    truth.join(detected, Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("det"), lit(0L))).as("n_detected"),
+        dv(sum(coalesce(col("det"), lit(0L))),
+          nullifZero(count(lit(1)))).as("recall"))
+  }
+
   /** Per-doc 16-bit simhash signature (md5-derived per-token bit votes),
     * memoized and persisted per (session, sfDir): the signature relation is
     * tiny (one short string per doc) but costs a full token explode + 16-vote
