@@ -1805,6 +1805,34 @@ object Registry {
          |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
          |FROM r_lda a JOIN r_ldm m ON a.source = m.source
          |ORDER BY a.source""".stripMargin),
+    "events_hourly_seasonality" -> e(
+      ctx => extensions.Events.hourlySeasonality(ctx)
+        .orderBy("event_type", "hour_of_day"),
+      s""", r_hs AS (SELECT event_type,
+         |    CAST(epoch_ns(ts) // 1000000000 // 3600 % 24 AS BIGINT) AS hour_of_day,
+         |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS unique_users
+         |  FROM events GROUP BY 1, 2)
+         |, r_hst AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS type_total
+         |    FROM r_hs GROUP BY 1)
+         |SELECT s.event_type, s.hour_of_day, s.n_events, s.unique_users,
+         |  ${dv("s.n_events", "t.type_total")} AS share_of_type
+         |FROM r_hs s JOIN r_hst t ON s.event_type = t.event_type
+         |ORDER BY 1, 2""".stripMargin),
+    "order_weekday_profile" -> e(
+      ctx => extensions.Analytics.orderWeekdayProfile(ctx).orderBy("weekday_idx"),
+      s""", r_wd AS (SELECT
+         |    CAST((date_diff('day', DATE '1970-01-01', order_date) + 4) % 7 AS INT)
+         |      AS weekday_idx,
+         |    order_amount
+         |  FROM base_orders)
+         |, r_wda AS (SELECT weekday_idx, COUNT(*) AS n_orders,
+         |    SUM(order_amount) AS rev FROM r_wd GROUP BY 1)
+         |, r_wdt AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS all_orders,
+         |    SUM(rev) AS all_rev FROM r_wda)
+         |SELECT w.weekday_idx, w.n_orders, CAST(w.rev AS DOUBLE) AS revenue,
+         |  ${dv("w.n_orders", "t.all_orders")} AS order_share,
+         |  ${dv("w.rev", "t.all_rev")} AS revenue_share
+         |FROM r_wda w CROSS JOIN r_wdt t ORDER BY 1""".stripMargin),
     "dedup_minhash_recall" -> e(
       ctx => extensions.Text.minhashRecall(ctx),
       s"""$duckTokCtes

@@ -141,6 +141,32 @@ object Analytics {
       .withColumn("order_amount", col("order_amount").cast("double"))
   }
 
+  /** Order volume and revenue by day of week. The weekday index is pure
+    * integer arithmetic on the epoch day — (days_since_1970 + 4) % 7 with
+    * 0 = Sunday (1970-01-01 was a Thursday) — because the engines' own
+    * weekday functions disagree on numbering (Spark dayofweek is 1-based
+    * Sunday, DuckDB dayofweek is 0-based Sunday) and calendar functions
+    * are exactly the cross-engine seam to avoid. Exact-decimal revenue,
+    * shares as ratios of exact sums. */
+  def orderWeekdayProfile(ctx: Ctx): DataFrame = {
+    val byDay = Ods.orders(ctx)
+      .select(
+        ((datediff(col("order_date"), to_date(lit("1970-01-01"))) + 4) % 7)
+          .as("weekday_idx"),
+        col("order_key"), col("order_amount"))
+      .groupBy("weekday_idx")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("order_amount")).as("rev"))
+    val tot = byDay.agg(
+      sum(col("n_orders")).as("all_orders"), sum(col("rev")).as("all_rev"))
+    byDay.crossJoin(broadcast(tot))
+      .select(col("weekday_idx"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        dv(col("n_orders"), col("all_orders")).as("order_share"),
+        dv(col("rev"), col("all_rev")).as("revenue_share"))
+  }
+
   /** Inter-purchase interval distribution per market segment: the gap in
     * days between each customer's consecutive orders (lag over the bounded
     * per-customer partition — the §2.5 inter-event-interval shape), rolled

@@ -96,6 +96,26 @@ object Events {
         (abs(col("z_score")) > 2).as("is_anomaly"))
   }
 
+  /** Hour-of-day seasonality profile per event type — the cyclical load
+    * curve capacity planning reads. Hour index is pure integer arithmetic
+    * on the epoch second (no timezone/calendar functions to diverge across
+    * engines); share-of-type is a ratio of exact counts via an aggregate +
+    * join over the ≤ 24 × types rows. One partial-aggregatable shuffle. */
+  def hourlySeasonality(ctx: Ctx): DataFrame = {
+    val byHour = events(ctx)
+      .groupBy(col("event_type"),
+        expr("ts div 1000000000 div 3600 % 24").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("unique_users"))
+    val totals = byHour.groupBy("event_type")
+      .agg(sum(col("n_events")).as("type_total"))
+    byHour.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("hour_of_day"), col("n_events"),
+        col("unique_users"),
+        dv(col("n_events"), col("type_total")).as("share_of_type"))
+  }
+
   /** Cohort retention triangle over event users — each user's cohort is
     * their first-seen day; cell (cohort_day, offset) holds the fraction of
     * that cohort active offset days later (the product-analytics DAU
