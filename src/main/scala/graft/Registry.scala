@@ -1805,6 +1805,53 @@ object Registry {
          |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
          |FROM r_lda a JOIN r_ldm m ON a.source = m.source
          |ORDER BY a.source""".stripMargin),
+    "events_session_cooccurrence" -> e(
+      ctx => extensions.Events.sessionCooccurrence(ctx).orderBy("type_a", "type_b"),
+      s""", r_cse AS (SELECT user_id, event_id, event_type,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec FROM events)
+         |, r_csf AS (SELECT *, CASE WHEN LAG(ts_sec) OVER w IS NULL
+         |      OR ts_sec - LAG(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+         |  FROM r_cse WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+         |, r_css AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY ts_sec, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM r_csf)
+         |, r_cst AS (SELECT DISTINCT user_id, session_idx, event_type FROM r_css)
+         |, r_csn AS (SELECT COUNT(*) AS n_sessions FROM
+         |    (SELECT DISTINCT user_id, session_idx FROM r_cst) x)
+         |, r_csc AS (SELECT event_type, COUNT(*) AS type_sessions
+         |    FROM r_cst GROUP BY 1)
+         |, r_csp AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    COUNT(*) AS pair_sessions
+         |  FROM r_cst a JOIN r_cst b ON a.user_id = b.user_id
+         |    AND a.session_idx = b.session_idx AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT p.type_a, p.type_b, p.pair_sessions,
+         |  ca.type_sessions AS a_sessions, cb.type_sessions AS b_sessions,
+         |  n.n_sessions,
+         |  ${dv("p.pair_sessions", "n.n_sessions")} AS support,
+         |  ${dv("p.pair_sessions * n.n_sessions",
+              "ca.type_sessions * cb.type_sessions")} AS lift
+         |FROM r_csp p
+         |JOIN r_csc ca ON p.type_a = ca.event_type
+         |JOIN r_csc cb ON p.type_b = cb.event_type
+         |CROSS JOIN r_csn n
+         |ORDER BY 1, 2""".stripMargin),
+    "events_sliding_rates" -> e(
+      ctx => extensions.Events.slidingRates(ctx)
+        .orderBy("event_type", "window_start"),
+      s""", r_sr AS (SELECT event_type,
+         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+         |    UNNEST(range(4)) AS k
+         |  FROM events)
+         |, r_sr2 AS (SELECT event_type,
+         |    (sec // 900 * 900) - k * 900 AS window_start FROM r_sr)
+         |, r_sr3 AS (SELECT event_type, window_start, COUNT(*) AS n_events
+         |    FROM r_sr2 GROUP BY 1, 2)
+         |SELECT event_type, CAST(window_start AS BIGINT) AS window_start,
+         |  CAST(window_start + 3600 AS BIGINT) AS window_end, n_events,
+         |  ${dv("n_events", "60")} AS events_per_minute
+         |FROM r_sr3 ORDER BY 1, 2""".stripMargin),
     "events_hourly_seasonality" -> e(
       ctx => extensions.Events.hourlySeasonality(ctx)
         .orderBy("event_type", "hour_of_day"),

@@ -168,11 +168,13 @@ object Events {
   /** Gap-based sessionization (30-minute inactivity): lag -> boundary flag ->
     * running session index -> per-session rollup. The batch twin of
     * session_window / flatMapGroupsWithState in Streams. */
-  def sessionize(ctx: Ctx, gapSeconds: Int = 1800): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    val flagged = events(ctx)
-      .select(col("user_id"), col("event_id"), tsSec.as("ts_sec"),
+  /** Event-level session assignment (gap rule, lag + prefix-sum per user
+    * partition) — shared base of [[sessionize]] and [[sessionCooccurrence]];
+    * the unused columns prune away per consumer. */
+  private def sessionAssigned(ctx: Ctx, gapSeconds: Int = 1800): DataFrame =
+    events(ctx)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec.as("ts_sec"),
         col("value").cast("decimal(18,6)").as("value_d"))
       .withColumn("prev_ts", lag("ts_sec", 1).over(
         Window.partitionBy("user_id").orderBy("ts_sec", "event_id")))
@@ -184,6 +186,9 @@ object Events {
           Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
             .rowsBetween(Window.unboundedPreceding, 0)))
       .drop("prev_ts", "is_new_session")
+
+  def sessionize(ctx: Ctx, gapSeconds: Int = 1800): DataFrame = {
+    val flagged = sessionAssigned(ctx, gapSeconds)
     flagged.groupBy("user_id", "session_idx").agg(
       count(lit(1)).as("n_events"),
       min("ts_sec").as("session_start_epoch"),
@@ -191,6 +196,65 @@ object Events {
       (max("ts_sec") - min("ts_sec")).as("duration_seconds"),
       sum("value_d").cast("double").as("session_value"))
   }
+
+  /** Session-level event-type co-occurrence with lift — association mining
+    * over behavioural sessions (the event-stream analogue of
+    * `int_market_basket`): which event types appear together in one
+    * session more than independence predicts. Same basket-explosion shape
+    * as the market basket — one aggregate per session + in-row i<j pair
+    * expansion (type sets are bounded by the type domain, so the explosion
+    * is O(|types|²) per session, data-size independent); lift is a ratio
+    * of exact integer products. */
+  def sessionCooccurrence(ctx: Ctx): DataFrame = {
+    val st = sessionAssigned(ctx)
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .distinct()
+    val nSessions = st.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = st.groupBy("event_type")
+      .agg(count(lit(1)).as("type_sessions"))
+    val pairs = st
+      .groupBy("user_id", "session_idx")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """CASE WHEN size(ts) >= 2
+          |  THEN flatten(transform(sequence(0, size(ts) - 2),
+          |    i -> transform(sequence(i + 1, size(ts) - 1),
+          |      j -> named_struct('type_a', ts[i], 'type_b', ts[j]))))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("pair_sessions"))
+    pairs
+      .join(typeCounts.select(col("event_type").as("type_a"),
+        col("type_sessions").as("a_sessions")), Seq("type_a"))
+      .join(typeCounts.select(col("event_type").as("type_b"),
+        col("type_sessions").as("b_sessions")), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("pair_sessions"),
+        col("a_sessions"), col("b_sessions"), col("n_sessions"),
+        dv(col("pair_sessions"), col("n_sessions")).as("support"),
+        dv(col("pair_sessions") * col("n_sessions"),
+          col("a_sessions") * col("b_sessions")).as("lift"))
+  }
+
+  /** Batch twin of the STREAMING sliding window (Streams.slidingRates —
+    * 1-hour windows sliding every 15 minutes): each event belongs to
+    * exactly four overlapping windows, generated by an in-row explode of
+    * the four offsets (map-side; no self-join against a window spine), then
+    * one partial-aggregatable groupBy. Proves the streaming window
+    * semantics have an oracle-checkable batch equivalent. */
+  def slidingRates(ctx: Ctx): DataFrame =
+    events(ctx)
+      .select(col("event_type"), tsSec.as("sec"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .select(col("event_type"),
+        (expr("sec div 900 * 900") - col("k") * 900).as("window_start"))
+      .groupBy("event_type", "window_start")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("window_start"),
+        (col("window_start") + 3600).as("window_end"), col("n_events"),
+        dv(col("n_events"), lit(60)).as("events_per_minute"))
 
   /** Per-type daily funnel: view -> click -> purchase conversion by day —
     * conditional aggregation over the event stream. */
