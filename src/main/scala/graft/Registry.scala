@@ -1805,6 +1805,40 @@ object Registry {
          |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
          |FROM r_lda a JOIN r_ldm m ON a.source = m.source
          |ORDER BY a.source""".stripMargin),
+    "supplier_portfolio_overlap" -> e(
+      ctx => extensions.Analytics.supplierPortfolioOverlap(ctx)
+        .orderBy("supplier_a", "supplier_b"),
+      s""", r_spp AS (SELECT DISTINCT supplier_key, part_key FROM o_ps)
+         |, r_spz AS (SELECT supplier_key, COUNT(*) AS n_parts
+         |    FROM r_spp GROUP BY 1)
+         |, r_spi AS (SELECT a.supplier_key AS supplier_a,
+         |    b.supplier_key AS supplier_b, COUNT(*) AS shared_parts
+         |  FROM r_spp a JOIN r_spp b
+         |    ON a.part_key = b.part_key AND a.supplier_key < b.supplier_key
+         |  GROUP BY 1, 2)
+         |SELECT i.supplier_a, i.supplier_b, i.shared_parts,
+         |  za.n_parts AS parts_a, zb.n_parts AS parts_b,
+         |  ${dv("i.shared_parts", "(za.n_parts + zb.n_parts - i.shared_parts)")}
+         |    AS portfolio_jaccard
+         |FROM r_spi i
+         |JOIN r_spz za ON i.supplier_a = za.supplier_key
+         |JOIN r_spz zb ON i.supplier_b = zb.supplier_key
+         |ORDER BY 1, 2""".stripMargin),
+    "date_spine" -> e(
+      ctx => extensions.Analytics.dateSpine(ctx).orderBy("date_day"),
+      """, r_dsb AS (SELECT MIN(order_date) AS lo, MAX(order_date) AS hi
+        |    FROM base_orders)
+        |, r_dsd AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS date_day FROM r_dsb)
+        |SELECT date_day,
+        |  CAST(EXTRACT(YEAR FROM date_day) AS INT) AS year,
+        |  CAST(EXTRACT(QUARTER FROM date_day) AS INT) AS quarter,
+        |  CAST(EXTRACT(MONTH FROM date_day) AS INT) AS month,
+        |  CAST(EXTRACT(DAY FROM date_day) AS INT) AS day_of_month,
+        |  CAST((date_diff('day', DATE '1970-01-01', date_day) + 4) % 7 AS INT)
+        |    AS weekday_idx,
+        |  CAST(date_trunc('month', date_day) AS DATE) AS month_start
+        |FROM r_dsd ORDER BY date_day""".stripMargin),
     "events_session_cooccurrence" -> e(
       ctx => extensions.Events.sessionCooccurrence(ctx).orderBy("type_a", "type_b"),
       s""", r_cse AS (SELECT user_id, event_id, event_type,

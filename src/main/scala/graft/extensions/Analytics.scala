@@ -141,6 +141,55 @@ object Analytics {
       .withColumn("order_amount", col("order_amount").cast("double"))
   }
 
+  /** Pairwise supplier PORTFOLIO overlap: Jaccard between each supplier
+    * pair's part catalogues via a part-postings equi-join (each part meets
+    * only its own suppliers — never supplier × supplier), the procurement
+    * view of "which suppliers are substitutes". Same postings shape as
+    * `source_similarity`; fan-out is bounded by suppliers-per-part, and the
+    * [[graft.functions.MinHashSketch]] aggregate is the drop-in at a scale
+    * where exact postings get dense. */
+  def supplierPortfolioOverlap(ctx: Ctx): DataFrame = {
+    val sp = Ods.partsSuppliers(ctx)
+      .select(col("supplier_key"), col("part_key")).distinct()
+    val sizes = sp.groupBy("supplier_key").agg(count(lit(1)).as("n_parts"))
+    val inter = sp.select(col("part_key"), col("supplier_key").as("supplier_a"))
+      .join(sp.select(col("part_key"), col("supplier_key").as("supplier_b")),
+        Seq("part_key"))
+      .filter(col("supplier_a") < col("supplier_b"))
+      .groupBy("supplier_a", "supplier_b")
+      .agg(count(lit(1)).as("shared_parts"))
+    inter
+      .join(sizes.select(col("supplier_key").as("supplier_a"),
+        col("n_parts").as("parts_a")), Seq("supplier_a"))
+      .join(sizes.select(col("supplier_key").as("supplier_b"),
+        col("n_parts").as("parts_b")), Seq("supplier_b"))
+      .select(col("supplier_a"), col("supplier_b"), col("shared_parts"),
+        col("parts_a"), col("parts_b"),
+        dv(col("shared_parts"),
+          col("parts_a") + col("parts_b") - col("shared_parts"))
+          .as("portfolio_jaccard"))
+  }
+
+  /** Calendar dimension generated from the fact's own date bounds — the
+    * dbt_utils.date_spine twin (a generated day spine joined against facts
+    * is how warehouse models densify sparse dates). One row per day via
+    * sequence() explode off a scalar min/max aggregate; weekday comes from
+    * epoch-day arithmetic (see [[orderWeekdayProfile]] for why not
+    * dayofweek), year/month/quarter/day are standard EXTRACT semantics
+    * both engines share. */
+  def dateSpine(ctx: Ctx): DataFrame =
+    Ods.orders(ctx)
+      .agg(min(col("order_date")).as("lo"), max(col("order_date")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("date_day"))
+      .select(col("date_day"),
+        year(col("date_day")).as("year"),
+        quarter(col("date_day")).as("quarter"),
+        month(col("date_day")).as("month"),
+        dayofmonth(col("date_day")).as("day_of_month"),
+        ((datediff(col("date_day"), to_date(lit("1970-01-01"))) + 4) % 7)
+          .as("weekday_idx"),
+        trunc(col("date_day"), "month").as("month_start"))
+
   /** Order volume and revenue by day of week. The weekday index is pure
     * integer arithmetic on the epoch day — (days_since_1970 + 4) % 7 with
     * 0 = Sunday (1970-01-01 was a Thursday) — because the engines' own
