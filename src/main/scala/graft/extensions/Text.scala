@@ -550,60 +550,11 @@ object Text {
     val pairs = dedupMinhashLsh(ctx)
       .filter(col("is_near_duplicate"))
       .select("doc_a", "doc_b")
-    val edges = graft.Store.track(ctx.spark, pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
-      .persist())
-    // `persisted` is always the DataFrame .persist() was called on — the
-    // round's `labels` is a Project over it, whose unpersist would be a
-    // no-op (non-cascading, not sameResult with the cached plan)
-    // round 0 folds the first propagation into the node-set aggregate:
-    // label(doc) = min(doc, min neighbour) — same single shuffle a distinct
-    // would cost, one fewer fixpoint round
-    var persisted = edges
-      .groupBy(col("doc_a"))
-      .agg(least(col("doc_a"), min(col("doc_b"))).as("label"))
-      .select(col("doc_a").as("doc_id"), col("label"))
-      .persist()
-    var labels = persisted
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")),
-          Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("nbr_label").as("nbr_min"))
-      // pointer jumping: each round also adopts the CURRENT label of its
-      // label (every label value is itself a node — labels are min doc ids
-      // — so the self-join always hits). Plain neighbour-min propagation
-      // needs O(diameter) rounds — a 100-doc duplication chain is 100
-      // shuffles; with the jump the label chain halves every round,
-      // O(log diameter). Same fixpoint: labels only ever decrease, bounded
-      // below by the component minimum, so acceleration cannot change the
-      // converged result (the recursive-CTE oracle pins it).
-      val jump = labels.select(
-        col("doc_id").as("label"), col("label").as("__lbl2"))
-      // carry the previous label through so convergence is a filter on the
-      // materialized result, not an extra join per round
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .join(jump, Seq("label"))
-        .select(col("doc_id"),
-          least(col("__lbl2"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))))
-            .as("label"),
-          col("label").as("__prev"))
-        .persist()
-      // count(), not isEmpty: a take-1 probe would materialize only part of
-      // next's cache, and unpersisting the predecessor below would then
-      // force the uncomputed partitions to re-derive the whole lineage
-      // chain on the following round — the full scan pins every partition
-      // of next BEFORE its parent cache is dropped
-      converged = next.filter(col("label") =!= col("__prev")).count() == 0L
-      persisted.unpersist()
-      persisted = next
-      labels = next.drop("__prev")
-    }
-    graft.Store.track(ctx.spark, persisted)
+    // min-label propagation with pointer jumping + per-round lineage cuts:
+    // graft.operators.Components. The fixpoint (per-component min doc_id)
+    // is what the recursive-CTE oracle pins.
+    val labels = graft.operators.Components.labels(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node_id", "doc_id")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
