@@ -1164,6 +1164,23 @@ object Registry {
   private def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
+  // language-ID vote expressions shared by the lang_confusion oracle (same
+  // stopword lists as text_language_id)
+  private val duckLangPred = {
+    val en = "len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))"
+    val de = "len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))"
+    val fr = "len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))"
+    s"CASE WHEN $en >= $de AND $en >= $fr THEN 'en' WHEN $de >= $fr THEN 'de' ELSE 'fr' END"
+  }
+  // composite quality score shared by the corpus_token_budget oracle (same
+  // arithmetic as text_quality)
+  private val duckQualityScore = {
+    val stopR = dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")
+    val punctR = dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")
+    val digitR = dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")
+    s"($stopR * 0.5 + (1 - $punctR) * 0.3 + (1 - $digitR) * 0.2)"
+  }
+
   private val extensionModels: ListMap[String, Entry] = ListMap(
     "text_token_count" -> e(
       ctx => extensions.Text.tokenCount(ctx).orderBy("doc_id"),
@@ -1214,6 +1231,34 @@ object Registry {
          |  f.min_shingle_hash
          |FROM documents d LEFT JOIN r_fp f ON d.doc_id = f.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+    "lang_confusion" -> e(
+      ctx => extensions.Text.langConfusion(ctx)
+        .orderBy("labeled_lang", "predicted_lang"),
+      s"""$duckTokCtes
+         |, r_pred AS (SELECT doc_id, lang AS labeled_lang,
+         |    $duckLangPred AS predicted_lang
+         |  FROM r_toks)
+         |, r_cells AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+         |  FROM r_pred GROUP BY 1, 2)
+         |SELECT labeled_lang, predicted_lang, n_docs,
+         |  ${dv("n_docs", "SUM(n_docs) OVER (PARTITION BY labeled_lang)")} AS labeled_share,
+         |  (labeled_lang = predicted_lang) AS is_correct
+         |FROM r_cells ORDER BY labeled_lang, predicted_lang""".stripMargin),
+    "corpus_token_budget" -> e(
+      ctx => extensions.Text.tokenBudget(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    $duckQualityScore AS quality_score
+         |  FROM r_toks)
+         |, r_rank AS (SELECT doc_id, n_tokens, quality_score,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS quality_rank,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+         |  FROM r_q)
+         |SELECT doc_id, n_tokens, quality_score, quality_rank, cum_tokens,
+         |  total_tokens, (2 * cum_tokens <= total_tokens) AS selected
+         |FROM r_rank ORDER BY doc_id""".stripMargin),
     "dedup_exact" -> e(
       ctx => extensions.Text.dedupExact(ctx).orderBy("fingerprint"),
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

@@ -137,6 +137,50 @@ object Text {
         col("min_shingle_hash"))
   }
 
+  /** Language-ID evaluation: confusion matrix of predicted vs labeled
+    * language, with each cell's share of its labeled-language row total.
+    * One partial-aggregatable groupBy over the per-doc predictions plus a
+    * window PARTITIONED on labeled_lang (bounded by the language count, so
+    * no single-task funnel at any corpus size). */
+  def langConfusion(ctx: Ctx): DataFrame = {
+    val cells = languageId(ctx)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wLab = Window.partitionBy(col("labeled_lang"))
+    cells.select(
+      col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+      dv(col("n_docs"), sum(col("n_docs")).over(wLab)).as("labeled_share"),
+      (col("labeled_lang") === col("predicted_lang")).as("is_correct"))
+  }
+
+  /** Quality-ranked token-budget selection (the FineWeb/"keep the best half
+    * of the corpus" curation step): rank all documents by quality score,
+    * run a global token cumsum in that order, and mark the prefix whose
+    * cumulative token count stays within the budget (half the corpus's
+    * total tokens, compared integer-exactly as 2*cum <= total).
+    *
+    * The global ordering + running sum is the two-phase
+    * [[graft.operators.Scale.globalOrder]] rewrite — range-partitioned rank
+    * and cumsum with broadcast prefix offsets, no single-partition window —
+    * so the selection scales to a 100 TB corpus unchanged. */
+  def tokenBudget(ctx: Ctx): DataFrame = {
+    val base = quality(ctx).select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("quality_score"))
+    graft.operators.Scale.globalOrder(base,
+      order = Seq(col("quality_score").desc, col("doc_id")),
+      rn = Some("quality_rank"),
+      cums = Seq("n_tokens" -> "cum_tokens"),
+      totals = Seq("n_tokens" -> "total_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("quality_rank"),
+        col("cum_tokens").cast("long").as("cum_tokens"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        (lit(2) * col("cum_tokens") <= col("total_tokens")).as("selected"))
+  }
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint; keeps the
     * lowest doc_id per group (the canonical scalable dedup shape: one
     * shuffle on the hash). */

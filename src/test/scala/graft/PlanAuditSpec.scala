@@ -151,6 +151,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"melt added a shuffle: ${shuffles(meltPlan)} vs ${shuffles(pivotPlan)}")
   }
 
+  test("token budget and lang confusion: no single-partition window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // tokenBudget's global rank+cumsum goes through Scale.globalOrder
+    // (pid-partitioned windows); langConfusion partitions on labeled_lang
+    Seq(extensions.Text.tokenBudget(ctx),
+        extensions.Text.langConfusion(ctx)).foreach { df =>
+      val global = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"single-partition window:\n${global.mkString}")
+    }
+  }
+
   test("snowflake dims broadcast: dim_customer joins nation+region without shuffling the customer side") {
     val df = layers.Wh.dimCustomer(ctx)
     df.collect() // finalize any adaptive decisions
