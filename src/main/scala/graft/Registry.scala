@@ -1259,6 +1259,18 @@ object Registry {
          |SELECT doc_id, n_tokens, quality_score, quality_rank, cum_tokens,
          |  total_tokens, (2 * cum_tokens <= total_tokens) AS selected
          |FROM r_rank ORDER BY doc_id""".stripMargin),
+    "source_quality_profile" -> e(
+      ctx => extensions.Text.sourceQualityProfile(ctx).orderBy("source"),
+      s"""$duckTokCtes
+         |, r_sq AS (SELECT doc_id, source, $duckQualityScore AS quality_score
+         |  FROM r_toks)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  ${dv("CAST(SUM(CAST(quality_score AS DECIMAL(38,12))) AS DOUBLE)", "COUNT(*)")} AS avg_quality,
+         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score) AS median_quality,
+         |  MIN(quality_score) AS min_quality,
+         |  MAX(quality_score) AS max_quality,
+         |  ${dv("SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END)", "COUNT(*)")} AS share_above_half
+         |FROM r_sq GROUP BY 1 ORDER BY 1""".stripMargin),
     "dedup_exact" -> e(
       ctx => extensions.Text.dedupExact(ctx).orderBy("fingerprint"),
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,

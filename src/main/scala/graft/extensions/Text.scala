@@ -181,6 +181,26 @@ object Text {
         (lit(2) * col("cum_tokens") <= col("total_tokens")).as("selected"))
   }
 
+  /** Per-source quality profile (the "which sources to downweight" view):
+    * count, exact mean (decimal-sum, shuffle-order-independent), median via
+    * percentile_cont, min/max, and the share of docs clearing the
+    * quality>=0.5 curation bar. One partial-aggregatable groupBy on source —
+    * scale-free. */
+  def sourceQualityProfile(ctx: Ctx): DataFrame = {
+    val q = quality(ctx).select(col("doc_id"), col("quality_score"))
+      .join(docs(ctx).select(col("doc_id"), col("source")), Seq("doc_id"))
+    q.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      dv(sum(col("quality_score").cast("decimal(38,12)")).cast("double"),
+        count(lit(1))).as("avg_quality"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score)")
+        .as("median_quality"),
+      min("quality_score").as("min_quality"),
+      max("quality_score").as("max_quality"),
+      dv(sum(when(col("quality_score") >= 0.5, 1).otherwise(0)),
+        count(lit(1))).as("share_above_half"))
+  }
+
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint; keeps the
     * lowest doc_id per group (the canonical scalable dedup shape: one
     * shuffle on the hash). */
