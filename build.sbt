@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "last stdout line is bare JSON". Two sbt
+// behaviors break that: the default LoggedOutput strategy prefixes every
+// forked-run line with "[info] ", and the "[success] Total time" banner
+// prints AFTER the program's last line. Pass run output through raw and
+// drop the banner so the JSON line is the literal final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
