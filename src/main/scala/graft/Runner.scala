@@ -79,6 +79,17 @@ object Runner {
       // violations abort the build before the reporting layers
       schemaGate(ctx)
 
+      // shared rollup boundary (layers.Rollups — the dbt table-layer reuse
+      // twin): materialize each fact-grain rollup once, concurrently, so
+      // the report fan-out below aggregates grain-reduced relations instead
+      // of ~20 independent fact scans. Not written: an internal Store
+      // boundary (a bucketed-parquet write at cluster scale).
+      Await.result(
+        Future.sequence(Rollups.all(ctx).map { case (_, df) =>
+          Future { df.count(); () }
+        }),
+        Duration.Inf)
+
       // metrics + reports layers (dbt `table`, no housekeeping); intermediate
       // models stay views (dbt_project.yml:35-36) and extension operators are
       // not dbt models — selected via the Registry materialization tag

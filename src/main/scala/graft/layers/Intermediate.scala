@@ -14,42 +14,43 @@ import org.apache.spark.sql.functions._
 object Intermediate {
   import M._
 
-  /** Reference models/intermediate/int_customer_lifetime_value.sql. */
+  /** Reference models/intermediate/int_customer_lifetime_value.sql — served
+    * from the customer rollup (orderless customers: distinct count 0, null
+    * sums/dates, exactly the left-join-then-aggregate semantics). */
   def customerLifetimeValue(ctx: Ctx): DataFrame =
     Wh.dimCustomer(ctx)
-      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
-      .groupBy("customer_key", "customer_name", "customer_nation_name",
-        "customer_region_name", "customer_market_segment_name",
-        "customer_account_balance")
-      .agg(
-        countDistinct(col("order_key")).as("lifetime_orders"),
-        sum("gross_item_sales_amount").cast("double").as("lifetime_revenue"),
-        sum("net_item_sales_amount").cast("double").as("lifetime_net_revenue"),
-        min("order_date").as("first_order_date"),
-        max("order_date").as("last_order_date"),
-        datediff(max("order_date"), min("order_date")).as("customer_tenure_days"),
-        rnd(dv(sum("gross_item_sales_amount"),
-          nullifZero(countDistinct(col("order_key")))), 2).as("avg_order_value"))
+      .join(Rollups.customerOrders(ctx), Seq("customer_key"), "left")
+      .select(
+        col("customer_key"), col("customer_name"), col("customer_nation_name"),
+        col("customer_region_name"), col("customer_market_segment_name"),
+        col("customer_account_balance"),
+        coalesce(col("order_count"), lit(0L)).as("lifetime_orders"),
+        col("gross_d").cast("double").as("lifetime_revenue"),
+        col("net_d").cast("double").as("lifetime_net_revenue"),
+        col("first_order_date"), col("last_order_date"),
+        datediff(col("last_order_date"), col("first_order_date"))
+          .as("customer_tenure_days"),
+        rnd(dv(col("gross_d"),
+          nullifZero(coalesce(col("order_count"), lit(0L)))), 2)
+          .as("avg_order_value"))
 
-  /** Reference models/intermediate/int_customer_orders_summary.sql. */
+  /** Reference models/intermediate/int_customer_orders_summary.sql — served
+    * from the customer rollup; per-status distinct order counts are the
+    * rollup's conditional row counts (order grain). */
   def customerOrdersSummary(ctx: Ctx): DataFrame =
     Wh.dimCustomer(ctx)
-      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
-      .groupBy("customer_key", "customer_name", "customer_nation_name",
-        "customer_region_name", "customer_market_segment_name")
-      .agg(
-        countDistinct(col("order_key")).as("order_count"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
-        avgE(col("gross_item_sales_amount")).as("avg_order_value"),
-        min("order_date").as("first_order_date"),
-        max("order_date").as("last_order_date"),
-        countDistinct(when(col("order_status_code") === "F", col("order_key")))
-          .as("fulfilled_orders"),
-        countDistinct(when(col("order_status_code") === "O", col("order_key")))
-          .as("open_orders"),
-        countDistinct(when(col("order_status_code") === "P", col("order_key")))
-          .as("partial_orders"))
+      .join(Rollups.customerOrders(ctx), Seq("customer_key"), "left")
+      .select(
+        col("customer_key"), col("customer_name"), col("customer_nation_name"),
+        col("customer_region_name"), col("customer_market_segment_name"),
+        coalesce(col("order_count"), lit(0L)).as("order_count"),
+        col("gross_d").cast("double").as("total_revenue"),
+        col("net_d").cast("double").as("total_net_revenue"),
+        dv(col("gross_d"), col("order_count")).as("avg_order_value"),
+        col("first_order_date"), col("last_order_date"),
+        coalesce(col("fulfilled_orders"), lit(0L)).as("fulfilled_orders"),
+        coalesce(col("open_orders"), lit(0L)).as("open_orders"),
+        coalesce(col("partial_orders"), lit(0L)).as("partial_orders"))
 
   /** Reference models/intermediate/int_discount_impact.sql. */
   def discountImpact(ctx: Ctx): DataFrame =
@@ -155,49 +156,51 @@ object Intermediate {
           nullifZero(col("customer_count"))), 2).as("revenue_per_customer"))
   }
 
-  /** Reference models/intermediate/int_regional_trade_flows.sql. */
-  def regionalTradeFlows(ctx: Ctx): DataFrame = {
-    val i = Wh.fctOrdersItems(ctx)
-      .join(Wh.dimCustomer(ctx)
-        .select("customer_key", "customer_nation_name", "customer_region_name"),
-        Seq("customer_key"))
-      .join(Wh.dimSupplier(ctx)
-        .select("supplier_key", "supplier_nation_name", "supplier_region_name"),
-        Seq("supplier_key"))
-    i.groupBy(
-        col("supplier_nation_name").as("supplier_nation"),
-        col("supplier_region_name").as("supplier_region"),
-        col("customer_nation_name").as("customer_nation"),
-        col("customer_region_name").as("customer_region"),
-        year(col("ship_date")).as("ship_year"),
-        when(col("supplier_nation_name") === col("customer_nation_name"), "domestic")
-          .when(col("supplier_region_name") === col("customer_region_name"), "intra_regional")
-          .otherwise("inter_regional").as("trade_type"))
-      .agg(
-        count(lit(1)).as("total_shipments"),
-        sum("quantity").cast("double").as("total_quantity"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum("net_item_sales_amount").cast("double").as("total_net_revenue"))
-  }
+  /** Reference models/intermediate/int_regional_trade_flows.sql — a direct
+    * projection of the nation-flow rollup (trade_type is functionally
+    * dependent on the nation/region keys, so deriving it post-aggregation
+    * yields the identical row set). */
+  def regionalTradeFlows(ctx: Ctx): DataFrame =
+    Rollups.nationFlows(ctx).select(
+      col("supplier_nation_name").as("supplier_nation"),
+      col("supplier_region_name").as("supplier_region"),
+      col("customer_nation_name").as("customer_nation"),
+      col("customer_region_name").as("customer_region"),
+      col("ship_year"),
+      when(col("supplier_nation_name") === col("customer_nation_name"), "domestic")
+        .when(col("supplier_region_name") === col("customer_region_name"), "intra_regional")
+        .otherwise("inter_regional").as("trade_type"),
+      col("shipments").as("total_shipments"),
+      col("qty_d").cast("double").as("total_quantity"),
+      col("gross_d").cast("double").as("total_revenue"),
+      col("net_d").cast("double").as("total_net_revenue"))
 
   /** Reference models/intermediate/int_part_profitability.sql
     * (testdata: no manufacturer/container columns). */
   def partProfitability(ctx: Ctx): DataFrame =
-    Wh.fctOrdersItems(ctx)
-      .join(Wh.dimPart(ctx), Seq("part_key"))
-      .groupBy("part_key", "part_name", "part_type_name", "part_brand_name",
-        "part_size", "retail_price")
+    Rollups.partMonth(ctx).groupBy("part_key")
       .agg(
-        count(lit(1)).as("total_line_items"),
-        sum("quantity").cast("double").as("total_quantity_sold"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
-        sum(col("supplier_cost_amount") * col("quantity")).cast("double").as("total_cost"),
-        (sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")))
-          .cast("double").as("total_profit"),
-        rnd(dv(sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")),
-          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("profit_margin_pct"),
-        avgE(col("discount_percentage")).as("avg_discount_pct"))
+        sum("line_count").as("total_line_items"),
+        sum("units_d").as("units_t"),
+        sum("gross_d").as("gross_t"),
+        sum("net_d").as("net_t"),
+        sum("cost_d").as("cost_t"),
+        sum("disc_sum_d").as("disc_sum_t"),
+        sum("disc_cnt").as("disc_cnt_t"))
+      .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
+        "part_brand_name", "part_size", "retail_price"), Seq("part_key"))
+      .select(
+        col("part_key"), col("part_name"), col("part_type_name"),
+        col("part_brand_name"), col("part_size"), col("retail_price"),
+        col("total_line_items"),
+        col("units_t").cast("double").as("total_quantity_sold"),
+        col("gross_t").cast("double").as("total_revenue"),
+        col("net_t").cast("double").as("total_net_revenue"),
+        col("cost_t").cast("double").as("total_cost"),
+        (col("gross_t") - col("cost_t")).cast("double").as("total_profit"),
+        rnd(dv(col("gross_t") - col("cost_t"),
+          nullifZero(col("gross_t"))) * 100, 2).as("profit_margin_pct"),
+        dv(col("disc_sum_t"), col("disc_cnt_t")).as("avg_discount_pct"))
 
   /** Reference models/intermediate/int_supplier_parts_catalog.sql. */
   def supplierPartsCatalog(ctx: Ctx): DataFrame =
@@ -233,30 +236,28 @@ object Intermediate {
           .when(col("receipt_date") === col("commit_date"), "on_time")
           .otherwise("early").as("delivery_status"))
 
-  /** Reference models/intermediate/int_supplier_performance.sql. */
+  /** Reference models/intermediate/int_supplier_performance.sql — the
+    * unfiltered supplier aggregates straight off the supplier rollup. */
   def supplierPerformance(ctx: Ctx): DataFrame =
-    Wh.fctOrdersItems(ctx)
+    Rollups.supplierSales(ctx)
       .join(Wh.dimSupplier(ctx)
         .select("supplier_key", "supplier_name", "supplier_nation_name",
           "supplier_region_name"), Seq("supplier_key"))
-      .groupBy("supplier_key", "supplier_name", "supplier_nation_name",
-        "supplier_region_name")
-      .agg(
-        count(lit(1)).as("total_line_items"),
-        countDistinct(col("order_key")).as("total_orders"),
-        sum("quantity").cast("double").as("total_quantity"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
-        sum(when(col("receipt_date") > col("commit_date"), 1).otherwise(0))
-          .as("late_deliveries"),
-        sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0))
-          .as("on_time_deliveries"),
-        rnd(dv(sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0)),
-          nullifZero(count(lit(1)))) * 100, 2).as("on_time_pct"),
-        avgE(datediff(col("receipt_date"), col("ship_date"))).as("avg_delivery_days"),
-        sum(when(col("return_status_code") === "R", 1).otherwise(0)).as("returned_items"),
-        rnd(dv(sum(when(col("return_status_code") === "R", 1).otherwise(0)),
-          nullifZero(count(lit(1)))) * 100, 2).as("return_rate_pct"))
+      .select(
+        col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
+        col("supplier_region_name"),
+        col("line_count").as("total_line_items"),
+        col("order_count").as("total_orders"),
+        col("qty_d").cast("double").as("total_quantity"),
+        col("gross_d").cast("double").as("total_revenue"),
+        col("net_d").cast("double").as("total_net_revenue"),
+        col("late_deliveries"), col("on_time_deliveries"),
+        rnd(dv(col("on_time_deliveries"), nullifZero(col("line_count"))) * 100, 2)
+          .as("on_time_pct"),
+        dv(col("transit_sum"), col("transit_cnt")).as("avg_delivery_days"),
+        col("returned_items"),
+        rnd(dv(col("returned_items"), nullifZero(col("line_count"))) * 100, 2)
+          .as("return_rate_pct"))
 
   /** Reference models/intermediate/int_order_items_enriched.sql: the wide
     * denormalized line-item view (3 broadcast-friendly dim left joins). */

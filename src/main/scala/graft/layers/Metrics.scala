@@ -22,42 +22,44 @@ object Metrics {
       sum("item_discount_amount").cast("double").as("total_discounts"),
       sum("item_tax_amount").cast("double").as("total_tax"))
 
-  /** Reference models/metrics/metrics_monthly_orders.sql. */
+  /** Reference models/metrics/metrics_monthly_orders.sql — served from the
+    * customer-month rollup (months partition orders; a customer-month cell
+    * is one row, so distinct customers per month is a plain row count and
+    * avgE(gross per order) = Σ cell gross / Σ cell orders). */
   def monthlyOrders(ctx: Ctx): DataFrame =
-    Wh.fctOrders(ctx)
-      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+    Rollups.customerMonth(ctx)
+      .groupBy("order_month")
       .agg(
-        countDistinct(col("order_key")).as("order_count"),
-        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
-        sum("net_item_sales_amount").cast("double").as("net_revenue"),
-        avgE(col("gross_item_sales_amount")).as("avg_order_value"),
-        sum("item_discount_amount").cast("double").as("total_discounts"),
-        countDistinct(col("customer_key")).as("unique_customers"))
+        sum("orders_in_month").as("order_count"),
+        sum("gross_d").cast("double").as("gross_revenue"),
+        sum("net_d").cast("double").as("net_revenue"),
+        dv(sum("gross_d"), sum("orders_in_month")).as("avg_order_value"),
+        sum("discount_d").cast("double").as("total_discounts"),
+        count(lit(1)).as("unique_customers"))
 
-  /** Reference models/metrics/metrics_regional_revenue.sql. */
+  /** Reference models/metrics/metrics_regional_revenue.sql — customer-month
+    * rollup ⋈ dims; a customer has one nation, so per-(month, nation)
+    * distinct customers is a row count over the rollup cells. */
   def regionalRevenue(ctx: Ctx): DataFrame =
-    Wh.fctOrders(ctx)
+    Rollups.customerMonth(ctx)
       .join(Wh.dimCustomer(ctx), Seq("customer_key"))
       .groupBy(
-        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
+        col("order_month"),
         col("customer_region_name").as("region_name"),
         col("customer_nation_name").as("nation_name"))
       .agg(
-        countDistinct(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("customer_count"),
-        sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
-        sum("net_item_sales_amount").cast("double").as("net_revenue"))
+        sum("orders_in_month").as("order_count"),
+        count(lit(1)).as("customer_count"),
+        sum("gross_d").cast("double").as("gross_revenue"),
+        sum("net_d").cast("double").as("net_revenue"))
 
   /** Reference models/metrics/metrics_customer_retention.sql: cohort =
     * month of first order; activity joined back per customer-month. */
   def customerRetention(ctx: Ctx): DataFrame = {
-    val fo = Wh.fctOrders(ctx)
-    val firstOrder = fo.groupBy("customer_key")
-      .agg(date_trunc("month", min("order_date")).cast(DateType).as("cohort_month"))
-    val monthly = fo
-      .groupBy(col("customer_key"),
-        date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
-      .agg(countDistinct(col("order_key")).as("orders_in_month"))
+    val firstOrder = Rollups.customerOrders(ctx).select(col("customer_key"),
+      date_trunc("month", col("first_order_date")).cast(DateType).as("cohort_month"))
+    val monthly = Rollups.customerMonth(ctx)
+      .select(col("customer_key"), col("order_month"), col("orders_in_month"))
     firstOrder.join(monthly, Seq("customer_key"))
       .groupBy(col("cohort_month"), col("order_month"),
         ((year(col("order_month")) - year(col("cohort_month"))) * 12
@@ -86,27 +88,26 @@ object Metrics {
           nullifZero(sum(col("gross_item_sales_amount")))) * 100, 2)
           .as("discount_as_pct_of_revenue"))
 
-  /** Reference models/metrics/metrics_profit_margin_trend.sql. */
+  /** Reference models/metrics/metrics_profit_margin_trend.sql — part-month
+    * rollup ⋈ part type, regrouped to (month, type); decimal sums regroup
+    * exactly. */
   def profitMarginTrend(ctx: Ctx): DataFrame =
-    Wh.fctOrdersItems(ctx)
+    Rollups.partMonth(ctx)
       .join(Wh.dimPart(ctx).select("part_key", "part_type_name"), Seq("part_key"))
-      .groupBy(
-        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
-        col("part_type_name"))
+      .groupBy(col("order_month"), col("part_type_name"))
       .agg(
-        count(lit(1)).as("line_item_count"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum(col("supplier_cost_amount") * col("quantity")).cast("double").as("total_cost"),
-        (sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")))
-          .cast("double").as("total_profit"),
-        rnd(dv(sum("gross_item_sales_amount") - sum(col("supplier_cost_amount") * col("quantity")),
-          nullifZero(sum("gross_item_sales_amount"))) * 100, 2).as("profit_margin_pct"))
+        sum("line_count").as("line_item_count"),
+        sum("gross_d").cast("double").as("total_revenue"),
+        sum("cost_d").cast("double").as("total_cost"),
+        (sum("gross_d") - sum("cost_d")).cast("double").as("total_profit"),
+        rnd(dv(sum("gross_d") - sum("cost_d"),
+          nullifZero(sum("gross_d"))) * 100, 2).as("profit_margin_pct"))
 
   /** Reference models/metrics/metrics_inventory_coverage.sql. */
   def inventoryCoverage(ctx: Ctx): DataFrame = {
-    val demand = Wh.fctOrdersItems(ctx).groupBy("part_key").agg(
-      sum("quantity").as("total_demand_d"),
-      countDistinct(col("order_key")).as("order_count_d"))
+    val demand = Rollups.partMonth(ctx).groupBy("part_key").agg(
+      sum("units_d").as("total_demand_d"),
+      sum("order_count").as("order_count_d"))
     val supply = Wh.dimPartSupplierXrf(ctx).groupBy("part_key").agg(
       sum("supplier_availabe_quantity").as("total_supply_d"),
       countDistinct(col("supplier_key")).as("supplier_count_d"),
@@ -161,15 +162,13 @@ object Metrics {
     * revenue, rank within month, lag across months, top-50 filter. */
   def topPartsTrending(ctx: Ctx): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val monthly = Wh.fctOrdersItems(ctx)
+    val monthly = Rollups.partMonth(ctx)
       .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name"), Seq("part_key"))
-      .groupBy(
-        date_trunc("month", col("order_date")).cast(DateType).as("order_month"),
-        col("part_key"), col("part_name"), col("part_type_name"))
-      .agg(
-        sum("quantity").as("total_quantity_d"),
-        sum("gross_item_sales_amount").as("total_revenue_d"),
-        countDistinct(col("order_key")).as("order_count"))
+      .select(
+        col("order_month"), col("part_key"), col("part_name"), col("part_type_name"),
+        col("units_d").as("total_quantity_d"),
+        col("gross_d").as("total_revenue_d"),
+        col("order_count"))
     val ranked = monthly
       .withColumn("revenue_rank",
         rank().over(Window.partitionBy("order_month")

@@ -29,15 +29,13 @@ object Reports {
     * sees the whole per-customer relation; the reference's RANGE-frame
     * tie-sharing is recovered per tie group. */
   def customerConcentrationRisk(ctx: Ctx): DataFrame = {
-    val rev = Wh.fctOrders(ctx)
+    val rev = Rollups.customerOrders(ctx)
       .join(Wh.dimCustomer(ctx)
         .select("customer_key", "customer_name", "customer_nation_name",
           "customer_market_segment_name"), Seq("customer_key"))
-      .groupBy("customer_key", "customer_name", "customer_nation_name",
-        "customer_market_segment_name")
-      .agg(
-        sum("gross_item_sales_amount").as("total_revenue_d"),
-        countDistinct(col("order_key")).as("order_count"))
+      .select(col("customer_key"), col("customer_name"),
+        col("customer_nation_name"), col("customer_market_segment_name"),
+        col("gross_d").as("total_revenue_d"), col("order_count"))
     val ranked = Scale.globalOrder(rev,
         order = Seq(col("total_revenue_d").desc, col("customer_key")),
         rn = Some("revenue_rank"),
@@ -64,23 +62,24 @@ object Reports {
         .otherwise("bottom_5_pct").as("pareto_tier"))
   }
 
-  /** Reference models/reports/customer_cohort_retention.sql. */
+  /** Reference models/reports/customer_cohort_retention.sql — served from
+    * the customer/customer-month rollups: cohort month = month of the
+    * rolled-up first_order_date; activity months are exactly the
+    * customer-month rollup's keys (one row per customer-month, so the
+    * distinct-customer counts become plain row counts). */
   def customerCohortRetention(ctx: Ctx): DataFrame = {
-    val fo = Wh.fctOrders(ctx)
-    val cohort = fo.groupBy("customer_key")
-      .agg(date_trunc("month", min("order_date")).cast(DateType).as("cohort_month"))
-    val activity = fo
-      .select(col("customer_key"),
-        date_trunc("month", col("order_date")).cast(DateType).as("activity_month"))
-      .distinct()
+    val cohort = Rollups.customerOrders(ctx).select(col("customer_key"),
+      date_trunc("month", col("first_order_date")).cast(DateType).as("cohort_month"))
+    val activity = Rollups.customerMonth(ctx)
+      .select(col("customer_key"), col("order_month").as("activity_month"))
     val cohortActivity = cohort.join(activity, Seq("customer_key"))
       .groupBy(col("cohort_month"), col("activity_month"),
         ((year(col("activity_month")) - year(col("cohort_month"))) * 12
           + month(col("activity_month")) - month(col("cohort_month")))
           .as("period_number"))
-      .agg(countDistinct(col("customer_key")).as("active_customers"))
+      .agg(count(lit(1)).as("active_customers"))
     val sizes = cohort.groupBy("cohort_month")
-      .agg(countDistinct(col("customer_key")).as("cohort_size"))
+      .agg(count(lit(1)).as("cohort_size"))
     cohortActivity.join(sizes, Seq("cohort_month"))
       .select(
         col("cohort_month"), col("activity_month"), col("period_number"),
@@ -89,19 +88,21 @@ object Reports {
           .as("retention_pct"))
   }
 
-  /** Reference models/reports/customer_churn_risk.sql. */
+  /** Reference models/reports/customer_churn_risk.sql — served from the
+    * customer rollup with NO per-customer lag window: consecutive-order
+    * gaps telescope, so sum(gap) == datediff(last, first) and the non-null
+    * gap count is order_count - 1 — avgE(gap) is exactly
+    * datediff(last, first) / (order_count - 1), guarded to NULL for
+    * single-order customers like the window form (whose only gap is NULL). */
   def customerChurnRisk(ctx: Ctx): DataFrame = {
-    val fo = Wh.fctOrders(ctx)
-    val w = Window.partitionBy("customer_key").orderBy("order_date", "order_key")
-    val gaps = fo.select(
-      col("customer_key"), col("order_date"),
-      datediff(col("order_date"), lag("order_date", 1).over(w))
-        .as("days_between_orders"))
-    val cadence = gaps.groupBy("customer_key").agg(
-      count(lit(1)).as("total_orders"),
-      avgE(col("days_between_orders")).as("avg_days_between_orders"),
-      max("order_date").as("last_order_date"))
-    val ref = fo.agg(max("order_date").as("reference_date"))
+    val r = Rollups.customerOrders(ctx)
+    val cadence = r.select(
+      col("customer_key"), col("order_count").as("total_orders"),
+      when(col("order_count") > 1,
+        dv(datediff(col("last_order_date"), col("first_order_date")),
+          col("order_count") - 1)).as("avg_days_between_orders"),
+      col("last_order_date"))
+    val ref = r.agg(max("last_order_date").as("reference_date"))
     val dsl = datediff(col("reference_date"), col("last_order_date"))
     cadence.crossJoin(ref)
       .join(Wh.dimCustomer(ctx)
@@ -122,33 +123,39 @@ object Reports {
           .otherwise("churned").as("churn_status"))
   }
 
-  /** Reference models/reports/customer_geographic_summary.sql. */
+  /** Reference models/reports/customer_geographic_summary.sql — served from
+    * the customer rollup. The reference's customer ⟕ orders join repeats
+    * each customer's balance once per order (once for orderless customers),
+    * so its balance sum is Σ balance × max(order_count, 1) — reproduced
+    * explicitly here. */
   def customerGeographicSummary(ctx: Ctx): DataFrame =
     Wh.dimCustomer(ctx)
       .select("customer_key", "customer_region_name", "customer_nation_name",
         "customer_account_balance")
-      .join(Wh.fctOrders(ctx), Seq("customer_key"), "left")
+      .join(Rollups.customerOrders(ctx)
+        .select("customer_key", "order_count", "gross_d", "net_d"),
+        Seq("customer_key"), "left")
       .groupBy(col("customer_region_name").as("region_name"),
         col("customer_nation_name").as("nation_name"))
       .agg(
         countDistinct(col("customer_key")).as("customer_count"),
-        countDistinct(col("order_key")).as("order_count"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        sum("net_item_sales_amount").cast("double").as("total_net_revenue"),
-        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"),
-        rnd(dv(sum("gross_item_sales_amount"),
+        coalesce(sum("order_count"), lit(0L)).as("order_count"),
+        sum("gross_d").cast("double").as("total_revenue"),
+        sum("net_d").cast("double").as("total_net_revenue"),
+        rnd(dv(sum("gross_d"), sum("order_count")), 2).as("avg_order_value"),
+        rnd(dv(sum("gross_d"),
           nullifZero(countDistinct(col("customer_key")))), 2)
           .as("revenue_per_customer"),
-        rnd(dv(countDistinct(col("order_key")),
+        rnd(dv(coalesce(sum("order_count"), lit(0L)),
           nullifZero(countDistinct(col("customer_key")))), 2)
           .as("orders_per_customer"),
-        sum("customer_account_balance").cast("double").as("total_account_balance"))
+        sum(col("customer_account_balance") * coalesce(col("order_count"), lit(1L)))
+          .cast("double").as("total_account_balance"))
 
   /** Reference models/reports/customer_purchase_frequency_bands.sql. */
   def customerPurchaseFrequencyBands(ctx: Ctx): DataFrame = {
-    val co = Wh.fctOrders(ctx).groupBy("customer_key").agg(
-      countDistinct(col("order_key")).as("order_count"),
-      sum("gross_item_sales_amount").as("total_revenue_d"))
+    val co = Rollups.customerOrders(ctx).select(col("customer_key"),
+      col("order_count"), col("gross_d").as("total_revenue_d"))
     val banded = co.withColumn("frequency_band",
       when(col("order_count") === 1, "one_time")
         .when(col("order_count").between(2, 5), "occasional")
@@ -179,12 +186,11 @@ object Reports {
     * [[graft.operators.Scale.globalOrder]] row number + the NTILE bucket
     * formula — no single-partition window over the customer relation. */
   def customerRfmSegments(ctx: Ctx): DataFrame = {
-    val fo = Wh.fctOrders(ctx)
-    val om = fo.groupBy("customer_key").agg(
-      max("order_date").as("last_order_date"),
-      countDistinct(col("order_key")).as("frequency"),
-      sum("gross_item_sales_amount").as("monetary_d"))
-    val ref = fo.agg(max("order_date").as("reference_date"))
+    val r = Rollups.customerOrders(ctx)
+    val om = r.select(col("customer_key"),
+      col("last_order_date"), col("order_count").as("frequency"),
+      col("gross_d").as("monetary_d"))
+    val ref = r.agg(max("last_order_date").as("reference_date"))
     val base = graft.Store.track(ctx.spark, om.crossJoin(ref)
       .withColumn("recency_days", datediff(col("reference_date"), col("last_order_date")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -316,30 +322,29 @@ object Reports {
         count(lit(1))), 2).as("pct_within_14d"))
   }
 
-  /** Reference models/reports/monthly_order_trends.sql. */
+  /** Reference models/reports/monthly_order_trends.sql — served from the
+    * customer-month rollup: all of a customer's orders in one month share
+    * the new/returning label (it compares the order's month to the first
+    * order's month), so the split distributes over the rollup cells, and
+    * the per-month distinct-customer counts are plain row counts. */
   def monthlyOrderTrends(ctx: Ctx): DataFrame = {
-    val fo = Wh.fctOrders(ctx)
-    val first = fo.groupBy("customer_key").agg(min("order_date").as("first_order_date"))
-    val orders = fo.join(first, Seq("customer_key"))
-      .withColumn("customer_type",
-        when(date_trunc("month", col("order_date"))
-          === date_trunc("month", col("first_order_date")), "new")
-          .otherwise("returning"))
-    val monthly = orders
-      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+    val first = Rollups.customerOrders(ctx).select(col("customer_key"),
+      date_trunc("month", col("first_order_date")).cast(DateType).as("first_month"))
+    val cm = Rollups.customerMonth(ctx).join(first, Seq("customer_key"))
+      .withColumn("is_new", col("order_month") === col("first_month"))
+    val monthly = cm
+      .groupBy("order_month")
       .agg(
-        countDistinct(col("order_key")).as("total_orders"),
-        countDistinct(col("customer_key")).as("unique_customers"),
-        countDistinct(when(col("customer_type") === "new", col("customer_key")))
-          .as("new_customers"),
-        countDistinct(when(col("customer_type") === "returning", col("customer_key")))
-          .as("returning_customers"),
-        sum("gross_item_sales_amount").as("total_revenue_d"),
-        sum(when(col("customer_type") === "new", col("gross_item_sales_amount"))
-          .otherwise(lit(0))).as("new_customer_revenue_d"),
-        sum(when(col("customer_type") === "returning", col("gross_item_sales_amount"))
-          .otherwise(lit(0))).as("returning_customer_revenue_d"),
-        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"))
+        sum("orders_in_month").as("total_orders"),
+        count(lit(1)).as("unique_customers"),
+        sum(when(col("is_new"), 1).otherwise(0)).as("new_customers"),
+        sum(when(!col("is_new"), 1).otherwise(0)).as("returning_customers"),
+        sum("gross_d").as("total_revenue_d"),
+        sum(when(col("is_new"), col("gross_d")).otherwise(lit(0)))
+          .as("new_customer_revenue_d"),
+        sum(when(!col("is_new"), col("gross_d")).otherwise(lit(0)))
+          .as("returning_customer_revenue_d"),
+        rnd(dv(sum("gross_d"), sum("orders_in_month")), 2).as("avg_order_value"))
     val wm = Window.orderBy("order_month")
     monthly
       .withColumn("prev_month_revenue_d", lag("total_revenue_d", 1).over(wm))
@@ -358,15 +363,15 @@ object Reports {
 
   /** Reference models/reports/monthly_revenue_kpis.sql (lag + rows frames). */
   def monthlyRevenueKpis(ctx: Ctx): DataFrame = {
-    val monthly = Wh.fctOrders(ctx)
-      .groupBy(date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
+    val monthly = Rollups.customerMonth(ctx)
+      .groupBy("order_month")
       .agg(
-        countDistinct(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("unique_customers"),
-        sum("gross_item_sales_amount").as("gross_revenue_d"),
-        sum("net_item_sales_amount").cast("double").as("net_revenue"),
-        sum("item_discount_amount").cast("double").as("total_discounts"),
-        rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"))
+        sum("orders_in_month").as("order_count"),
+        count(lit(1)).as("unique_customers"),
+        sum("gross_d").as("gross_revenue_d"),
+        sum("net_d").cast("double").as("net_revenue"),
+        sum("discount_d").cast("double").as("total_discounts"),
+        rnd(dv(sum("gross_d"), sum("orders_in_month")), 2).as("avg_order_value"))
     val wm = Window.orderBy("order_month")
     val w3 = wm.rowsBetween(-2, 0)
     val wCum = wm.rowsBetween(Window.unboundedPreceding, 0)
@@ -409,14 +414,14 @@ object Reports {
     * single-partition window over the per-part relation); row_number gets a
     * part_key tie-break. */
   def partAbcClassification(ctx: Ctx): DataFrame = {
-    val rev = Wh.fctOrdersItems(ctx)
+    val rev = Rollups.partMonth(ctx).groupBy("part_key")
+      .agg(
+        sum("gross_d").as("total_revenue_d"),
+        sum("units_d").as("total_quantity_d"),
+        // months partition a part's orders → distinct counts roll up
+        sum("order_count").as("order_count"))
       .join(Wh.dimPart(ctx).select("part_key", "part_name", "part_type_name",
         "part_brand_name"), Seq("part_key"))
-      .groupBy("part_key", "part_name", "part_type_name", "part_brand_name")
-      .agg(
-        sum("gross_item_sales_amount").as("total_revenue_d"),
-        sum("quantity").as("total_quantity_d"),
-        countDistinct(col("order_key")).as("order_count"))
     val ranked = Scale.globalOrder(rev,
         order = Seq(col("total_revenue_d").desc, col("part_key")),
         rn = Some("revenue_rank"),
@@ -443,14 +448,11 @@ object Reports {
     * two-phase via [[graft.operators.Scale]] — no single-partition window
     * over the per-part relation). */
   def partSalesVelocity(ctx: Ctx): DataFrame = {
-    val monthly = Wh.fctOrdersItems(ctx)
-      .groupBy(col("part_key"),
-        date_trunc("month", col("order_date")).cast(DateType).as("order_month"))
-      .agg(
-        sum("quantity").as("monthly_units_d"),
-        sum("gross_item_sales_amount").as("monthly_revenue_d"))
+    val monthly = Rollups.partMonth(ctx).select(col("part_key"),
+      col("order_month"), col("units_d").as("monthly_units_d"),
+      col("gross_d").as("monthly_revenue_d"))
     val stats = monthly.groupBy("part_key").agg(
-      countDistinct(col("order_month")).as("active_months"),
+      count(lit(1)).as("active_months"), // rollup is unique per part-month
       sum("monthly_units_d").as("total_units_d"),
       sum("monthly_revenue_d").as("total_revenue_d"),
       avgE(col("monthly_units_d")).as("avg_monthly_units"),
@@ -479,21 +481,15 @@ object Reports {
   /** Reference models/reports/regional_trade_balance.sql (double full outer
     * join with coalesced keys). */
   def regionalTradeBalance(ctx: Ctx): DataFrame = {
-    val flows = Wh.fctOrdersItems(ctx)
-      .join(Wh.dimSupplier(ctx)
-        .select("supplier_key", "supplier_nation_name", "supplier_region_name"),
-        Seq("supplier_key"))
-      .join(Wh.dimCustomer(ctx)
-        .select("customer_key", "customer_nation_name", "customer_region_name"),
-        Seq("customer_key"))
+    val flows = Rollups.nationFlows(ctx)
       .groupBy(
         col("supplier_nation_name").as("exporter_nation"),
         col("supplier_region_name").as("exporter_region"),
         col("customer_nation_name").as("importer_nation"),
         col("customer_region_name").as("importer_region"))
       .agg(
-        sum("gross_item_sales_amount").as("trade_value"),
-        sum("quantity").as("trade_volume"))
+        sum("gross_d").as("trade_value"),
+        sum("qty_d").as("trade_volume"))
     val cross = flows.filter(col("exporter_nation") =!= col("importer_nation"))
     val exports = cross.groupBy(
       col("exporter_nation").as("e_nation"), col("exporter_region").as("e_region"))
@@ -555,16 +551,14 @@ object Reports {
     * min row number per tie group); the nation rank keeps its naturally
     * partitioned window. */
   def supplierRevenueRanking(ctx: Ctx): DataFrame = {
-    val sr = Wh.fctOrdersItems(ctx)
+    val sr = Rollups.supplierSales(ctx)
       .join(Wh.dimSupplier(ctx)
         .select("supplier_key", "supplier_name", "supplier_nation_name",
           "supplier_region_name"), Seq("supplier_key"))
-      .groupBy("supplier_key", "supplier_name", "supplier_nation_name",
-        "supplier_region_name")
-      .agg(
-        sum("gross_item_sales_amount").as("total_revenue_d"),
-        countDistinct(col("order_key")).as("order_count"),
-        countDistinct(col("part_key")).as("parts_sold"))
+      .select(col("supplier_key"), col("supplier_name"),
+        col("supplier_nation_name"), col("supplier_region_name"),
+        col("gross_d").as("total_revenue_d"),
+        col("order_count"), col("part_count").as("parts_sold"))
     val nt = sr.groupBy("supplier_nation_name")
       .agg(sum("total_revenue_d").as("nation_total_revenue_d"))
     Scale.globalOrder(sr.join(nt, Seq("supplier_nation_name")),
@@ -731,45 +725,38 @@ object Reports {
           .as("lead_time_cv"))
   }
 
-  /** Reference models/reports/supplier_scorecard.sql. */
+  /** Reference models/reports/supplier_scorecard.sql — revenue AND delivery
+    * measures come from the single supplier rollup. The reference's delivery
+    * CTE filters receipt_date IS NOT NULL before aggregating, so a supplier
+    * with sales but zero receipted shipments is ABSENT from it (NULL after
+    * the left join); the rollup row exists with shipments = 0, so the
+    * shipment-derived outputs are guarded back to NULL to match. */
   def supplierScorecard(ctx: Ctx): DataFrame = {
-    val foi = Wh.fctOrdersItems(ctx)
-    val delivery = foi.filter(col("receipt_date").isNotNull)
-      .groupBy("supplier_key").agg(
-        count(lit(1)).as("total_shipments"),
-        sum(when(col("receipt_date") <= col("commit_date"), 1).otherwise(0))
-          .as("on_time_shipments"),
-        sum(when(col("return_status_code") === "R", 1).otherwise(0))
-          .as("returned_items"),
-        avgE(datediff(col("receipt_date"), col("ship_date"))).as("avg_transit_days"),
-        avgE(datediff(col("receipt_date"), col("commit_date"))).as("avg_delay_days"))
-    val revenue = foi.groupBy("supplier_key").agg(
-      sum("gross_item_sales_amount").as("total_revenue_d"),
-      sum("net_item_sales_amount").as("total_net_revenue_d"),
-      countDistinct(col("order_key")).as("order_count"),
-      countDistinct(col("customer_key")).as("customer_reach"),
-      countDistinct(col("part_key")).as("parts_supplied"))
+    val shipped = col("shipments") > 0
     val inventory = Wh.dimPartSupplierXrf(ctx).groupBy("supplier_key").agg(
       sum("supplier_availabe_quantity").as("total_available_qty_d"),
       avgE(col("supplier_cost_amount")).as("avg_supply_cost_d"))
     Wh.dimSupplier(ctx)
-      .join(revenue, Seq("supplier_key"), "left")
-      .join(delivery, Seq("supplier_key"), "left")
+      .join(Rollups.supplierSales(ctx), Seq("supplier_key"), "left")
       .join(inventory, Seq("supplier_key"), "left")
       .select(
         col("supplier_key"), col("supplier_name"), col("supplier_nation_name"),
         col("supplier_region_name"), col("supplier_account_balance"),
-        col("total_revenue_d").cast("double").as("total_revenue"),
-        col("total_net_revenue_d").cast("double").as("total_net_revenue"),
-        col("order_count"), col("customer_reach"), col("parts_supplied"),
-        col("total_shipments"), col("on_time_shipments"),
-        rnd(dv(col("on_time_shipments"), nullifZero(col("total_shipments"))) * 100, 2)
+        col("gross_d").cast("double").as("total_revenue"),
+        col("net_d").cast("double").as("total_net_revenue"),
+        col("order_count"), col("customer_count").as("customer_reach"),
+        col("part_count").as("parts_supplied"),
+        when(shipped, col("shipments")).as("total_shipments"),
+        when(shipped, col("on_time_deliveries")).as("on_time_shipments"),
+        rnd(dv(when(shipped, col("on_time_deliveries")),
+          nullifZero(when(shipped, col("shipments")))) * 100, 2)
           .as("on_time_pct"),
-        col("returned_items"),
-        rnd(dv(col("returned_items"), nullifZero(col("total_shipments"))) * 100, 2)
+        when(shipped, col("returned_with_receipt")).as("returned_items"),
+        rnd(dv(when(shipped, col("returned_with_receipt")),
+          nullifZero(when(shipped, col("shipments")))) * 100, 2)
           .as("return_rate_pct"),
-        rnd(col("avg_transit_days"), 1).as("avg_transit_days"),
-        rnd(col("avg_delay_days"), 1).as("avg_delay_days"),
+        rnd(dv(col("transit_sum"), col("transit_cnt")), 1).as("avg_transit_days"),
+        rnd(dv(col("delay_sum"), col("delay_cnt")), 1).as("avg_delay_days"),
         coalesce(col("total_available_qty_d"), lit(0L)).as("total_available_qty"),
         rnd(col("avg_supply_cost_d"), 2).as("avg_supply_cost"))
   }
