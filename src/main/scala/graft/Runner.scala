@@ -104,6 +104,89 @@ object Runner {
     } finally { pool.shutdown() }
   }
 
+  /** Per-table result of [[diff]]: row-multiset deltas between two builds. */
+  final case class TableDiff(
+      table: String,
+      onlyInA: Long,        // rows (with multiplicity) present only in build A
+      onlyInB: Long,        // rows present only in build B
+      rowsA: Long,
+      rowsB: Long,
+      schemaChanged: Boolean,
+      changedKeys: Option[Long]) { // keys present in both with differing rows
+    def identical: Boolean = onlyInA == 0 && onlyInB == 0 && !schemaChanged
+  }
+
+  /** Data diff between two build directories — the twin of the reference's
+    * recce regression mechanism (reference pyproject.toml:10 `recce>=1.35.0`;
+    * Makefile:54-58 builds a base and a current variant and row-diffs them).
+    *
+    * Fully distributed: each side is reduced to md5(to_json(row)) multiset
+    * counts (one shuffle per side at the hash grain), full-outer joined on
+    * the hash, and the count deltas summed — no collected row sets, no
+    * driver-side comparison, so a 100 TB table diffs at the cost of two
+    * scans + one hash-grain shuffle. When `keys` declares a unique key for
+    * a table, rows are additionally compared per key to report CHANGED keys
+    * (a key present in both builds whose row content differs) — recce's
+    * primary-key diff mode. Schema changes (column name/type set) are
+    * reported and the row diff is skipped for that table (recce reports the
+    * schema delta the same way).
+    */
+  def diff(spark: org.apache.spark.sql.SparkSession, dirA: String, dirB: String,
+      keys: Map[String, Seq[String]] = Map.empty): Seq[TableDiff] = {
+    import org.apache.spark.sql.functions.{coalesce, greatest, lit, md5, struct, sum, to_json}
+    def tables(dir: String): Set[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSet
+    val all = (tables(dirA) ++ tables(dirB)).toSeq.sorted
+    all.map { t =>
+      val inA = tables(dirA)(t)
+      val inB = tables(dirB)(t)
+      def read(dir: String) = spark.read.parquet(s"$dir/$t")
+      if (!inA || !inB) {
+        val rows = read(if (inA) dirA else dirB).count()
+        TableDiff(t, if (inA) rows else 0L, if (inB) rows else 0L,
+          if (inA) rows else 0L, if (inB) rows else 0L,
+          schemaChanged = true, changedKeys = None)
+      } else {
+        val a = read(dirA)
+        val b = read(dirB)
+        val schemaA = a.schema.fields.map(f => (f.name, f.dataType)).toSet
+        val schemaB = b.schema.fields.map(f => (f.name, f.dataType)).toSet
+        if (schemaA != schemaB)
+          TableDiff(t, a.count(), b.count(), a.count(), b.count(),
+            schemaChanged = true, changedKeys = None)
+        else {
+          val cols = a.columns.sorted.toSeq
+          def hashed(df: DataFrame) = df
+            .select(md5(to_json(struct(cols.map(df.apply): _*))).as("__h"))
+            .groupBy("__h").count()
+          val j = hashed(a).withColumnRenamed("count", "__ca")
+            .join(hashed(b).withColumnRenamed("count", "__cb"), Seq("__h"), "full_outer")
+            .select(
+              coalesce(col("__ca"), lit(0L)).as("ca"),
+              coalesce(col("__cb"), lit(0L)).as("cb"))
+            .agg(
+              sum(greatest(col("ca") - col("cb"), lit(0L))).as("onlyA"),
+              sum(greatest(col("cb") - col("ca"), lit(0L))).as("onlyB"),
+              sum(col("ca")).as("rowsA"), sum(col("cb")).as("rowsB"))
+            .head()
+          val changed = keys.get(t).map { kc =>
+            def keyed(df: DataFrame) = df.select(
+              md5(to_json(struct(kc.map(df.apply): _*))).as("__k"),
+              md5(to_json(struct(cols.map(df.apply): _*))).as("__h"))
+            keyed(a)
+              .join(keyed(b).withColumnRenamed("__h", "__h2"), Seq("__k"))
+              .filter(col("__h") =!= col("__h2")).count()
+          }
+          TableDiff(t,
+            Option(j.getLong(0)).getOrElse(0L), Option(j.getLong(1)).getOrElse(0L),
+            Option(j.getLong(2)).getOrElse(0L), Option(j.getLong(3)).getOrElse(0L),
+            schemaChanged = false, changedKeys = changed)
+        }
+      }
+    }
+  }
+
   /** unique / not_null / relationships checks; throws on violation. */
   def schemaGate(ctx: Ctx): Unit = {
     val fo = Wh.fctOrders(ctx)

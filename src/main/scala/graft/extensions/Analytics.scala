@@ -93,17 +93,21 @@ object Analytics {
     val outNames = Seq(
       "urgent_orders", "high_orders", "medium_orders",
       "not_specified_orders", "low_orders")
-    val pivoted = Wh.fctOrders(ctx)
-      .withColumn("order_year", year(col("order_date")))
+    val fo = Wh.fctOrders(ctx).withColumn("order_year", year(col("order_date")))
+    val pivoted = fo
       .groupBy("order_year")
       .pivot("order_priority_code", priorities)
       .agg(count(lit(1)))
     val renamed = priorities.zip(outNames).foldLeft(pivoted) {
       case (df, (v, n)) => df.withColumn(n, coalesce(col(s"`$v`"), lit(0L)))
     }
-    renamed.select(
-      (col("order_year") +: outNames.map(col) :+
-        outNames.map(col).reduce(_ + _).as("total_orders")): _*)
+    // total = COUNT(*) like the oracle, NOT the sum of the five pivoted
+    // classes: a priority code outside the explicit value list would be
+    // dropped by the pivot but still belongs in the total. Year-grain join
+    // against the cached fact — a handful of rows.
+    val totals = fo.groupBy("order_year").agg(count(lit(1)).as("total_orders"))
+    renamed.join(totals, Seq("order_year"))
+      .select((col("order_year") +: outNames.map(col) :+ col("total_orders")): _*)
   }
 
   /** The inverse reshape: Spark's native UNPIVOT (Dataset.unpivot → Catalyst

@@ -67,8 +67,11 @@ object Text {
     graft.Store.memo(ctx, "doc_shingle_sets") {
       graft.Store.track(ctx.spark,
         shingleSet(ctx).groupBy("doc_id")
+          // serialized storage: wide string-array rows deserialized are
+          // several× their batch size and evict first under sweep-wide
+          // memory pressure (the r3 stall diagnosis) — keep them compact
           .agg(collect_list(col("shingle")).as("shingles"))
-          .persist())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     }
 
   /** Token counting: whitespace tokens + a BPE-ish regex token stream. */

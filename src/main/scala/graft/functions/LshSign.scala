@@ -18,16 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * bucket CTE): for each bit j the dot product with the fixed integer
   * weight grid w(i, j) = (i*31 + j*17) % 7 - 3 accumulates in ascending
   * index order — the same sequential left fold — and the bit is '1' iff the
-  * sum >= 0 under the same primitive double comparison. A null element
-  * nulls every per-j HOF sum, whose `when(sum >= 0, ...)` then falls
-  * through to '0' — mirrored here as an all-'0' signature.
+  * sum >= 0 under the same primitive double comparison. Degenerate inputs
+  * all land on the HOF form's '0' * bits: a null element (or an empty
+  *  array's out-of-range indexing) nulls every per-j HOF sum, whose
+  * `when(sum >= 0, ...)` falls through to '0', and a NULL array nulls the
+  * lambda the same way — so this expression never returns NULL and maps
+  * null/empty/null-element inputs to the all-'0' signature, keeping bucket
+  * membership identical to the replaced form for every input.
   */
 case class LshSign(child: Expression, bits: Int = 8)
     extends UnaryExpression {
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "lsh_sign"
+
+  private lazy val zeroSig = UTF8String.fromString("0" * bits)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -41,10 +47,15 @@ case class LshSign(child: Expression, bits: Int = 8)
     case _ => false
   }
 
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zeroSig else nullSafeEval(v)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    var anyNull = false
+    var anyNull = n == 0 // empty array → all-'0', like the HOF form
     var i = 0
     while (i < n && !anyNull) {
       if (arr.isNullAt(i)) anyNull = true
@@ -69,35 +80,48 @@ case class LshSign(child: Expression, bits: Int = 8)
     UTF8String.fromString(new String(out))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val k = ctx.freshName("k")
-      val s = ctx.freshName("s")
-      val anyNull = ctx.freshName("anyNull")
-      val chars = ctx.freshName("chars")
-      val get = if (isFloat) s"(double) $a.getFloat($k)" else s"$a.getDouble($k)"
-      s"""
-         |final int $n = $a.numElements();
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
-         |  if ($a.isNullAt($i)) $anyNull = true;
-         |}
-         |final char[] $chars = new char[$bits];
-         |for (int $j = 0; $j < $bits; $j++) {
-         |  if ($anyNull) { $chars[$j] = '0'; continue; }
-         |  double $s = 0.0;
-         |  for (int $k = 0; $k < $n; $k++) {
-         |    $s += ($get) * (double) (($k * 31 + $j * 17) % 7 - 3);
-         |  }
-         |  $chars[$j] = $s >= 0.0 ? '1' : '0';
-         |}
-         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  new String($chars));
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val k = ctx.freshName("k")
+    val s = ctx.freshName("s")
+    val anyNull = ctx.freshName("anyNull")
+    val chars = ctx.freshName("chars")
+    val get = if (isFloat) s"(double) $a.getFloat($k)" else s"$a.getDouble($k)"
+    val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+    val zeroLit = "\"" + ("0" * bits) + "\""
+    // never-null: a NULL array takes the same all-'0' signature the loop
+    // produces for empty/null-element arrays (see class doc)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        ${utf8} ${ev.value};
+        if (${childGen.isNull}) {
+          ${ev.value} = ${utf8}.fromString($zeroLit);
+        } else {
+          final int $n = $a.numElements();
+          boolean $anyNull = $n == 0;
+          for (int $i = 0; $i < $n && !$anyNull; $i++) {
+            if ($a.isNullAt($i)) $anyNull = true;
+          }
+          final char[] $chars = new char[$bits];
+          for (int $j = 0; $j < $bits; $j++) {
+            if ($anyNull) { $chars[$j] = '0'; continue; }
+            double $s = 0.0;
+            for (int $k = 0; $k < $n; $k++) {
+              $s += ($get) * (double) (($k * 31 + $j * 17) % 7 - 3);
+            }
+            $chars[$j] = $s >= 0.0 ? '1' : '0';
+          }
+          ${ev.value} = ${utf8}.fromString(new String($chars));
+        }""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LshSign =
     copy(child = newChild)

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Deliberately outside the DuckDB-oracle surface (sketches have no
   * cross-engine twin); the estimate is validated against the exact-Jaccard
-  * query instead. Empty-group sketches keep Long.MaxValue sentinels, so
-  * slots only ever agree on values both groups actually hashed.
+  * query instead. Empty-group sketches keep Long.MaxValue sentinels: two
+  * NON-empty groups only ever agree on values at least one of them hashed,
+  * but two EMPTY groups agree on every sentinel slot — so the estimate
+  * must exclude sentinel slots (see [[MinHash.register]]'s recommended
+  * expression), which also defines J(∅, ∅) = 0 instead of a spurious 1.0.
   */
 case class MinHashSketch(
     child: Expression,
@@ -95,9 +98,15 @@ case class MinHashSketch(
 }
 
 object MinHash {
+  /** A slot still holding Long.MaxValue means its group hashed no values. */
+  val EmptySlot: Long = Long.MaxValue
+
   /** Register `minhash_sketch(col)` for SQL text / expr(...). The Jaccard
-    * estimate between two sketches is plain SQL over the arrays:
-    * `size(filter(zip_with(a, b, (x, y) -> x = y), p -> p)) / size(a)`.
+    * estimate between two sketches is plain SQL over the arrays — with the
+    * empty-group sentinel excluded from matches so all-sentinel (empty)
+    * sketches estimate J = 0, not 1:
+    * `size(filter(zip_with(a, b, (x, y) -> x = y AND x != ${EmptySlot}),
+    *   p -> p)) / size(a)`.
     * Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -49,11 +49,15 @@ object Components {
     *         is the minimum node id of the containing component
     */
   def labels(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    // serialized storage: the edge list is re-scanned every fixpoint round,
+    // and a deserialized cache is the first eviction victim under a
+    // full-sweep memory profile — compact batches survive pressure and the
+    // extra decode cost is trivial next to the per-round join
     val edges = pairs
       .select(col(src).as("__cc_src"), col(dst).as("__cc_dst"))
       .union(pairs.select(col(dst).as("__cc_src"), col(src).as("__cc_dst")))
       .distinct()
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges
       .groupBy(col("__cc_src"))
       .agg(least(col("__cc_src"), min(col("__cc_dst"))).as("label"))

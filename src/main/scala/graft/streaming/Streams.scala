@@ -119,15 +119,15 @@ object Streams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.get(key, "STATIC")
-        spark.conf.set(key, "dynamic")
-        try batch.write
+        // per-write option, NOT spark.conf.set: a session-global toggle
+        // would be visible to concurrent queries mid-batch and couldn't be
+        // restored faithfully when the conf was originally unset
+        batch.write
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("hour_epoch", "event_type")
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(target)
-        finally spark.conf.set(key, prev)
+        ()
       }
 
   final case class Evt(event_id: Long, ts: Timestamp, user_id: Long,

@@ -41,8 +41,7 @@ class LshSignSpec extends AnyFunSuite {
       (0 until 64).map(i => math.sin(i) * 10).toSeq)
     // (no empty-array row: the HOF reference itself errors there — under
     // ANSI mode sequence(0, size-1) descends to [0, -1] and arr[0] throws
-    // on a 0-element array; the native expression returns '11111111' from
-    // eight 0.0 sums instead, strictly more defined)
+    // on a 0-element array; see the degenerate-inputs test below)
     val df = rows.toDF("arr")
     val mism = df.select(
         expr("lsh_sign(arr)").as("native"),
@@ -50,6 +49,25 @@ class LshSignSpec extends AnyFunSuite {
       .filter(col("native") =!= col("hof"))
       .count()
     assert(mism == 0)
+  }
+
+  test("degenerate inputs: null array, empty array, null element → all-'0'") {
+    import spark.implicits._
+    // The HOF form maps a NULL array and a null element to '00000000' (the
+    // null sum falls through when(sum >= 0, ...)); an empty array must land
+    // on the same bucket rather than '11111111' from eight 0.0-sums (or a
+    // NULL that would silently change bucket membership downstream).
+    val df = Seq[Option[Seq[Option[Double]]]](
+      None,
+      Some(Seq.empty),
+      Some(Seq(Some(1.0), None, Some(2.0)))).toDF("arr")
+    val out = df.select(expr("lsh_sign(arr)").as("s")).collect().map(_.getString(0))
+    assert(out.forall(_ == "0" * 8), out.mkString(","))
+    // and the HOF form agrees on the two cases it can evaluate
+    val hof = df.filter(size(col("arr")) =!= 0 || col("arr").isNull)
+      .select(extensions.Similarity.bucketExprHof("arr").as("s"))
+      .collect().map(_.getString(0))
+    assert(hof.forall(_ == "0" * 8), hof.mkString(","))
   }
 
   test("deterministic: 8 chars of '0'/'1' only") {

@@ -21,8 +21,12 @@ class MinHashSpec extends AnyFunSuite {
     s
   }
 
+  // sentinel-guarded estimate (MinHash.register doc): a slot match only
+  // counts when it is a real hashed minimum, so two empty (all-sentinel)
+  // sketches estimate J = 0 rather than 1
   private val estExpr =
-    "CAST(size(filter(zip_with(sk_a, sk_b, (x, y) -> x = y), p -> p)) AS DOUBLE) / size(sk_a)"
+    "CAST(size(filter(zip_with(sk_a, sk_b, (x, y) -> x = y AND " +
+      s"x != ${graft.functions.MinHash.EmptySlot}L), p -> p)) AS DOUBLE) / size(sk_a)"
 
   /** Two integer sets with a known exact Jaccard: A = [0, na), B = [cut, cut+nb). */
   private def estimateVsExact(na: Int, nb: Int, cut: Int): (Double, Double) = {
@@ -51,6 +55,18 @@ class MinHashSpec extends AnyFunSuite {
   test("identical sets estimate 1.0 exactly") {
     val (est, exact) = estimateVsExact(1500, 1500, 0)
     assert(exact == 1.0 && est == 1.0, s"est $est")
+  }
+
+  test("empty sketches: all-sentinel buffers estimate J = 0, not 1") {
+    // an empty group keeps Long.MaxValue in every slot; without the
+    // sentinel guard two empty sketches would report a spurious J = 1.0
+    val empty = spark.range(10).filter(col("id") < 0)
+      .selectExpr("minhash_sketch(id) AS sk")
+    val row = empty.select(col("sk").as("sk_a"))
+      .crossJoin(empty.select(col("sk").as("sk_b")))
+      .selectExpr(estExpr + " AS est", "sk_a").head()
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getSeq[Long](1).forall(_ == graft.functions.MinHash.EmptySlot))
   }
 
   test("partition-order invariant: 1 vs 16 partitions give the same sketch") {

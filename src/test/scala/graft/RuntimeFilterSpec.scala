@@ -46,11 +46,26 @@ class RuntimeFilterSpec extends AnyFunSuite {
         .agg(sum(col("l_quantity")).as("qty"))
       joined.collect()
       val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("might_contain"),
-        s"no bloom runtime filter in plan:\n$plan")
-      // the probe must sit over the FACT scan (filters its l_orderkey)
-      assert(plan.contains("might_contain") && plan.contains("l_orderkey"),
-        s"bloom probe not keyed on the fact join key:\n$plan")
+      // the probe must sit over the FACT scan: the might_contain filter
+      // line itself must be keyed on l_orderkey, and the first scan BELOW
+      // it in the tree printout (its subtree) must be the lineitem
+      // relation — `plan.contains("l_orderkey")` alone would pass with the
+      // filter injected on the wrong side
+      val lines = plan.split("\n").toSeq
+      val probeIdx = lines.indexWhere(_.contains("might_contain"))
+      assert(probeIdx >= 0, s"no bloom runtime filter in plan:\n$plan")
+      // the FILTER LINE itself must be keyed on the fact column — a filter
+      // injected on the dim side would probe o_orderkey instead (the
+      // previous plan-wide contains("l_orderkey") passed either way)
+      assert(lines(probeIdx).contains("xxhash64(l_orderkey"),
+        s"bloom probe not keyed on the fact join key:\n${lines(probeIdx)}")
+      // and its subtree must contain the lineitem scan (the bloom-BUILD
+      // subquery over orders prints nested under the filter first, so look
+      // for the lineitem scan anywhere below, not the first scan)
+      val scanBelow = lines.drop(probeIdx)
+        .filter(l => l.contains("Scan parquet") || l.contains("FileScan"))
+      assert(scanBelow.exists(_.contains("lineitem")),
+        s"bloom probe does not sit over the lineitem scan:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       prevAqe match {

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming throughput floor — the bench contract's events/s leg asserted
+  * as a test so a throughput regression (e.g. an interpreted per-row path
+  * slipping into the hot aggregation) fails loudly instead of silently
+  * shipping in a bench artifact. The floor is ~15-30× below the clean rate
+  * on this hardware (local[4]: >15k events/s; the worst stall-contaminated
+  * official run still measured 12k at local[32]), so only a real regression
+  * or a dead host trips it. */
+class StreamRateFloorSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("file-replay hourly aggregation sustains >= 1000 events/s") {
+    val sfDir = "/root/testdata/sf0.1"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val nEvents = spark.read.parquet(path).count()
+    val schema = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val t0 = System.nanoTime()
+    val q = streaming.Streams.hourlyCounts(src).writeStream
+      .format("noop").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rate = nEvents / ((System.nanoTime() - t0) / 1e9)
+    assert(rate >= 1000.0,
+      f"streaming throughput regressed: $rate%.0f events/s over $nEvents rows")
+  }
+}
