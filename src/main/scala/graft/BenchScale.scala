@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1), SPARK_GRAFT_SCALE_DIR
   * (replica+build workdir, default /tmp/graft_sf1), SPARK_GRAFT_COPIES
-  * (default 10), SPARK_GRAFT_CPUS.
+  * (default 10), SPARK_GRAFT_CPUS. Alternatively SPARK_GRAFT_SYNTH_SF=<N>
+  * feeds the build from the zero-storage `graft-synth` generator at SF N —
+  * no replica parquet at all (the SF100+ path: input storage is zero, only
+  * the build OUTPUT hits disk).
   */
 object BenchScale {
 
@@ -26,6 +29,7 @@ object BenchScale {
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val synthSf = sys.env.get("SPARK_GRAFT_SYNTH_SF")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,19 +37,25 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$work/_READY").exists())
-      replicate(spark, src, work, copies)
+    val srcCtx = synthSf match {
+      case Some(sf) => Ctx(spark, s"synth:sf=$sf")
+      case None =>
+        if (!new java.io.File(s"$work/_READY").exists())
+          replicate(spark, src, work, copies)
+        Ctx(spark, work)
+    }
 
     Store.clear(spark)
     val buildDir = s"$work/__build"
     val threads = sys.env.getOrElse("SPARK_GRAFT_BUILD_THREADS", "8").toInt
     val t0 = System.nanoTime()
-    val built = Runner.buildAll(Ctx(spark, work), buildDir, threads)
+    val built = Runner.buildAll(srcCtx, buildDir, threads)
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = built.map(_.rows).sum
     built.sortBy(-_.seconds).take(10).foreach(b =>
       System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
-    println(s"""{"metric":"build_sf1","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"copies":$copies,"src":"$src"}""")
+    val srcLabel = synthSf.map(sf => s"synth:sf=$sf").getOrElse(src)
+    println(s"""{"metric":"build_sf1","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"copies":$copies,"src":"$srcLabel"}""")
     spark.stop()
   }
 

@@ -10,10 +10,20 @@ import scala.collection.concurrent.TrieMap
   *
   * Mirrors the reference's dbt `source()` resolution
   * (reference: models/_source/source_tpch.yml:3-20): a raw table name
-  * resolves to one parquet file under the sf directory.
+  * resolves to one parquet file under the sf directory — or, when `dir` is
+  * the `synth:sf=<N>` scheme, to the zero-storage `graft-synth` DSv2
+  * generator at that scale factor (all 7 TPC-H tables), so scale
+  * benchmarks need no pre-generated parquet at all.
   */
 final case class Ctx(spark: SparkSession, dir: String) {
-  def tbl(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def tbl(name: String): DataFrame =
+    if (dir.startsWith("synth:sf=")) {
+      spark.read.format("graft-synth")
+        .option("table", name)
+        .option("sf", dir.stripPrefix("synth:sf=").toDouble)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+    } else spark.read.parquet(s"$dir/$name.parquet")
 }
 
 /** Materialization boundary for dbt `table` models.

@@ -56,11 +56,23 @@ class Synth extends TableProvider with DataSourceRegister {
 }
 
 object Synth {
+  /** Lines per order is FIXED at 4 (6M lineitem / 1.5M orders at SF1), so
+    * (l_orderkey, l_linenumber) = (rowId / 4 + 1, rowId % 4 + 1) is unique —
+    * the property the ods surrogate key and the build's schema gate require
+    * (TPC-H lineitem is unique on that pair). */
+  val LinesPerOrder = 4L
+
   /** SF1 row counts (reference scripts/generate_data.py:24: SF1 ≈ 6M
-    * lineitem); other tables in TPC-H proportion. */
+    * lineitem); other tables in TPC-H proportion. nation/region are fixed
+    * dimensions at every scale factor, exactly like TPC-H. */
   def rowsFor(table: String, sf: Double): Long = table match {
     case "lineitem" => (6000000L * sf).toLong.max(1L)
     case "orders"   => (1500000L * sf).toLong.max(1L)
+    case "customer" => (150000L * sf).toLong.max(1L)
+    case "part"     => (200000L * sf).toLong.max(1L)
+    case "supplier" => (10000L * sf).toLong.max(1L)
+    case "nation"   => 25L
+    case "region"   => 5L
     case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
   }
 
@@ -73,14 +85,42 @@ object Synth {
       StructField("l_quantity", DoubleType, nullable = false),
       StructField("l_extendedprice", DoubleType, nullable = false),
       StructField("l_discount", DoubleType, nullable = false),
+      StructField("l_tax", DoubleType, nullable = false),
       StructField("l_returnflag", StringType, nullable = false),
+      StructField("l_linestatus", StringType, nullable = false),
       StructField("l_shipdate", DateType, nullable = false)))
     case "orders" => StructType(Seq(
       StructField("o_orderkey", LongType, nullable = false),
       StructField("o_custkey", LongType, nullable = false),
+      StructField("o_orderstatus", StringType, nullable = false),
       StructField("o_totalprice", DoubleType, nullable = false),
       StructField("o_orderdate", DateType, nullable = false),
       StructField("o_orderpriority", StringType, nullable = false)))
+    case "customer" => StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_name", StringType, nullable = false),
+      StructField("c_nationkey", LongType, nullable = false),
+      StructField("c_acctbal", DoubleType, nullable = false),
+      StructField("c_mktsegment", StringType, nullable = false)))
+    case "supplier" => StructType(Seq(
+      StructField("s_suppkey", LongType, nullable = false),
+      StructField("s_name", StringType, nullable = false),
+      StructField("s_nationkey", LongType, nullable = false),
+      StructField("s_acctbal", DoubleType, nullable = false)))
+    case "part" => StructType(Seq(
+      StructField("p_partkey", LongType, nullable = false),
+      StructField("p_name", StringType, nullable = false),
+      StructField("p_brand", StringType, nullable = false),
+      StructField("p_type", StringType, nullable = false),
+      StructField("p_size", IntegerType, nullable = false),
+      StructField("p_retailprice", DoubleType, nullable = false)))
+    case "nation" => StructType(Seq(
+      StructField("n_nationkey", LongType, nullable = false),
+      StructField("n_name", StringType, nullable = false),
+      StructField("n_regionkey", LongType, nullable = false)))
+    case "region" => StructType(Seq(
+      StructField("r_regionkey", LongType, nullable = false),
+      StructField("r_name", StringType, nullable = false)))
     case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
   }
 
@@ -103,26 +143,87 @@ object Synth {
   private val flags = Array("A", "N", "R").map(UTF8String.fromString)
   private val priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
     "4-NOT SPECIFIED", "5-LOW").map(UTF8String.fromString)
+  private val lineStatuses = Array("F", "O").map(UTF8String.fromString)
+  private val orderStatuses = Array("F", "O", "P").map(UTF8String.fromString)
+  private val segments = Array("AUTOMOBILE", "BUILDING", "FURNITURE",
+    "HOUSEHOLD", "MACHINERY").map(UTF8String.fromString)
+  // public TPC-H spec dimension rows (spec 4.2.3: fixed nation → region map)
+  private val regions = Array("AFRICA", "AMERICA", "ASIA", "EUROPE",
+    "MIDDLE EAST").map(UTF8String.fromString)
+  private val nations: Array[(UTF8String, Long)] = Array(
+    "ALGERIA" -> 0L, "ARGENTINA" -> 1L, "BRAZIL" -> 1L, "CANADA" -> 1L,
+    "EGYPT" -> 4L, "ETHIOPIA" -> 0L, "FRANCE" -> 3L, "GERMANY" -> 3L,
+    "INDIA" -> 2L, "INDONESIA" -> 2L, "IRAN" -> 4L, "IRAQ" -> 4L,
+    "JAPAN" -> 2L, "JORDAN" -> 4L, "KENYA" -> 0L, "MOROCCO" -> 0L,
+    "MOZAMBIQUE" -> 0L, "PERU" -> 1L, "CHINA" -> 2L, "ROMANIA" -> 3L,
+    "RUSSIA" -> 3L, "SAUDI ARABIA" -> 4L, "UNITED KINGDOM" -> 3L,
+    "UNITED STATES" -> 1L, "VIETNAM" -> 2L)
+    .map { case (n, r) => (UTF8String.fromString(n), r) }
+  // TPC-H p_type syllable grid (spec 4.2.2.13): 6 × 5 × 5 = 150 types
+  private val typeS1 = Array("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+  private val typeS2 = Array("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+  private val typeS3 = Array("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
+  private val partTypes: Array[UTF8String] =
+    (for (a <- typeS1; b <- typeS2; c <- typeS3)
+      yield UTF8String.fromString(s"$a $b $c")).toArray
+  private val partColors = Array("almond", "antique", "aquamarine", "azure",
+    "beige", "bisque", "black", "blanched", "blue", "blush", "brown",
+    "burlywood", "burnished", "chartreuse", "chiffon", "chocolate", "coral",
+    "cornflower", "cornsilk", "cream", "cyan", "dark", "deep", "dim",
+    "dodger", "drab", "firebrick", "floral", "forest", "frosted", "gainsboro",
+    "ghost", "goldenrod", "green", "grey", "honeydew", "hot", "indian",
+    "ivory", "khaki")
 
   /** Value of column `name` for global row `rowId` — money lands on cent
     * values (up to IEEE representation) so a decimal(16,4) cast recovers
     * the intended amount losslessly. */
   def colValue(table: String, name: String, rowId: Long, sf: Double): Any =
     (table, name) match {
-      case ("lineitem", "l_orderkey")   => u(rowId, 1, rowsFor("orders", sf)) + 1L
-      case ("lineitem", "l_partkey")    => u(rowId, 2, (200000L * sf).toLong.max(1L)) + 1L
-      case ("lineitem", "l_suppkey")    => u(rowId, 3, (10000L * sf).toLong.max(1L)) + 1L
-      case ("lineitem", "l_linenumber") => (u(rowId, 4, 7L) + 1L).toInt
+      // unique (orderkey, linenumber): 4 consecutive rows form one order
+      case ("lineitem", "l_orderkey")   => rowId / LinesPerOrder + 1L
+      case ("lineitem", "l_linenumber") => (rowId % LinesPerOrder + 1L).toInt
+      case ("lineitem", "l_partkey")    => u(rowId, 2, rowsFor("part", sf)) + 1L
+      case ("lineitem", "l_suppkey")    => u(rowId, 3, rowsFor("supplier", sf)) + 1L
       case ("lineitem", "l_quantity")   => (u(rowId, 5, 50L) + 1L).toDouble
       case ("lineitem", "l_extendedprice") => (u(rowId, 6, 9999900L) + 100L) / 100.0
       case ("lineitem", "l_discount")   => u(rowId, 7, 11L) / 100.0
+      case ("lineitem", "l_tax")        => u(rowId, 15, 9L) / 100.0
       case ("lineitem", "l_returnflag") => flags(u(rowId, 8, 3L).toInt)
+      case ("lineitem", "l_linestatus") => lineStatuses(u(rowId, 16, 2L).toInt)
       case ("lineitem", "l_shipdate")   => (dateLo + u(rowId, 9, (dateHi - dateLo).toLong)).toInt
       case ("orders", "o_orderkey")     => rowId + 1L
-      case ("orders", "o_custkey")      => u(rowId, 11, (150000L * sf).toLong.max(1L)) + 1L
+      case ("orders", "o_custkey")      => u(rowId, 11, rowsFor("customer", sf)) + 1L
+      case ("orders", "o_orderstatus")  => orderStatuses(u(rowId, 17, 3L).toInt)
       case ("orders", "o_totalprice")   => (u(rowId, 12, 49999900L) + 100L) / 100.0
       case ("orders", "o_orderdate")    => (dateLo + u(rowId, 13, (dateHi - dateLo).toLong)).toInt
       case ("orders", "o_orderpriority") => priorities(u(rowId, 14, 5L).toInt)
+      case ("customer", "c_custkey")    => rowId + 1L
+      case ("customer", "c_name") =>
+        UTF8String.fromString(f"Customer#${rowId + 1}%09d")
+      case ("customer", "c_nationkey")  => u(rowId, 18, 25L)
+      case ("customer", "c_acctbal")    => (u(rowId, 19, 1099999L) - 99999L) / 100.0
+      case ("customer", "c_mktsegment") => segments(u(rowId, 20, 5L).toInt)
+      case ("supplier", "s_suppkey")    => rowId + 1L
+      case ("supplier", "s_name") =>
+        UTF8String.fromString(f"Supplier#${rowId + 1}%09d")
+      case ("supplier", "s_nationkey")  => u(rowId, 21, 25L)
+      case ("supplier", "s_acctbal")    => (u(rowId, 22, 1099999L) - 99999L) / 100.0
+      case ("part", "p_partkey")        => rowId + 1L
+      case ("part", "p_name") =>
+        val a = partColors(u(rowId, 23, partColors.length.toLong).toInt)
+        val b = partColors(u(rowId, 24, partColors.length.toLong).toInt)
+        UTF8String.fromString(s"$a $b")
+      case ("part", "p_brand") =>
+        UTF8String.fromString(
+          s"Brand#${u(rowId, 25, 5L) + 1}${u(rowId, 26, 5L) + 1}")
+      case ("part", "p_type")           => partTypes(u(rowId, 27, partTypes.length.toLong).toInt)
+      case ("part", "p_size")           => (u(rowId, 28, 50L) + 1L).toInt
+      case ("part", "p_retailprice")    => (90000L + u(rowId, 29, 110000L)) / 100.0
+      case ("nation", "n_nationkey")    => rowId
+      case ("nation", "n_name")         => nations(rowId.toInt)._1
+      case ("nation", "n_regionkey")    => nations(rowId.toInt)._2
+      case ("region", "r_regionkey")    => rowId
+      case ("region", "r_name")         => regions(rowId.toInt)
       case other => throw new IllegalArgumentException(s"unknown column: $other")
     }
 }

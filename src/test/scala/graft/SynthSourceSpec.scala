@@ -81,4 +81,44 @@ class SynthSourceSpec extends AnyFunSuite {
     val rows = q1.collect()
     assert(rows.length == 3 && rows.map(_.getAs[Long]("n")).sum > 0)
   }
+
+  test("full 7-table surface: dims generate with spec row counts and valid FKs") {
+    assert(synth("nation", 1, 2).count() == 25)
+    assert(synth("region", 1, 2).count() == 5)
+    assert(synth("customer", 0.01, 4).count() == 1500)
+    assert(synth("supplier", 0.01, 4).count() == 100)
+    assert(synth("part", 0.01, 4).count() == 2000)
+    // nation FK domain is the fixed 25-row dimension; region FK 0..4
+    val badNation = synth("nation", 1, 2)
+      .join(synth("region", 1, 2),
+        col("n_regionkey") === col("r_regionkey"), "left_anti").count()
+    assert(badNation == 0)
+    val badCust = synth("customer", 0.001, 2)
+      .filter(col("c_nationkey") < 0 || col("c_nationkey") > 24).count()
+    assert(badCust == 0)
+  }
+
+  test("lineitem is unique on (l_orderkey, l_linenumber) — schema-gate ready") {
+    val li = synth("lineitem", 0.01, 8)
+    assert(li.select("l_orderkey", "l_linenumber").distinct().count() == li.count())
+    // and every lineitem order key exists in orders (4 lines per order)
+    val orphans = li.select(col("l_orderkey").as("k")).distinct()
+      .join(synth("orders", 0.01, 8).select(col("o_orderkey").as("k")), Seq("k"),
+        "left_anti").count()
+    assert(orphans == 0)
+  }
+
+  test("synth-fed models run end to end through Ctx(synth:sf=...)") {
+    val ctx = Ctx(spark, "synth:sf=0.001")
+    Store.clear(spark)
+    try {
+      val fo = layers.Wh.fctOrders(ctx)
+      assert(fo.count() > 0)
+      assert(fo.count() == fo.select("order_key").distinct().count())
+      val dc = layers.Wh.dimCustomer(ctx)
+      assert(dc.count() == 150)
+      // a full report over the synthetic lake, rollups included
+      assert(layers.Reports.monthlyRevenueKpis(ctx).count() > 0)
+    } finally Store.clear(spark)
+  }
 }
