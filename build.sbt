@@ -31,8 +31,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Commit the whole heap once at JVM start (-Xms == -Xmx + AlwaysPreTouch).
+// On this virtualized host a 4K anonymous-page fault costs ~15 us of pure
+// kernel time (~50x a bare-metal fault; measured: first touch of 32 GB =
+// 16.5 s across 16 threads, 0.37 s re-touch after pretouch). Without this,
+// G1's commit-on-demand + uncommit-after-GC cycle re-faults heap regions
+// continuously and a 32-thread run degrades into 97% system time — the
+// "intermittent multi-minute host stalls" that contaminated the round-3
+// bench sweeps. Pretouch pays the fault cost once, before main() runs.
+val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch",
 )

@@ -59,6 +59,24 @@ object Store {
         })
     }
 
+  /** Write-through swap for [[graft.Runner.buildAll]]: once a model's
+    * parquet is on disk, downstream plans should read THAT (dbt's actual
+    * execution model — each model selects from the materialized table of
+    * its parents, not from a live query plan) instead of keeping a second
+    * serialized copy in the block manager. Replaces the cached entry with
+    * the parquet-backed relation and frees the in-build persist — without
+    * this, a cold SF10 full build holds every table twice (output parquet
+    * + persisted blocks) and the double footprint, not the data, is what
+    * overruns local disk. No-op for models that were never Store-backed. */
+  def swap(ctx: Ctx, name: String, replacement: => DataFrame): Unit =
+    cache.synchronized {
+      val key = (idOf(ctx.spark), ctx.dir, name)
+      cache.get(key).foreach { old =>
+        cache.put(key, replacement)
+        old.unpersist(false); ()
+      }
+    }
+
   /** Memoize a built DataFrame per (session, sfDir) WITHOUT an extra
     * persist — for operators that manage their own persistence internally
     * (the cluster fixpoint loop already persists its labels): cross-query

@@ -47,12 +47,27 @@ object Runner {
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    def phase(models: Seq[(String, DataFrame)], housekeeping: Boolean): Seq[BuildResult] =
-      Await.result(
+    def phase(models: Seq[(String, DataFrame)], housekeeping: Boolean): Seq[BuildResult] = {
+      val results = Await.result(
         Future.sequence(models.map { case (n, df) =>
           Future(write(n, df, housekeeping))
         }),
         Duration.Inf)
+      // Write-through at the phase barrier: later phases read each model's
+      // WRITTEN parquet (dbt's execution model — children select from the
+      // parent's materialized table), and the in-build persisted copy is
+      // freed. Without this a cold SF10 build holds every table twice
+      // (output parquet + block-manager blocks) and overruns local disk.
+      // Housekeeping columns are dropped from the swapped relation so
+      // downstream consumers see the exact pre-write schema.
+      results.foreach { r =>
+        Store.swap(ctx, r.table, {
+          val pq = ctx.spark.read.parquet(r.path)
+          if (housekeeping) pq.drop("dbt_batch_id", "dbt_batch_ts") else pq
+        })
+      }
+      results
+    }
 
     try {
       // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32)
@@ -82,11 +97,18 @@ object Runner {
       // shared rollup boundary (layers.Rollups — the dbt table-layer reuse
       // twin): materialize each fact-grain rollup once, concurrently, so
       // the report fan-out below aggregates grain-reduced relations instead
-      // of ~20 independent fact scans. Not written: an internal Store
-      // boundary (a bucketed-parquet write at cluster scale).
+      // of ~20 independent fact scans. Written under _rollups/ (a bucketed
+      // write at cluster scale) and write-through-swapped like every other
+      // phase, so the ~20 consumers scan compressed columnar parquet with
+      // column pruning instead of a second block-manager copy. Not part of
+      // the public 50-table build contract — kept out of the returned list.
       Await.result(
-        Future.sequence(Rollups.all(ctx).map { case (_, df) =>
-          Future { df.count(); () }
+        Future.sequence(Rollups.all(ctx).map { case (n, df) =>
+          Future {
+            val path = s"$outDir/_rollups/$n"
+            df.write.mode("overwrite").parquet(path)
+            Store.swap(ctx, n, ctx.spark.read.parquet(path)); ()
+          }
         }),
         Duration.Inf)
 
@@ -101,7 +123,14 @@ object Runner {
         housekeeping = false)
 
       ods ++ wh ++ reports
-    } finally { pool.shutdown() }
+    } finally {
+      pool.shutdown()
+      // A build is a batch job: the write-through swaps above left the
+      // session's Store pointing into outDir (which the caller may delete).
+      // Leave the session as we found it — later plans rebuild from source
+      // rather than dangling on this build's files.
+      Store.clear(ctx.spark)
+    }
   }
 
   /** Per-table result of [[diff]]: row-multiset deltas between two builds. */
@@ -136,7 +165,9 @@ object Runner {
     import org.apache.spark.sql.functions.{coalesce, greatest, lit, md5, struct, sum, to_json}
     def tables(dir: String): Set[String] =
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).map(_.getName).toSet
+        .filter(_.isDirectory).map(_.getName)
+        .filterNot(_.startsWith("_")) // _rollups etc: internal, not models
+        .toSet
     val all = (tables(dirA) ++ tables(dirB)).toSeq.sorted
     all.map { t =>
       val inA = tables(dirA)(t)
