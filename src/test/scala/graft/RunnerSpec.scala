@@ -23,4 +23,24 @@ class RunnerSpec extends SparkSpec {
     // ods layer has no audit columns (dbt_project.yml: housekeeping is wh-only)
     assert(!spark.read.parquet(s"$out/orders_items").columns.contains("dbt_batch_id"))
   }
+
+  test("buildAll leaves the session Store clean — no dangling build-dir reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft-build-wt").toString
+    val results = Runner.buildAll(ctx, out)
+    // rollups were materialized under _rollups/ but are NOT part of the
+    // public table contract
+    assert(new java.io.File(s"$out/_rollups/rollup_customer_orders").isDirectory)
+    assert(!results.exists(_.table.startsWith("_")))
+    // During the build, write-through swapped Store entries onto parquet in
+    // `out`. Delete the whole build dir: if buildAll leaked those entries,
+    // the next Store-backed plan would dangle on the deleted files.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    assert(layers.Wh.dimCustomer(ctx).count() > 0,
+      "Store-backed model must rebuild from source after buildAll")
+    assert(layers.Rollups.customerOrders(ctx).count() > 0,
+      "rollup must rebuild from source after buildAll")
+  }
 }
