@@ -1308,6 +1308,51 @@ object Registry {
          |JOIN r_sizes sa ON c.doc_a = sa.doc_id
          |JOIN r_sizes sb ON c.doc_b = sb.doc_id
          |ORDER BY 1, 2""".stripMargin),
+    "dedup_incremental" -> e(
+      ctx => extensions.Text.dedupIncremental(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_sig AS (SELECT doc_id,
+         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
+         |  FROM r_sh GROUP BY 1)
+         |, r_bandrows AS (
+         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
+         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
+         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_sig
+         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_sig)
+         |, r_new AS (SELECT doc_id FROM r_toks
+         |    WHERE substr(md5('ibatch|' || CAST(doc_id AS VARCHAR)), 1, 1) < '4')
+         |, r_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM r_bandrows a
+         |    JOIN r_new n ON a.doc_id = n.doc_id
+         |    JOIN r_bandrows b ON a.band_idx = b.band_idx
+         |      AND a.band_hash = b.band_hash
+         |    WHERE b.doc_id NOT IN (SELECT doc_id FROM r_new))
+         |, r_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
+         |, r_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
+         |  FROM r_cand c
+         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
+         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |, r_j AS (SELECT c.doc_a, c.doc_b,
+         |    ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} AS jaccard
+         |  FROM r_cand c
+         |  LEFT JOIN r_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |  JOIN r_sizes sa ON c.doc_a = sa.doc_id
+         |  JOIN r_sizes sb ON c.doc_b = sb.doc_id)
+         |, r_per AS (SELECT doc_a,
+         |    COUNT(*) AS n_candidates,
+         |    SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
+         |    MAX(jaccard) AS max_jaccard,
+         |    MIN(CASE WHEN jaccard >= 0.5 THEN doc_b END) AS dup_witness
+         |  FROM r_j GROUP BY 1)
+         |SELECT n.doc_id,
+         |  COALESCE(p.n_candidates, 0) AS n_candidates,
+         |  COALESCE(p.n_dups, 0) AS n_dups,
+         |  p.max_jaccard, p.dup_witness,
+         |  COALESCE(p.n_dups, 0) = 0 AS keep
+         |FROM r_new n
+         |LEFT JOIN r_per p ON n.doc_id = p.doc_a
+         |ORDER BY n.doc_id""".stripMargin),
     "dedup_clusters" -> Entry(
       ctx => extensions.Text.dedupClusters(ctx).orderBy("doc_id"),
       Some(Oracle.qr(

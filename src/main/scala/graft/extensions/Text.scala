@@ -255,6 +255,64 @@ object Text {
         (dv(inter, nullifZero(union)) >= 0.5).as("is_near_duplicate"))
   }
 
+  /** Incremental corpus dedup — the production pattern at 100 TB: a NEW
+    * batch of documents is deduplicated AGAINST the existing corpus by
+    * probing the corpus's MinHash band index with the batch's band
+    * signatures (one band-keyed equi-join, batch side broadcast-able),
+    * never by re-hashing or self-joining the corpus. The corpus/batch
+    * split here is a deterministic md5 draw (~1/4 of docs are "new"); in
+    * production the corpus band rows are a bucketed table maintained by
+    * the incremental sink (graft.Incremental), so each arriving batch
+    * costs |batch| signatures + one bucket-probe + exact verification on
+    * the candidates only. Within-batch duplicates are the existing
+    * self-join operators' job ([[dedupMinhashLsh]] over the batch alone).
+    *
+    * One row per new doc: candidate count from the band probe, verified
+    * near-dup count (exact Jaccard >= 0.5), max Jaccard over candidates,
+    * a deterministic duplicate witness (lowest corpus doc id among
+    * verified dups), and the keep/drop decision. */
+  def dedupIncremental(ctx: Ctx): DataFrame = {
+    val docArr = shingleArr(ctx)
+    val isNew =
+      substring(md5(concat(lit("ibatch|"), col("doc_id").cast("string"))), 1, 1) < "4"
+    val sigCols = (0 until 16).map(i =>
+      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
+    val sig = docArr.select(col("doc_id") +: sigCols: _*)
+    val bandRows = sig.select(col("doc_id"), expr(
+      """stack(4,
+        |  0, md5(concat(h0, h1, h2, h3)),
+        |  1, md5(concat(h4, h5, h6, h7)),
+        |  2, md5(concat(h8, h9, h10, h11)),
+        |  3, md5(concat(h12, h13, h14, h15))) AS (band_idx, band_hash)""".stripMargin))
+    val batchBands = bandRows.filter(isNew).select(
+      col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val corpusBands = bandRows.filter(!isNew).select(
+      col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cands = batchBands.join(corpusBands, Seq("band_idx", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
+    val jacc = dv(inter, nullifZero(union))
+    val perDoc = cands
+      .join(docArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
+      .groupBy("doc_a")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(when(col("jaccard") >= 0.5, col("doc_b"))).as("dup_witness"))
+    docs(ctx).select(col("doc_id")).filter(isNew)
+      .join(perDoc.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_jaccard"), col("dup_witness"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+  }
+
   /** LSH recall evaluation — does the 4-band/16-signature MinHash scheme
     * actually find the near-duplicates it should? On a deterministic
     * 1/4 sample of documents (md5-prefix draw, the honest way to ground-
