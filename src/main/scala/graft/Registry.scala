@@ -1641,6 +1641,28 @@ object Registry {
         |        COUNT(*) OVER (PARTITION BY source) AS n_source_docs
         |      FROM documents) x WHERE rn <= 10
         |ORDER BY source, sample_rank""".stripMargin),
+    "corpus_shard_manifest" -> e(
+      ctx => extensions.Text.corpusShardManifest(ctx).orderBy("shard_id"),
+      s"""$duckTokCtes
+         |, r_doc AS (SELECT doc_id, n_chars, len(toks) AS n_toks,
+         |    substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard_hex
+         |  FROM r_toks)
+         |, r_m AS (SELECT shard_hex,
+         |    COUNT(*) AS n_docs,
+         |    SUM(n_toks) AS n_tokens,
+         |    SUM(n_chars) AS n_chars_total,
+         |    MIN(doc_id) AS min_doc_id,
+         |    MAX(doc_id) AS max_doc_id
+         |  FROM r_doc GROUP BY 1)
+         |, r_tot AS (SELECT COUNT(*) AS total_docs FROM documents)
+         |SELECT CAST(instr('0123456789abcdef', shard_hex) - 1 AS INT) AS shard_id,
+         |  shard_hex, n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_chars_total AS BIGINT) AS n_chars_total,
+         |  min_doc_id, max_doc_id,
+         |  ${dv("n_docs * 16", "NULLIF(total_docs, 0)")} AS balance_ratio
+         |FROM r_m, r_tot
+         |ORDER BY shard_id""".stripMargin),
     "corpus_decontaminate" -> e(
       ctx => extensions.Text.decontaminate(ctx).orderBy("doc_id"),
       s"""$duckTokCtes

@@ -541,6 +541,39 @@ object Text {
         ((col("cum_tokens") - col("n_tokens")) % budget).as("offset_in_pack"))
   }
 
+  /** Shard manifest — the verification artifact of the training-shard
+    * writer: every document is assigned to one of 16 shards by a
+    * deterministic salted-md5 draw (the "global shuffle" of corpus
+    * assembly, done as a hash so it needs NO global sort), and the
+    * manifest reports per-shard document/token/char totals plus a balance
+    * ratio (shard docs ÷ expected docs-per-shard). At cluster scale the
+    * writer is `df.repartition(n, shard).write` with this one groupBy as
+    * the audit; a skewed balance_ratio here is the early warning that a
+    * shard will straggle in training. One partial-aggregatable shuffle on
+    * a 16-value key; the scalar total joins back as a broadcast. */
+  def corpusShardManifest(ctx: Ctx): DataFrame = {
+    val shardHex =
+      substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))), 1, 1)
+    val perDoc = docsTok(ctx).select(
+      col("doc_id"), col("n_chars"),
+      size(col("toks")).cast("long").as("n_toks"), shardHex.as("shard_hex"))
+    val manifest = perDoc.groupBy("shard_hex").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      sum("n_chars").as("n_chars_total"),
+      min("doc_id").as("min_doc_id"),
+      max("doc_id").as("max_doc_id"))
+    val total = docs(ctx).agg(count(lit(1)).as("__total_docs"))
+    manifest.crossJoin(total)
+      .select(
+        (expr("instr('0123456789abcdef', shard_hex)") - 1)
+          .cast("int").as("shard_id"),
+        col("shard_hex"), col("n_docs"), col("n_tokens"),
+        col("n_chars_total"), col("min_doc_id"), col("max_doc_id"),
+        dv(col("n_docs") * 16, nullifZero(col("__total_docs")))
+          .as("balance_ratio"))
+  }
+
   /** Per-source language-mix profile: majority language and Gini impurity —
     * the mixture signal corpus curation uses to spot mislabeled or
     * aggregated feeds. Impurity is DELIBERATELY Gini (1 - Σp²) rather than
