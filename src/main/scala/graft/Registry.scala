@@ -1746,6 +1746,37 @@ object Registry {
          |  (${dv("SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} >= 0.5) AS is_mostly_duplicate
          |FROM r_ch c JOIN r_chfirst f ON c.chunk_hash = f.chunk_hash
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "dedup_spans" -> e(
+      ctx => extensions.Text.dedupSpans(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_wi AS (SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) ELSE [] END) AS i
+         |  FROM r_toks)
+         |, r_w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS win_hash
+         |  FROM r_wi)
+         |, r_wshared AS (SELECT win_hash FROM r_w GROUP BY 1
+         |    HAVING MIN(doc_id) <> MAX(doc_id))
+         |, r_whit AS (SELECT h.doc_id, h.pos
+         |    FROM r_w h JOIN r_wshared s USING (win_hash))
+         |, r_wisl AS (SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |        THEN 1 ELSE 0 END AS brk
+         |    FROM r_whit) z)
+         |, r_wcov0 AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_len
+         |    FROM r_wisl GROUP BY 1, 2)
+         |, r_wcov AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+         |    CAST(SUM(span_len) AS BIGINT) AS dup_span_tokens
+         |  FROM r_wcov0 GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+         |  COALESCE(c.dup_span_tokens, 0) AS dup_span_tokens,
+         |  ${dv("COALESCE(c.dup_span_tokens, 0)", "NULLIF(len(t.toks), 0)")} AS dup_span_frac,
+         |  (${dv("COALESCE(c.dup_span_tokens, 0)", "NULLIF(len(t.toks), 0)")} >= 0.5) AS is_mostly_duplicated
+         |FROM r_toks t LEFT JOIN r_wcov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
     "corpus_sample_stratified" -> e(
       ctx => extensions.Text.sampleStratified(ctx).orderBy("lang"),
       s"""SELECT lang, COUNT(*) AS n_docs,

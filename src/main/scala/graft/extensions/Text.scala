@@ -784,6 +784,60 @@ object Text {
           .as("is_mostly_duplicate"))
   }
 
+  /** Exact duplicate-SPAN coverage — the substring-dedup shape of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022, arXiv:2107.06499), reduced to fixed windows: overlapping
+    * `w`-token windows at stride 1, md5-keyed; a window is SHARED when at
+    * least two distinct documents contain it; a document's duplicated-span
+    * coverage is the size of the union of its shared windows' [pos, pos+w)
+    * token intervals, merged per doc with one gaps-and-islands pass (an
+    * island breaks where the next shared window starts more than `w`
+    * tokens after the previous one — anything closer overlaps or abuts).
+    * Unlike [[dedupChunks]] (non-overlapping chunks, boundary-sensitive),
+    * stride-1 windows catch a shared span at ANY alignment.
+    * Scale shape: one stride-1 explode (~1 window per token; at 100 TB the
+    * 32-hex md5 key would shrink to xxhash64 — nothing else changes), one
+    * groupBy on the window key (min != max beats a count-distinct:
+    * constant aggregation state), one join back, then doc_id-keyed windows
+    * whose partitions are bounded by document length, never corpus size. */
+  def dedupSpans(ctx: Ctx, w: Int = 8): DataFrame = {
+    val winArr =
+      s"""CASE WHEN size(toks) >= $w
+         |  THEN transform(sequence(0, size(toks) - $w),
+         |    i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
+         |  ELSE array() END""".stripMargin
+    val occ = docsTok(ctx).select(
+      col("doc_id"),
+      posexplode(expr(winArr)).as(Seq("pos", "win_hash")))
+    val shared = occ.groupBy("win_hash")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select("win_hash")
+    // (doc_id, pos) is unique out of posexplode and win_hash is unique in
+    // shared, so the join cannot duplicate positions — no distinct needed
+    val hit = occ.join(shared, Seq("win_hash"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = hit
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wd) > w, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cov = isl.groupBy(col("doc_id"), col("island"))
+      .agg((max("pos") - min("pos") + w).cast("long").as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("span_len").as("dup_span_tokens"))
+    docsTok(ctx).select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_span_tokens"), lit(0L)).as("dup_span_tokens"),
+        dv(coalesce(col("dup_span_tokens"), lit(0L)), nullifZero(col("n_tokens")))
+          .as("dup_span_frac"),
+        (dv(coalesce(col("dup_span_tokens"), lit(0L)), nullifZero(col("n_tokens"))) >= 0.5)
+          .as("is_mostly_duplicated"))
+  }
+
   /** Deterministic stratified sampling: per-language strata, keep rate 1/4
     * decided by a 4-hex md5 prefix of the doc id (same salt-prefix device as
     * [[corpusSplit]] — membership is a pure function of doc_id, so retries,
