@@ -1347,7 +1347,7 @@ object Registry {
          |  FROM r_j GROUP BY 1)
          |SELECT n.doc_id,
          |  COALESCE(p.n_candidates, 0) AS n_candidates,
-         |  COALESCE(p.n_dups, 0) AS n_dups,
+         |  CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
          |  p.max_jaccard, p.dup_witness,
          |  COALESCE(p.n_dups, 0) = 0 AS keep
          |FROM r_new n
