@@ -41,13 +41,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // a thrown query must never read as a fast success: its name and
+    // exception class go into the artifact's "errors" object (r5 lesson —
+    // 12 analysis-time failures printed as 0.06 s timings and the total
+    // "improved")
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(expr("bit_xor(__h)")).collect()
-      } catch { case _: Throwable => () }
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // streaming surface: the events table replayed as a file stream through
@@ -65,17 +74,8 @@ object Bench {
     // so all three process the full file)
     val streamRate =
       try {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val path = s"$sfDir/events.parquet"
-        val nEvents = spark.read.parquet(path).count()
-        val schema = spark.read.parquet(path).schema
-        // the file stream source needs a directory: glob-filter the sf dir
-        val src = spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-          .select(
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")).as("ts"),
-            col("user_id"), col("event_type"), col("value"))
+        val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+        val src = streaming.Streams.eventFileStream(spark, sfDir)
         (1 to 3).map { _ =>
           val ts = System.nanoTime()
           val q = streaming.Streams.hourlyCounts(src).writeStream
@@ -85,7 +85,12 @@ object Bench {
           q.awaitTermination()
           nEvents / ((System.nanoTime() - ts) / 1e9)
         }.max
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          errors("__stream") = e.getClass.getSimpleName
+          System.err.println(s"[bench] stream leg FAILED: $e")
+          -1.0
+      }
 
     // synthetic-source throughput: SF1 lineitem (6M rows) generated on the
     // fly through the graft-synth DSv2 source and aggregated — the
@@ -109,7 +114,12 @@ object Bench {
     val tb = System.nanoTime()
     val built =
       try Runner.buildAll(Ctx(spark, sfDir), buildDir).size
-      catch { case _: Throwable => -1 }
+      catch {
+        case e: Throwable =>
+          errors("__build") = e.getClass.getSimpleName
+          System.err.println(s"[bench] build leg FAILED: $e")
+          -1
+      }
     val buildSec = (System.nanoTime() - tb) / 1e9
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -126,10 +136,12 @@ object Bench {
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}"""
     println(s"BENCH_DETAIL: $detail")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -144,7 +156,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { shown += entry; used += entry.length + 1 }
     }
     val compactQs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"errors":$errJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)}}""")
     spark.stop()
   }
 }

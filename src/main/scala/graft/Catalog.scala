@@ -42,10 +42,7 @@ object Catalog {
     * fixpoint, memoized signatures) run jobs during plan construction,
     * which a catalog registration must never do. */
   def registerAll(ctx: Ctx): Unit = {
-    rawTables.foreach { t =>
-      if (t == "events") ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ctx.tbl(t).createOrReplaceTempView(t)
-    }
+    rawTables.foreach(t => ctx.tbl(t).createOrReplaceTempView(t))
     modelViews(ctx).foreach { case (name, df) => df().createOrReplaceTempView(name) }
     Registry.all.foreach { case (name, e) =>
       if (e.mat != Registry.Mat.Extension) e.fn(ctx).createOrReplaceTempView(name)

@@ -23,7 +23,42 @@ final case class Ctx(spark: SparkSession, dir: String) {
         .option("sf", dir.stripPrefix("synth:sf=").toDouble)
         .option("partitions", spark.sparkContext.defaultParallelism)
         .load()
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else if (name == "events") Ctx.normalizedEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+}
+
+object Ctx {
+  /** Schema-adaptive events loader — the ONE place `events.ts` is decoded.
+    *
+    * The testdata generator has shipped `ts` as parquet TIMESTAMP(NANOS)
+    * (which vanilla Spark can only read as a raw nano count, via the legacy
+    * conf) and as plain `timestamp[us]` (which Spark reads as
+    * TIMESTAMP_NTZ) across generations. Every downstream plan — epoch
+    * bucketing, sessionization gaps, the as-of join's integer tolerance —
+    * does exact BIGINT nanosecond arithmetic, so normalize here to
+    * epoch-nanos BIGINT whatever the file says and nothing downstream ever
+    * sees the encoding. The DuckDB oracle twins use `epoch_ns(ts)` /
+    * `epoch(ts)`, which are the same normalization on the oracle side.
+    *
+    * Session timezone is pinned UTC before the NTZ->instant cast: a naive
+    * parquet timestamp must be interpreted as UTC wall-clock to land on the
+    * same epoch integers DuckDB derives. TestdataSchemaSpec guards this
+    * contract against the next drift. */
+  def normalizedEvents(spark: SparkSession, path: String): DataFrame = {
+    // must be set BEFORE the read resolves the footer schema; harmless
+    // (unread) for non-NANOS files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as the raw nano count
+      case TimestampNTZType | TimestampType =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        sys.error(s"events.ts: unsupported parquet type $other at $path")
+    }
+  }
 }
 
 /** Materialization boundary for dbt `table` models.

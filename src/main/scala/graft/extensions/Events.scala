@@ -19,14 +19,10 @@ import org.apache.spark.sql.functions._
 object Events {
   import M._
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which vanilla Spark rejects;
-    * read it as a raw nano count and do exact integer epoch arithmetic
-    * (floor to seconds), which also sidesteps any timestamp-type skew
-    * against the oracle. */
-  private def events(ctx: Ctx): DataFrame = {
-    ctx.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ctx.tbl("events")
-  }
+  /** `ts` arrives as epoch-nanos BIGINT whatever the parquet encoding —
+    * [[graft.Ctx.normalizedEvents]] is the one place that decodes it — so
+    * every derivation here is exact integer epoch arithmetic. */
+  private def events(ctx: Ctx): DataFrame = ctx.tbl("events")
 
   /** floor'd epoch seconds from the nano count (ts >= 0 in testdata). */
   private val tsSec = expr("ts div 1000000000")

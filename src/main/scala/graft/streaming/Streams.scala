@@ -18,6 +18,30 @@ import java.sql.Timestamp
   */
 object Streams {
 
+  /** File-replay source over the testdata events parquet, normalized to the
+    * schema every pipeline here expects: `ts` TIMESTAMP plus (user_id,
+    * event_type, value). Schema-adaptive the same way [[graft.Ctx.tbl]] is
+    * for the batch side — a raw nano count becomes `timestamp_micros(ns div
+    * 1000)`, a native timestamp (NTZ or instant) casts through
+    * TimestampType under a UTC session — so a testdata re-generation can
+    * change the parquet encoding without touching any stream consumer
+    * (Bench's throughput leg, StreamRateFloorSpec). */
+  def eventFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        col("ts").cast("timestamp")
+    }
+    // the file stream source needs a directory: glob-filter the sf dir
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(tsCol.as("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark
     * (late data beyond the watermark is dropped; state is bounded). */
   def hourlyCounts(events: DataFrame): DataFrame =

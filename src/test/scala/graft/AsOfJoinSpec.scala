@@ -31,7 +31,6 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("matches the composed-ops (join + latest-row window) reference") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = ctx.tbl("events")
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"value")
@@ -56,7 +55,6 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("plans as AsOfJoinExec with co-partitioned sort-merge children") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = extensions.Events.asofAttribution(ctx)
     df.collect()
     val plan = finalPlan(df.queryExecution.executedPlan)
@@ -70,7 +68,6 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("left-side filters above the as-of node push into the left scan") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = ctx.tbl("events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))

@@ -47,7 +47,6 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("as-of join children push their event_type filters into the parquet scan") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val plan = extensions.Events.asofAttribution(ctx).queryExecution.executedPlan
     val evScans = scans(plan).filter(_.metadata.get("Location").exists(_.contains("events")))
     // both sides of the custom operator are ordinary children to the

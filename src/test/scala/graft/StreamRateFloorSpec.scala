@@ -24,14 +24,8 @@ class StreamRateFloorSpec extends AnyFunSuite {
 
   test("file-replay hourly aggregation sustains >= 1000 events/s") {
     val sfDir = "/root/testdata/sf0.1"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val nEvents = spark.read.parquet(path).count()
-    val schema = spark.read.parquet(path).schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
+    val src = streaming.Streams.eventFileStream(spark, sfDir)
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val t0 = System.nanoTime()
     val q = streaming.Streams.hourlyCounts(src).writeStream
       .format("noop").outputMode("update")
