@@ -55,7 +55,8 @@ object BenchScale {
     built.sortBy(-_.seconds).take(10).foreach(b =>
       System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
     val srcLabel = synthSf.map(sf => s"synth:sf=$sf").getOrElse(src)
-    println(s"""{"metric":"build_sf1","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"copies":$copies,"src":"$srcLabel"}""")
+    val metric = synthSf.map(sf => s"build_sf$sf").getOrElse("build_sf1")
+    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"src":"$srcLabel"}""")
     spark.stop()
   }
 

@@ -45,10 +45,28 @@ object Components {
     * @param src   column holding one endpoint (any orderable type shared
     *              with `dst`; node ids must be totally ordered)
     * @param dst   column holding the other endpoint
+    * @param checkpointDir when set, each round's lineage cut is a RELIABLE
+    *              checkpoint into this directory instead of
+    *              localCheckpoint. localCheckpoint stores blocks only on
+    *              the executors that computed them — correct and fast on
+    *              local[32], but on a real cluster a lost executor loses
+    *              its blocks with no lineage left to recompute them, so a
+    *              long fixpoint over 100 TB of edges wants the cut on
+    *              durable storage (HDFS/object store), exactly like
+    *              GraphX's PeriodicCheckpointer. Same converged result
+    *              either way; the flag only moves where the cut lives.
     * @return one row per distinct endpoint: (node_id, label), where label
     *         is the minimum node id of the containing component
     */
-  def labels(pairs: DataFrame, src: String, dst: String): DataFrame = {
+  def labels(pairs: DataFrame, src: String, dst: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // serialized storage: the edge list is re-scanned every fixpoint round,
     // and a deserialized cache is the first eviction victim under a
     // full-sweep memory profile — compact batches survive pressure and the
@@ -58,11 +76,10 @@ object Components {
       .union(pairs.select(col(dst).as("__cc_src"), col(src).as("__cc_dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = edges
+    var labels = cut(edges
       .groupBy(col("__cc_src"))
       .agg(least(col("__cc_src"), min(col("__cc_dst"))).as("label"))
-      .select(col("__cc_src").as("node_id"), col("label"))
-      .localCheckpoint()
+      .select(col("__cc_src").as("node_id"), col("label")))
     var converged = false
     while (!converged) {
       val nbrMin = edges
@@ -74,14 +91,13 @@ object Components {
       val jump = labels.select(col("node_id").as("label"), col("label").as("__lbl2"))
       // carry the previous label through so convergence is a filter on the
       // materialized (checkpointed) result, not an extra join per round
-      val next = labels.join(nbrMin, Seq("node_id"), "left")
+      val next = cut(labels.join(nbrMin, Seq("node_id"), "left")
         .join(jump, Seq("label"))
         .select(col("node_id"),
           least(col("__lbl2"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))))
             .as("label"),
-          col("label").as("__prev"))
-        .localCheckpoint()
+          col("label").as("__prev")))
       converged = next.filter(col("label") =!= col("__prev")).count() == 0L
       labels = next.drop("__prev")
     }

@@ -34,6 +34,23 @@ class ComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("reliable-checkpoint mode converges to the same labels and writes " +
+      "its cuts to the checkpoint dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = Components.labels(chain.toDF("a", "b"), "a", "b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+    // the cuts must actually live on durable storage, not executor blocks
+    def files(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+        if (c.isDirectory) files(c) else Seq(c))
+    assert(files(new java.io.File(dir)).nonEmpty,
+      s"no checkpoint files written under $dir")
+  }
+
   test("random graph matches a driver-side union-find") {
     val rnd = new Random(42)
     val pairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
