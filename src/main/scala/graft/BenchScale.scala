@@ -37,6 +37,12 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    sys.env.get("SPARK_GRAFT_QUERY_SF").foreach { sf =>
+      querySweep(spark, sf, cpus)
+      spark.stop()
+      return
+    }
+
     val srcCtx = synthSf match {
       case Some(sf) => Ctx(spark, s"synth:sf=$sf")
       case None =>
@@ -58,6 +64,70 @@ object BenchScale {
     val metric = synthSf.map(sf => s"build_sf$sf").getOrElse("build_sf1")
     println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"src":"$srcLabel"}""")
     spark.stop()
+  }
+
+  /** Zero-storage scale sweep (`SPARK_GRAFT_QUERY_SF=<N>`): headline
+    * scan/agg/join plans straight off the `graft-synth` generator at SF N.
+    * This is the SF100 measurement path — a full `buildAll` OUTPUT at SF100
+    * (~250 GB of model parquet) exceeds local disk, but the query engine
+    * itself has no such limit: input is generated on the fly and every plan
+    * here ends in a small aggregate, so what's measured is exactly the
+    * 600M-row scan, the map-side partial agg, the broadcast join, and the
+    * fact-to-fact shuffle join — the things that matter at 100 TB.
+    *
+    * Each leg collect()s a handful of result rows (6 / ~84 / 25 / 5 / 1);
+    * nothing driver-side scales with SF. */
+  private def querySweep(spark: SparkSession, sf: String, cpus: String): Unit = {
+    val ctx = Ctx(spark, s"synth:sf=$sf")
+    def timed(name: String)(df: => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.collect().length.toLong
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[benchscale] $name%-22s $sec%8.1f s $n%6d rows")
+      (name, sec, n)
+    }
+    val li  = ctx.tbl("lineitem")
+    val ord = ctx.tbl("orders")
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val legs = Seq(
+      // TPC-H Q1 shape: full fact scan + partial agg into a 6-row result
+      timed("q1_pricing") {
+        li.filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_base"),
+            sum(revenue).as("sum_disc_price"),
+            avg("l_quantity").as("avg_qty"), count(lit(1)).as("n_items"))
+      },
+      // orders scan + calendar agg
+      timed("orders_monthly") {
+        ord.groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+      },
+      // snowflake broadcast: fact ⋈ broadcast(supplier) ⋈ broadcast(nation)
+      timed("revenue_by_nation") {
+        li.join(broadcast(ctx.tbl("supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(ctx.tbl("nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(sum(revenue).as("revenue"))
+      },
+      // the big one: fact ⋈ fact shuffle join on the order key
+      timed("fact_fact_join") {
+        li.select(col("l_orderkey"), revenue.as("rev"))
+          .join(ord.select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+      },
+      // sketch path: approximate distinct keys over the full fact
+      timed("distinct_customers") {
+        ord.agg(approx_count_distinct("o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"))
+      })
+    val total = legs.map(_._2).sum
+    val qJson = legs.map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
+    println(s"""{"metric":"query_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus}""")
   }
 
   /** Key-offset replication of the 8 TPC-H tables. */

@@ -1058,7 +1058,7 @@ object Registry {
          |  percentile_cont(0.90) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p90_lead_time,
          |  percentile_cont(0.95) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p95_lead_time,
          |  ${rnd(stddevE("sh.lead_time_days"), 2)} AS lead_time_stddev,
-         |  ${rnd(stddevE("sh.lead_time_days") + " / " + avgE("sh.lead_time_days"), 3)} AS lead_time_cv
+         |  ${rnd(stddevE("sh.lead_time_days") + " / NULLIF(" + avgE("sh.lead_time_days") + ", 0)", 3)} AS lead_time_cv
          |FROM r_sh sh JOIN w_dim_supplier s ON sh.supplier_key = s.supplier_key
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
     "supplier_scorecard" -> e(
@@ -2313,6 +2313,34 @@ object Registry {
          |  MIN(e.event_id) AS min_event_id, MAX(e.event_id) AS max_event_id
          |FROM r_pke e JOIN r_pkw w ON e.sec >= w.win_start AND e.sec < w.win_end
          |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin),
+    // dbt `source freshness` twin (reference models/_source/source_tpch.yml:
+    // 11-16 event_time) — watermark + staleness grade per declared source,
+    // graded against the corpus watermark so the check is deterministic
+    "source_freshness" -> e(
+      ctx => Freshness.report(ctx),
+      s""", f_legs AS (
+         |  SELECT 'events' AS source_table, 'ts' AS event_time_col,
+         |    COUNT(*) AS n_rows,
+         |    CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS min_event_s,
+         |    CAST(epoch_ns(MAX(ts)) // 1000000000 AS BIGINT) AS max_event_s
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'lineitem', 'l_shipdate', COUNT(*),
+         |    CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT),
+         |    CAST(floor(epoch(MAX(l_shipdate))) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'orders', 'o_orderdate', COUNT(*),
+         |    CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT),
+         |    CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT)
+         |  FROM orders)
+         |SELECT source_table, event_time_col, n_rows, min_event_s, max_event_s,
+         |  CAST((max_event_s - min_event_s) // 86400 AS BIGINT) AS span_days,
+         |  CAST((MAX(max_event_s) OVER () - max_event_s) // 86400 AS BIGINT) AS lag_days,
+         |  CASE WHEN (MAX(max_event_s) OVER () - max_event_s) // 86400 <= 30 THEN 'fresh'
+         |       WHEN (MAX(max_event_s) OVER () - max_event_s) // 86400 <= 90 THEN 'warn'
+         |       ELSE 'error' END AS freshness_status
+         |FROM f_legs ORDER BY source_table""".stripMargin),
   )
 
   /** Full registry: every declared query, tagged with its materialization

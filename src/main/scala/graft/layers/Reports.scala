@@ -721,7 +721,11 @@ object Reports {
         expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY lead_time_days)")
           .as("p95_lead_time"),
         rnd(stddevE(col("lead_time_days")), 2).as("lead_time_stddev"),
-        rnd(stddevE(col("lead_time_days")) / avgE(col("lead_time_days")), 3)
+        // reference divides by NULLIF(avg, 0) (supplier_lead_time_
+        // distribution.sql:27); without the guard a zero-mean group kills
+        // the whole build under ANSI mode (found by the SF10 synth sweep)
+        rnd(stddevE(col("lead_time_days")) /
+            nullifZero(avgE(col("lead_time_days"))), 3)
           .as("lead_time_cv"))
   }
 

@@ -190,7 +190,13 @@ object Synth {
       case ("lineitem", "l_tax")        => u(rowId, 15, 9L) / 100.0
       case ("lineitem", "l_returnflag") => flags(u(rowId, 8, 3L).toInt)
       case ("lineitem", "l_linestatus") => lineStatuses(u(rowId, 16, 2L).toInt)
-      case ("lineitem", "l_shipdate")   => (dateLo + u(rowId, 9, (dateHi - dateLo).toLong)).toInt
+      // shipdate = this line's order date + 1..121 days, the TPC-H dbgen
+      // relationship — derived by recomputing o_orderdate's formula at the
+      // order's rowId (l_orderkey - 1), so lineitem needs no join to stay
+      // date-coherent; keep the salt-13 formula in lockstep with o_orderdate
+      case ("lineitem", "l_shipdate") =>
+        val orderDate = dateLo + u(rowId / LinesPerOrder, 13, (dateHi - dateLo).toLong)
+        (orderDate + 1L + u(rowId, 9, 121L)).toInt
       case ("orders", "o_orderkey")     => rowId + 1L
       case ("orders", "o_custkey")      => u(rowId, 11, rowsFor("customer", sf)) + 1L
       case ("orders", "o_orderstatus")  => orderStatuses(u(rowId, 17, 3L).toInt)

@@ -69,8 +69,19 @@ class SynthSourceSpec extends AnyFunSuite {
     // claim is "cent-valued up to representation", which a decimal(16,4)
     // cast recovers losslessly
     assert(stats.getAs[Double]("centerr") < 1e-6)
-    assert(stats.getAs[java.sql.Date]("mind").toString >= "1995-01-01")
-    assert(stats.getAs[java.sql.Date]("maxd").toString <= "2001-08-01")
+    assert(stats.getAs[java.sql.Date]("mind").toString >= "1995-01-02")
+    // order dates end 2001-08-01; shipdate may run up to 121 days later
+    assert(stats.getAs[java.sql.Date]("maxd").toString <= "2001-11-30")
+  }
+
+  test("lineitem ship dates are coherent with their order's date") {
+    val joined = synth("lineitem", 0.001, 4)
+      .join(synth("orders", 0.001, 4), col("l_orderkey") === col("o_orderkey"))
+      .agg(min(datediff(col("l_shipdate"), col("o_orderdate"))).as("mino"),
+        max(datediff(col("l_shipdate"), col("o_orderdate"))).as("maxo"))
+      .head()
+    assert(joined.getAs[Int]("mino") >= 1, "shipdate must follow orderdate")
+    assert(joined.getAs[Int]("maxo") <= 121, "TPC-H ship window is 1..121 days")
   }
 
   test("a real aggregation over the synthetic fact works end to end") {
