@@ -43,6 +43,12 @@ object BenchScale {
       return
     }
 
+    sys.env.get("SPARK_GRAFT_SKEW_SF").foreach { sf =>
+      skewSweep(spark, sf, cpus)
+      spark.stop()
+      return
+    }
+
     val srcCtx = synthSf match {
       case Some(sf) => Ctx(spark, s"synth:sf=$sf")
       case None =>
@@ -62,7 +68,7 @@ object BenchScale {
       System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
     val srcLabel = synthSf.map(sf => s"synth:sf=$sf").getOrElse(src)
     val metric = synthSf.map(sf => s"build_sf$sf").getOrElse("build_sf1")
-    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"src":"$srcLabel"}""")
+    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 
@@ -127,7 +133,75 @@ object BenchScale {
       })
     val total = legs.map(_._2).sum
     val qJson = legs.map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
-    println(s"""{"metric":"query_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus}""")
+    println(s"""{"metric":"query_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+  }
+
+  /** Skew-stress sweep (`SPARK_GRAFT_SKEW_SF=<N>`): the same shuffle join
+    * under deliberate pathological key skew — 30% of all fact rows collapse
+    * onto ONE hot key — measured three ways on synth lineitem at SF N:
+    *
+    *   1. `plain`  — AQE + skew-join disabled: the hot key's entire mass
+    *      lands on a single reducer (what a naive engine does at 100 TB);
+    *   2. `aqe`    — AQE skew-join enabled (the shipped default): runtime
+    *      splits the oversized partition, zero code changes;
+    *   3. `salted` — operators.Skew.saltedJoin: explicit (key, salt)
+    *      spreading for paths AQE cannot rewrite.
+    *
+    * All three aggregate to the same tiny result; the sweep asserts the
+    * three checksums agree (a mitigation that changes answers is not a
+    * mitigation) and emits per-leg seconds. The dim side is 4M rows so the
+    * join is honestly shuffle-shaped (no broadcast escape hatch). */
+  private def skewSweep(spark: SparkSession, sf: String, cpus: String): Unit = {
+    val li = spark.read.format("graft-synth")
+      .option("table", "lineitem").option("sf", sf)
+      .option("partitions", cpus).load()
+    val dimN = 4000000L
+    // 30% of rows -> key 0; the rest uniform over the dim's key space.
+    // Row-hash based, so the assignment is deterministic and re-runnable.
+    val rowH = xxhash64(col("l_orderkey"), col("l_linenumber"))
+    val fact = li.select(
+      when(pmod(rowH, lit(100L)) < 30, lit(0L))
+        .otherwise(pmod(xxhash64(rowH), lit(dimN))).as("k"),
+      // exact decimal, not double: the three legs sum in different orders
+      // (different physical partitionings), and double addition is not
+      // associative — the cross-leg checksum only means something if the
+      // aggregate itself is order-invariant
+      col("l_extendedprice").cast("decimal(18,2)").as("v"))
+    val dim = spark.range(dimN).select(
+      col("id").as("k"), pmod(col("id"), lit(25L)).as("grp"))
+
+    def agg(joined: DataFrame): Array[org.apache.spark.sql.Row] =
+      joined.groupBy("grp").agg(sum("v").as("rev"), count(lit(1)).as("n"))
+        .orderBy("grp").collect()
+
+    val conf = spark.conf
+    def timedLeg(name: String)(body: => Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[benchscale] skew:$name%-8s $sec%8.1f s")
+      (name, sec, rows.map(_.toString).mkString("|"))
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val plain = timedLeg("plain") { agg(fact.join(dim, Seq("k"))) }
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val aqe = timedLeg("aqe") { agg(fact.join(dim, Seq("k"))) }
+    // salts=8: enough to split the 30%-mass hot key across 8 reducers while
+    // keeping the dim replication (dimN x salts extra build rows) small
+    // relative to the fact side — salts=cpus measured strictly worse here
+    // (replication cost outgrew the skew win)
+    val salted = timedLeg("salted") {
+      agg(operators.Skew.saltedJoin(fact, dim, "k", salts = 8))
+    }
+    val consistent = plain._3 == aqe._3 && aqe._3 == salted._3
+    require(consistent, "skew sweep legs disagree on the join result")
+    val qJson = Seq(plain, aqe, salted)
+      .map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
+    println(s"""{"metric":"skew_sf$sf","value":${aqe._2},"unit":"sec","queries":{$qJson},"match":$consistent,"sf":$sf,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
   }
 
   /** Key-offset replication of the 8 TPC-H tables. */
