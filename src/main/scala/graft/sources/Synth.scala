@@ -183,7 +183,17 @@ object Synth {
       case ("lineitem", "l_orderkey")   => rowId / LinesPerOrder + 1L
       case ("lineitem", "l_linenumber") => (rowId % LinesPerOrder + 1L).toInt
       case ("lineitem", "l_partkey")    => u(rowId, 2, rowsFor("part", sf)) + 1L
-      case ("lineitem", "l_suppkey")    => u(rowId, 3, rowsFor("supplier", sf)) + 1L
+      // TPC-H 4.2.3: each part is supplied by exactly 4 suppliers,
+      // ps_suppkey = (partkey + i*(S/4)) % S + 1 for i in 0..3. An
+      // independent uniform draw here made DISTINCT (l_partkey, l_suppkey)
+      // — the synthesized partsupp grain — balloon to ~|lineitem| (60M at
+      // SF10 vs TPC-H's 4x|part| = 8M), inflating every partsupp-derived
+      // model ~7.5x over the reference workload the bench claims to twin.
+      case ("lineitem", "l_suppkey") =>
+        val part = u(rowId, 2, rowsFor("part", sf)) + 1L
+        val s = rowsFor("supplier", sf)
+        val i = u(rowId, 3, 4L)
+        (part + i * (s / 4).max(1L)) % s + 1L
       case ("lineitem", "l_quantity")   => (u(rowId, 5, 50L) + 1L).toDouble
       case ("lineitem", "l_extendedprice") => (u(rowId, 6, 9999900L) + 100L) / 100.0
       case ("lineitem", "l_discount")   => u(rowId, 7, 11L) / 100.0
