@@ -23,6 +23,57 @@ object Lake {
       .sortBy(keys.head, keys.drop(1): _*)
       .saveAsTable(table)
 
+  /** Time-partitioned, range-sorted event-lake layout — the standard shape
+    * for an append-heavy 100 TB fact stream:
+    *
+    *  - `partitionBy(dateCol)`: every date predicate becomes PARTITION
+    *    PRUNING (directories never listed, `PartitionFilters` in the scan,
+    *    proven in LakeLayoutSpec) — the difference between scanning a day
+    *    and scanning a decade;
+    *  - `repartitionByRange(sortCols)` before the write: rows land in files
+    *    whose parquet column min/max stats are tight, narrow ranges, so
+    *    predicates on the sort key also skip whole ROW GROUPS inside each
+    *    partition (the poor man's Z-order, exact for one dimension);
+    *  - `sortWithinPartitions`: ordered pages compress better and keep
+    *    predicate evaluation sequential.
+    *
+    * `partitions` bounds file count per date directory — at cluster scale
+    * set it so files land near the fs block size, not in thousands of
+    * KB-sized shards. */
+  def writeTimePartitioned(df: DataFrame, path: String, dateCol: String,
+      sortCols: Seq[String], partitions: Int = 4): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(dateCol, sortCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(dateCol)
+      .parquet(path)
+  }
+
+  /** Small-file compaction — the routine operational fix for streaming /
+    * incremental sinks that accrete thousands of tiny files per partition
+    * (each costing a task, a footer read, and a namenode entry at scale).
+    * Rewrites `path` in place to ONE file per date partition (hash-
+    * clustering rows by date routes each date to exactly one of
+    * `parallelism` concurrent reducers), preserving the partition layout
+    * and every row. The rewrite goes through a temp dir then a rename
+    * swap, so a crashed compaction leaves the original data intact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      dateCol: String, parallelism: Int = 8): Unit = {
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path)
+      .repartition(parallelism, org.apache.spark.sql.functions.col(dateCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+    ()
+  }
+
   /** Materialize the hot mid-DAG facts as bucketed tables, each bucketed by
     * the key its consumers join/aggregate on (the cluster twin of the
     * Store.table persist boundary). */
