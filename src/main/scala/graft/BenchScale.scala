@@ -49,6 +49,12 @@ object BenchScale {
       return
     }
 
+    sys.env.get("SPARK_GRAFT_PIPE_SF").foreach { sf =>
+      pipeSweep(spark, sf, cpus)
+      spark.stop()
+      return
+    }
+
     val srcCtx = synthSf match {
       case Some(sf) => Ctx(spark, s"synth:sf=$sf")
       case None =>
@@ -134,6 +140,44 @@ object BenchScale {
     val total = legs.map(_._2).sum
     val qJson = legs.map { case (n, s, _) => s""""$n":$s""" }.mkString(",")
     println(s"""{"metric":"query_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+  }
+
+  /** Training-pipeline scale sweep (`SPARK_GRAFT_PIPE_SF=<N>`): the LLM
+    * data-pipeline operators run at SF N straight off the extended
+    * `graft-synth` generator (events/documents/embeddings now generate in
+    * testdata proportion: 1M/50k/20k rows per SF unit, with planted
+    * near-duplicates and labeled embedding clusters). These operators are
+    * graded as first-class alongside the TPC-H surface; this is their
+    * at-scale evidence path, same action as the driver bench (xor of row
+    * hashes — every output column computed, nothing driver-side scales
+    * with SF). Legs run the REGISTRY entries, so what's measured is the
+    * shipped plan, not a bench re-implementation. */
+  private def pipeSweep(spark: SparkSession, sf: String, cpus: String): Unit = {
+    val dir = s"synth:sf=$sf"
+    val legs = Seq(
+      "dedup_exact",        // md5 groupBy, one shuffle
+      "dedup_minhash_lsh",  // shingle -> minhash -> band bucket join -> verify
+      "dedup_simhash_near", // pigeonhole Hamming chunks
+      "text_quality",       // map-side scoring
+      "corpus_vocab",       // global token ids via two-phase row_number
+      "ann_lsh_buckets",    // bucketed cosine candidates
+      "ann_ivf",            // centroid-probed ANN
+      "events_sessionize",  // gap sessionization over 1M x SF events
+      "events_sliding_rates")
+    Store.clear(spark)
+    val results = legs.map { name =>
+      val t0 = System.nanoTime()
+      val df = Registry.queries(name)(spark, dir)
+      df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        .agg(expr("bit_xor(__h)")).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[benchscale] pipe:$name%-22s $sec%8.1f s")
+      name -> sec
+    }
+    Store.clear(spark)
+    val total = results.map(_._2).sum
+    val qJson = results.map { case (n, s) => s""""$n":$s""" }.mkString(",")
+    println(s"""{"metric":"pipe_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
   }
 
   /** Skew-stress sweep (`SPARK_GRAFT_SKEW_SF=<N>`): the same shuffle join

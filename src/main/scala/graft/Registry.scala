@@ -1114,16 +1114,21 @@ object Registry {
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE [] END) AS shingle
        |    FROM r_toks) u)""".stripMargin
-  private val duckSimhashCtes =
-    s""", r_tok2 AS (SELECT doc_id, unnest(toks) AS tok FROM r_toks)
+  private val duckSimhashCtes = {
+    // 64-bit signature in lockstep with Text.simhashes: bit j votes by bit
+    // (j%4) of md5 hex digit (j/4), each bit an IN-list over the digit char
+    def inList(j: Int): String =
+      extensions.Text.hexBitSets(j % 4).map(d => s"'$d'").mkString(",")
+    s""", r_tok2 AS (SELECT doc_id, md5(unnest(toks)) AS h FROM r_toks)
        |, r_votes AS (SELECT doc_id,
-       |    ${(0 until 16).map(j =>
-          s"CAST(SUM(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
+       |    ${(0 until 64).map(j =>
+          s"CAST(SUM(CASE WHEN substr(h, ${j / 4 + 1}, 1) IN (${inList(j)}) THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
           .mkString(",\n    ")}
        |  FROM r_tok2 GROUP BY 1)
        |, r_simhash AS (SELECT doc_id,
-       |    ${(0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
+       |    ${(0 until 64).map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
        |  FROM r_votes)""".stripMargin
+  }
 
   /** MinHash near-dup pairs (jaccard >= 0.5) -> undirected edges ->
     * recursive transitive closure -> per-doc component minimum. Twin of
@@ -1415,18 +1420,18 @@ object Registry {
       s"""$duckTokCtes
          |$duckSimhashCtes
          |, r_chunks AS (
-         |    SELECT doc_id, simhash, 0 AS chunk_idx, substr(simhash, 1, 6) AS chunk_val FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 1, substr(simhash, 7, 5) FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 2, substr(simhash, 12, 5) FROM r_simhash)
+         |    SELECT doc_id, simhash, 0 AS chunk_idx, substr(simhash, 1, 22) AS chunk_val FROM r_simhash
+         |    UNION ALL SELECT doc_id, simhash, 1, substr(simhash, 23, 21) FROM r_simhash
+         |    UNION ALL SELECT doc_id, simhash, 2, substr(simhash, 44, 21) FROM r_simhash)
          |, r_hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
          |    b.doc_id AS doc_b, b.simhash AS sim_b
          |  FROM r_chunks a
          |  JOIN r_chunks b ON a.chunk_idx = b.chunk_idx
          |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, sim_a AS simhash_a, sim_b AS simhash_b,
-         |  CAST(len(list_filter(range(1, 17), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS INT) AS hamming
+         |  CAST(len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS INT) AS hamming
          |FROM r_hcand
-         |WHERE len(list_filter(range(1, 17), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2
+         |WHERE len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_ngram_jaccard" -> e(
       ctx => extensions.Text.dedupNgramJaccard(ctx).orderBy("doc_a", "doc_b"),

@@ -357,24 +357,39 @@ object Text {
     * tiny (one short string per doc) but costs a full token explode + 16-vote
     * aggregate to build, and the near-dup chunk SELF-join would otherwise
     * evaluate that chain once per join side. */
+  /** Hex digit -> bit b (0..3) as an IN-list over the digit character: the
+    * one form of "extract bit b of a hex digit" that is written IDENTICALLY
+    * in Spark and the DuckDB oracle (no conv/from_hex dialect divergence).
+    * Digits whose value has bit b set. */
+  private[graft] val hexBitSets: Array[Seq[String]] = Array(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"), // bit 0
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"), // bit 1
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"), // bit 2
+    Seq("8", "9", "a", "b", "c", "d", "e", "f")) // bit 3
+
   private def simhashes(ctx: Ctx): DataFrame =
     graft.Store.memo(ctx, "doc_simhashes") {
       val toks = docsTok(ctx)
         .select(col("doc_id"), explode(col("toks")).as("tok"))
-      // bit j votes +1 if hex digit j of md5(tok) is odd, else -1
-      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-      val voteCols = (0 until 16).map(j =>
-        sum(when(substring(md5(col("tok")), j + 1, 1).isin(odd: _*), 1).otherwise(-1))
-          .as(s"v$j"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+      // 64-bit signature: bit j votes +/-1 by bit (j%4) of md5 hex digit
+      // (j/4). A 16-bit signature was a SCALE BUG: chunk buckets over a
+      // 6/5/5-bit domain (64/32/32 values) hold N/64 docs each, so the
+      // near-dup candidate join grew quadratically — fine at 500 docs,
+      // billions of pairs at 500k. 22/21/21-bit chunk domains make a
+      // bucket collision mean something again at any corpus size.
+      val voteCols = (0 until 64).map(j =>
+        sum(when(substring(col("h"), j / 4 + 1, 1)
+          .isin(hexBitSets(j % 4): _*), 1).otherwise(-1)).as(s"v$j"))
       val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
       graft.Store.track(ctx.spark, votes.select(
         col("doc_id"),
-        concat((0 until 16).map(j =>
+        concat((0 until 64).map(j =>
           when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
         .persist())
     }
 
-  /** SimHash (16-bit, md5-derived per-token bit votes): equal-signature
+  /** SimHash (64-bit, md5-derived per-token bit votes): equal-signature
     * buckets are near-dup groups; one groupBy per token + one per doc. */
   def dedupSimhash(ctx: Ctx): DataFrame = {
     val simhash = simhashes(ctx)
@@ -387,19 +402,22 @@ object Text {
   }
 
   /** SimHash near-duplicate pairs within Hamming distance 2, found without
-    * an all-pairs scan: split the 16-bit signature into 3 chunks (6/5/5);
+    * an all-pairs scan: split the 64-bit signature into 3 chunks (22/21/21);
     * by pigeonhole any pair within distance 2 agrees on at least one chunk,
     * so a single (chunk_idx, chunk_val) self-join generates all candidates
-    * (multi-index Hamming join). Distance is computed by the native
-    * codegen'd [[graft.functions.BitHamming]] expression. */
+    * (multi-index Hamming join). Chunk domains of 2^21+ mean an average
+    * bucket holds O(1) docs even at millions of documents — the candidate
+    * set stays proportional to TRUE near-dups, not to corpus size squared.
+    * Distance is computed by the native codegen'd
+    * [[graft.functions.BitHamming]] expression. */
   def dedupSimhashNear(ctx: Ctx, maxDist: Int = 2): DataFrame = {
     graft.functions.BitHamming.register(ctx.spark)
     val sim = simhashes(ctx)
     val chunks = sim.select(col("doc_id"), col("simhash"), expr(
       """stack(3,
-        |  0, substring(simhash, 1, 6),
-        |  1, substring(simhash, 7, 5),
-        |  2, substring(simhash, 12, 5)) AS (chunk_idx, chunk_val)""".stripMargin))
+        |  0, substring(simhash, 1, 22),
+        |  1, substring(simhash, 23, 21),
+        |  2, substring(simhash, 44, 21)) AS (chunk_idx, chunk_val)""".stripMargin))
     val cands = chunks
       .select(col("chunk_idx"), col("chunk_val"),
         col("doc_id").as("doc_a"), col("simhash").as("sim_a"))

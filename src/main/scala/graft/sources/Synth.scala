@@ -73,6 +73,12 @@ object Synth {
     case "supplier" => (10000L * sf).toLong.max(1L)
     case "nation"   => 25L
     case "region"   => 5L
+    // extension tables in testdata proportion (TESTDATA.md: sf0.1 ships
+    // 100k events / 5k documents / 2k embeddings) — the at-scale bench
+    // path for the LLM-pipeline operators (dedup, ANN, sessionize)
+    case "events"     => (1000000L * sf).toLong.max(1L)
+    case "documents"  => (50000L * sf).toLong.max(1L)
+    case "embeddings" => (20000L * sf).toLong.max(1L)
     case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
   }
 
@@ -121,6 +127,28 @@ object Synth {
     case "region" => StructType(Seq(
       StructField("r_regionkey", LongType, nullable = false),
       StructField("r_name", StringType, nullable = false)))
+    // `ts` is ALREADY the engine-normalized epoch-nanos BIGINT: the synth
+    // path bypasses Ctx.normalizedEvents (that chokepoint decodes parquet
+    // encodings; there is no parquet here), so the generator emits the
+    // post-normalization shape every events_* plan consumes directly.
+    case "events" => StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
+    case "documents" => StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    case "embeddings" => StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("label", IntegerType, nullable = false)))
     case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
   }
 
@@ -240,8 +268,96 @@ object Synth {
       case ("nation", "n_regionkey")    => nations(rowId.toInt)._2
       case ("region", "r_regionkey")    => rowId
       case ("region", "r_name")         => regions(rowId.toInt)
+
+      case ("events", "event_id")   => rowId + 1L
+      // epoch-nanos over the testdata's 30-day window (2024-01); second
+      // resolution plus a sub-second jitter so ordering ties are rare
+      case ("events", "ts") =>
+        (eventsEpochLo + u(rowId, 40, 30L * 86400) * 1000000000L
+          + u(rowId, 41, 1000000000L))
+      case ("events", "user_id")    => u(rowId, 42, (15000 * sf).toLong.max(1L))
+      case ("events", "event_type") => eventTypes(u(rowId, 43, 5L).toInt)
+      case ("events", "value")      => (u(rowId, 44, 49000L) + 1L) / 100.0
+      case ("events", "props") =>
+        UTF8String.fromString(s"""{"k": ${u(rowId, 45, 100L)}}""")
+
+      case ("documents", "doc_id")  => rowId + 1L
+      case ("documents", "text")    => UTF8String.fromString(docText(rowId))
+      // lang labels the TEXT, so a near-duplicate inherits its leader's
+      // language along with its word sequence
+      case ("documents", "lang")    => docLangs(docLangIx(docSeed(rowId)))
+      case ("documents", "source") =>
+        UTF8String.fromString(s"src${u(rowId, 51, 20L)}")
+      case ("documents", "n_chars") => docText(rowId).length.toLong
+
+      case ("embeddings", "vec_id") => rowId + 1L
+      case ("embeddings", "label")  => u(rowId, 60, 10L).toInt
+      // label-centered cluster + per-row noise: gives IVF/LSH/kNN benches
+      // real cluster structure instead of isotropic noise
+      case ("embeddings", "embedding") =>
+        val label = u(rowId, 60, 10L)
+        val arr = new Array[Any](64)
+        var d = 0
+        while (d < 64) {
+          val center = (mix(label * 64L + d, 61) % 2000L) / 1000.0f
+          val noise = (mix(rowId, 200L + d) % 1000L) / 5000.0f
+          arr(d) = center + noise
+          d += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+
       case other => throw new IllegalArgumentException(s"unknown column: $other")
     }
+
+  private val eventsEpochLo: Long =
+    java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000000L
+  private val eventTypes = Array("click", "signup", "error", "view",
+    "purchase").map(UTF8String.fromString)
+
+  private val docLangs = Array("en", "de", "fr").map(UTF8String.fromString)
+  // 80% en, 10% de, 10% fr — testdata-like dominance
+  private def docLangIx(rowId: Long): Int = {
+    val r = u(rowId, 50, 10L); if (r < 8) 0 else if (r < 9) 1 else 2
+  }
+  // per-language vocab: the engine's language-ID stopwords (Text.languageId)
+  // plus shared content words, so langid/quality/token ops behave like they
+  // do on the real corpus
+  private val docVocabs: Array[Array[String]] = Array(
+    Array("the", "and", "of", "to", "in", "is", "that", "it", "for",
+      "table", "query", "scan", "join", "window", "batch", "stream",
+      "row", "column", "value", "key", "hash", "sort", "merge", "filter"),
+    Array("der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+      "tabelle", "abfrage", "scan", "join", "fenster", "stapel", "strom",
+      "zeile", "spalte", "wert", "sort", "filter", "auf", "sie", "gross", "klein"),
+    Array("le", "la", "les", "et", "un", "une", "est", "pour",
+      "table", "requete", "scan", "jointure", "fenetre", "lot", "flux",
+      "ligne", "colonne", "valeur", "cle", "tri", "filtre", "dans", "que", "grand"))
+
+  /** Deterministic doc body. 20% of docs are NEAR-DUPLICATES of their
+    * decade-leader (same word sequence, one word perturbed) and leaders
+    * recur, so exact/MinHash/SimHash dedup finds real structure at any SF —
+    * a generator without planted duplicates benches dedup on noise. */
+  private def docIsDup(rowId: Long): Boolean =
+    rowId % 10L != 0L && u(rowId, 53, 10L) < 2L
+  private def docSeed(rowId: Long): Long =
+    if (docIsDup(rowId)) rowId - (rowId % 10L) else rowId
+
+  private def docText(rowId: Long): String = {
+    val isDup = docIsDup(rowId)
+    val seed = docSeed(rowId)
+    val langIx = docLangIx(seed)
+    val vocab = docVocabs(langIx)
+    val nWords = 30 + u(seed, 52, 40L).toInt
+    val sb = new java.lang.StringBuilder(nWords * 7)
+    var j = 0
+    while (j < nWords) {
+      if (j > 0) sb.append(' ')
+      sb.append(vocab(u(seed, 100L + j, vocab.length.toLong).toInt))
+      j += 1
+    }
+    if (isDup) { sb.append(' '); sb.append(vocab(u(rowId, 54, vocab.length.toLong).toInt)) }
+    sb.toString
+  }
 }
 
 private class SynthTable(table: String, sf: Double, partitions: Int)

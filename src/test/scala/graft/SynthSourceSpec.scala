@@ -132,4 +132,53 @@ class SynthSourceSpec extends AnyFunSuite {
       assert(layers.Reports.monthlyRevenueKpis(ctx).count() > 0)
     } finally Store.clear(spark)
   }
+
+  test("lineitem carries TPC-H's 4-suppliers-per-part grain") {
+    val pairs = synth("lineitem", 0.01, 4)
+      .select("l_partkey", "l_suppkey").distinct()
+    val perPart = pairs.groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("n"))
+      .agg(max("n"), avg("n")).head()
+    assert(perPart.getLong(0) <= 4,
+      s"a part has ${perPart.getLong(0)} suppliers; TPC-H allows 4")
+  }
+
+  test("extension tables generate with testdata-proportioned shapes") {
+    assert(synth("events", 0.01, 4).count() == 10000L)
+    assert(synth("documents", 0.01, 4).count() == 500L)
+    assert(synth("embeddings", 0.01, 4).count() == 200L)
+    // events: normalized epoch-nanos BIGINT ts inside the 2024-01 window
+    val ev = synth("events", 0.001, 4)
+    assert(ev.schema("ts").dataType.typeName == "long")
+    val tsr = ev.agg(min("ts"), max("ts")).head()
+    val lo = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L * 1000000000L
+    assert(tsr.getLong(0) >= lo && tsr.getLong(1) < lo + 31L * 86400 * 1000000000L)
+    // documents: n_chars is the text's real length; langs are the 3 the
+    // engine's language-ID heuristic knows
+    val docs = synth("documents", 0.01, 4)
+    assert(docs.filter(length(col("text")) =!= col("n_chars")).isEmpty)
+    assert(docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+      == Set("en", "de", "fr"))
+    // embeddings: fixed dim 64, labels 0..9
+    val emb = synth("embeddings", 0.01, 4)
+    assert(emb.filter(size(col("embedding")) =!= 64).isEmpty)
+    assert(emb.agg(min("label"), max("label")).head().toSeq == Seq(0, 9))
+  }
+
+  test("planted near-duplicates are real: dedup and langid run on synth docs") {
+    val ctx = Ctx(spark, "synth:sf=0.01")
+    Store.clear(spark)
+    try {
+      // the 20% decade-leader near-dups must put multiple docs in the same
+      // MinHash band bucket AND survive the exact-verify Jaccard filter
+      val nd = extensions.Text.dedupMinhashLsh(ctx)
+      assert(nd.count() > 0, "no near-duplicate pairs found in synth docs")
+      // language-ID recovers the generator's label (stopword vocabularies
+      // are the classifier's own) on a large majority of docs
+      val li = extensions.Text.languageId(ctx)
+      val acc = li.filter(col("predicted_lang") === col("labeled_lang")).count()
+        .toDouble / li.count()
+      assert(acc > 0.9, f"langid accuracy $acc%.2f on synth docs")
+    } finally Store.clear(spark)
+  }
 }
