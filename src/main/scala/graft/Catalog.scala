@@ -50,5 +50,6 @@ object Catalog {
     functions.BitHamming.register(ctx.spark)
     functions.Hll.register(ctx.spark)
     functions.CosineSim.register(ctx.spark)
+    functions.FreqItemsSketch.register(ctx.spark)
   }
 }

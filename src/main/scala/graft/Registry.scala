@@ -2194,6 +2194,17 @@ object Registry {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS token_id,
          |  tok, tf, df
          |FROM r_vc ORDER BY token_id""".stripMargin),
+    "text_heavy_hitters" -> e(
+      ctx => extensions.Text.heavyHitters(ctx),
+      s"""$duckTokCtes
+         |, r_hh_t AS (SELECT unnest(toks) AS tok FROM r_toks)
+         |, r_hh_n AS (SELECT COUNT(*) AS n FROM r_hh_t)
+         |SELECT tok, COUNT(*) AS cnt, MAX(n) AS total_tokens,
+         |  ${dv("COUNT(*)", "MAX(n)")} AS share
+         |FROM r_hh_t, r_hh_n
+         |GROUP BY tok
+         |HAVING COUNT(*) * 500 > MAX(n)
+         |ORDER BY cnt DESC, tok""".stripMargin),
     "events_value_histogram" -> e(
       ctx => extensions.Events.valueHistogram(ctx).orderBy("event_type", "bucket"),
       s""", r_vh AS (SELECT event_type,

@@ -977,4 +977,33 @@ object Text {
       .select(col("w1"), col("next_rank").cast("int").as("next_rank"),
         col("w2"), col("pair_count"), col("w1_count"), col("prob"))
   }
+
+  /** Corpus heavy hitters — every token above a frequency threshold
+    * (count · denom > total tokens), exact, via the two-pass sketch shape
+    * that scales to 100 TB: pass 1 streams all tokens through the bounded
+    * [[graft.functions.FreqItemsSketch]] Misra-Gries aggregate (map-side
+    * partial, one ≤`cap`-entry summary per partition, NO shuffle of the
+    * term dictionary) yielding a candidate set mathematically guaranteed to
+    * contain every item with true frequency > 2N/cap; pass 2 recounts ONLY
+    * the ≤cap broadcast candidates exactly and applies the threshold. The
+    * guarantee makes the output identical to the naive full groupBy (the
+    * oracle) whenever threshold 1/denom > 2/cap — here denom=500, cap=8192.
+    * Contrast [[corpusVocab]], which must shuffle every distinct token
+    * because it *outputs* the full vocabulary; a threshold query shouldn't
+    * pay that. */
+  def heavyHitters(ctx: Ctx, denom: Int = 500, cap: Int = 8192): DataFrame = {
+    graft.functions.FreqItemsSketch.register(ctx.spark)
+    val toks = docsTok(ctx).select(explode(col("toks")).as("tok"))
+    val cand = toks
+      .agg(expr(s"freq_items(tok, $cap)").as("cand"), count(lit(1)).as("n"))
+      .select(explode(col("cand")).as("c"), col("n"))
+      .select(col("c.item").as("tok"), col("n"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > col("n"))
+      .select(col("tok"), col("cnt"), col("n").as("total_tokens"),
+        dv(col("cnt"), col("n")).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
 }
