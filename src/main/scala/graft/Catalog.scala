@@ -51,5 +51,6 @@ object Catalog {
     functions.Hll.register(ctx.spark)
     functions.CosineSim.register(ctx.spark)
     functions.FreqItemsSketch.register(ctx.spark)
+    functions.MortonCode.register(ctx.spark)
   }
 }
