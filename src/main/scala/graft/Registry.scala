@@ -2194,6 +2194,13 @@ object Registry {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS token_id,
          |  tok, tf, df
          |FROM r_vc ORDER BY token_id""".stripMargin),
+    "in_transit_by_day" -> e(
+      ctx => extensions.Analytics.inTransitByDay(ctx),
+      s"""SELECT d.day, COUNT(*) AS lines_in_transit,
+         |  CAST(SUM(l.quantity) AS DOUBLE) AS qty_in_transit
+         |FROM (SELECT DISTINCT order_date AS day FROM base_orders) d
+         |JOIN base_line_item l ON d.day BETWEEN l.ship_date AND l.receipt_date
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "text_heavy_hitters" -> e(
       ctx => extensions.Text.heavyHitters(ctx),
       s"""$duckTokCtes

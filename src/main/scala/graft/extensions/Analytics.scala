@@ -282,4 +282,27 @@ object Analytics {
           .otherwise(dv(col("spend_rank") - 1, col("__n") - 1)).as("pct_rank"),
         dv(col("__tie_max"), col("__n")).as("cume_dist_val"))
   }
+
+  /** In-transit inventory by day: for every order date, the line items
+    * whose ship→receipt interval covers it — a POINT-IN-INTERVAL range
+    * join, the §2.3 theta-join family's genuinely hard member at scale.
+    * Runs through [[graft.operators.RangeJoin.pointInInterval]]: intervals
+    * exploded into ≤3 16-day bins (receipt ≤ ship + 30), points tagged
+    * with one bin, hash equi-join on the bin, exact BETWEEN re-check —
+    * never the BroadcastNestedLoopJoin a naive `d BETWEEN lo AND hi` join
+    * condition plans to (the oracle's DuckDB runs the same logical join
+    * via its native IEJoin; this is the Spark-shaped equivalent). */
+  def inTransitByDay(ctx: Ctx): DataFrame = {
+    val li = graft.layers.Base.lineItem(ctx)
+      .select(col("ship_date"), col("receipt_date"), col("quantity"))
+    val days = graft.layers.Base.orders(ctx)
+      .select(col("order_date").as("day")).distinct()
+    outD(graft.operators.RangeJoin
+      .pointInInterval(days, "day", li, "ship_date", "receipt_date",
+        graft.operators.RangeJoin.dateBin(16))
+      .groupBy("day")
+      .agg(count(lit(1)).as("lines_in_transit"),
+        sum(col("quantity")).as("qty_in_transit"))
+      .orderBy("day"))
+  }
 }
