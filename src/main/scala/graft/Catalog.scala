@@ -52,5 +52,6 @@ object Catalog {
     functions.CosineSim.register(ctx.spark)
     functions.FreqItemsSketch.register(ctx.spark)
     functions.MortonCode.register(ctx.spark)
+    functions.KllSketch.register(ctx.spark)
   }
 }

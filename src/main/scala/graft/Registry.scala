@@ -2194,6 +2194,14 @@ object Registry {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS token_id,
          |  tok, tf, df
          |FROM r_vc ORDER BY token_id""".stripMargin),
+    "price_percentiles_exact" -> e(
+      ctx => operators.ExactQuantile.percentiles(
+        ctx.tbl("lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("quantile"),
+      Seq(0.25, 0.5, 0.75, 0.95).map(q =>
+        s"""SELECT CAST($q AS DOUBLE) AS quantile,
+           |  percentile_cont($q) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS value
+           |FROM lineitem""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY quantile")),
     "in_transit_by_day" -> e(
       ctx => extensions.Analytics.inTransitByDay(ctx),
       s"""SELECT d.day, COUNT(*) AS lines_in_transit,
