@@ -163,7 +163,9 @@ object BenchScale {
       "ann_lsh_buckets",    // bucketed cosine candidates
       "ann_ivf",            // centroid-probed ANN
       "events_sessionize",  // gap sessionization over 1M x SF events
-      "events_sliding_rates")
+      "events_sliding_rates",
+      "text_heavy_hitters", // MG sketch pass + exact recount of candidates
+      "price_percentiles_exact") // KLL certificate + exact slice, no global sort
     Store.clear(spark)
     val results = legs.map { name =>
       val t0 = System.nanoTime()

@@ -10,6 +10,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => plans.PushFilterThroughAsOf)
+    ext.injectOptimizerRule(_ => plans.RewriteRangeJoin)
     ()
   }
 }

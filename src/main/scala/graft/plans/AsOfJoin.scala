@@ -196,6 +196,9 @@ object AsOf {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(PushFilterThroughAsOf))
       spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOf
+    val opts2 = spark.experimental.extraOptimizations
+    if (!opts2.contains(RewriteRangeJoin))
+      spark.experimental.extraOptimizations = opts2 :+ RewriteRangeJoin
   }
 
   /** left ASOF LEFT JOIN right ON leftKey = rightKey AND leftTime >= rightTime

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Automatic binned-rewrite of point-in-interval theta joins — the
+  * SQL-surface twin of [[graft.operators.RangeJoin.pointInInterval]].
+  *
+  * An inner join whose condition is ONLY range predicates
+  * (`p >= lo AND p <= hi`, any operand order, strict or not) has no equi
+  * key, so Spark plans BroadcastNestedLoopJoin: every point row against
+  * every interval row — quadratic, and the big side cannot even shuffle.
+  * Databricks ships a range-join hint for exactly this; open-source Spark
+  * has nothing. This rule rewrites the logical join when it is safe:
+  *
+  *   Join(P, I, p between lo..hi)
+  *     ⇒ Project(orig output,
+  *         Filter(original condition,          -- exact re-check
+  *           Join(P + bin(p), explode(sequence(bin(lo), bin(hi))) over I,
+  *                binP = binI)))               -- hash equi-join
+  *
+  * Bin ordinal = value/width by truncating division (monotonic, so an
+  * interval covers exactly bins bin(lo)..bin(hi)); `sequence` is guarded
+  * to an empty array for inverted (empty) intervals. Width comes from
+  * `spark.graft.rangejoin.binWidth` (default 32 — near the typical
+  * interval span so each interval lands in ~2 bins); rewrite toggles with
+  * `spark.graft.rangejoin.enabled`, and an interval side whose estimated
+  * size is under `spark.graft.rangejoin.skipBelowBytes` (default 1 KiB —
+  * a handful of windows/bands) is left to the broadcast nested loop,
+  * which is optimal at that size. Applies to date and integral types.
+  * Joins that already carry ANY equi conjunct are left alone — they hash
+  * join fine without help. Runs in the operator-optimization batch, so the
+  * rewritten Generate/Join subtree still gets column pruning and the
+  * filter pushdowns; convergence: the rewritten join is equi, so the rule
+  * never re-matches it. */
+object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def binnable(dt: DataType): Boolean = dt match {
+    case DateType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case LongType => e
+    case _ => Cast(e, LongType)
+  }
+
+  /** (point, lowerBound, upperBound, pointOnLeft) if the conjuncts contain a
+    * complete, side-separable range sandwich on a binnable column. */
+  private def findRange(conjuncts: Seq[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(l.outputSet)) Some(true)
+      else if (e.references.subsetOf(r.outputSet)) Some(false)
+      else None
+    // normalize each comparison to (point, bound, isLower)
+    val cands = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b) => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b) => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b) => Seq((a, b, false), (b, a, true))
+      case _ => Nil
+    }.filter { case (p, bnd, _) =>
+      p.deterministic && bnd.deterministic && binnable(p.dataType) &&
+        binnable(bnd.dataType) &&
+        (for (ps <- sideOf(p); bs <- sideOf(bnd)) yield ps != bs).getOrElse(false)
+    }
+    val pairs = for {
+      (p1, lo, true) <- cands
+      (p2, hi, false) <- cands
+      if p1.semanticEquals(p2)
+    } yield (p1, lo, hi, sideOf(p1).get)
+    pairs.headOption
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.rangejoin.enabled", "true") != "true") return plan
+    val width = conf.getConfString("spark.graft.rangejoin.binWidth", "32").toLong
+    plan.transform {
+      case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved &&
+          // an explicit per-side strategy hint (broadcast(dims) is the
+          // common one for deliberately tiny interval sides) is the
+          // author saying they know the physical shape they want —
+          // honor it
+          hint.leftHint.forall(_.strategy.isEmpty) &&
+          hint.rightHint.forall(_.strategy.isEmpty) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) &&
+              a.references.nonEmpty && b.references.nonEmpty) ||
+            (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) &&
+              a.references.nonEmpty && b.references.nonEmpty)
+          case _ => false
+        }
+        if (hasEqui) j
+        else findRange(conjuncts, l, r) match {
+          case Some((point, lo, hi, pointOnLeft)) =>
+            def bin(e: Expression): Expression =
+              IntegralDivide(toLong(e), Literal(width))
+            val (pSide, iSide) = if (pointOnLeft) (l, r) else (r, l)
+            // a truly tiny interval side (a handful of windows/bands) is
+            // BEST served by the broadcast nested loop Spark already
+            // plans — each probe row scans only those few rows. Rewrite
+            // only when the interval side is big enough that the per-row
+            // scan hurts.
+            val skipBelow = BigInt(conf.getConfString(
+              "spark.graft.rangejoin.skipBelowBytes", "1024"))
+            if (iSide.stats.sizeInBytes <= skipBelow) j
+            else {
+            val pBin = Alias(bin(point), "__graft_bin_p")()
+            val pPlan = Project(pSide.output :+ pBin, pSide)
+            val binLo = bin(lo)
+            val binHi = bin(hi)
+            // Sequence is TimeZoneAware: without a timeZoneId it reports
+            // unresolved even over pure BIGINT operands
+            val seqE = Sequence(binLo, binHi, Some(Literal(1L)),
+              Some(conf.sessionLocalTimeZone))
+            // the empty-array branch must carry the exact same data type
+            // (incl. containsNull=false) or If stays unresolved
+            val seq = If(LessThanOrEqual(binLo, binHi),
+              seqE, Literal.create(Seq.empty[Long], seqE.dataType))
+            val gOut = AttributeReference("__graft_bin_i", LongType, nullable = false)()
+            val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(gOut), iSide)
+            val (nl, nr) =
+              if (pointOnLeft) (pPlan: LogicalPlan, gen: LogicalPlan)
+              else (gen: LogicalPlan, pPlan: LogicalPlan)
+            val equiJoin = Join(nl, nr, Inner,
+              Some(EqualTo(pBin.toAttribute, gOut)), hint)
+            Project(j.output, Filter(cond, equiJoin))
+            }
+          case None => j
+        }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RewriteRangeJoin optimizer rule: a bare point-in-interval theta join in
+  * plain SQL must silently become a binned hash equi-join (same rows, no
+  * BroadcastNestedLoopJoin), while joins with an equi conjunct, other join
+  * types, and the kill-switch conf are left untouched. */
+class RangeJoinRuleSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may hand back another suite's session (extensions conf
+    // ignored) — the lazy registration path must then kick in, and is
+    // itself part of what this suite exercises
+    graft.plans.AsOf.register(s)
+    s.range(400).select(
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+        (col("id") * 13 % 700).cast("int")).as("day"),
+      col("id").as("pid")).createOrReplaceTempView("rj_points")
+    s.range(250).select(
+      date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+        (col("id") * 31 % 680).cast("int")).as("lo"),
+      col("id").as("iid"))
+      .withColumn("hi", date_add(col("lo"), (col("iid") % 40).cast("int")))
+      .createOrReplaceTempView("rj_intervals")
+    s
+  }
+
+  private val sql =
+    """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+      |ON p.day >= i.lo AND p.day <= i.hi""".stripMargin
+
+  private def rows(q: String): Set[(Long, Long)] =
+    spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("SQL BETWEEN join is rewritten to an equi-join with identical rows") {
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("__graft_bin"), plan)
+    val got = rows(sql)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(sql) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
+  test("kill switch restores the nested loop") {
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    try {
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(plan.contains("NestedLoop"), plan)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+  }
+
+  test("strict bounds and integral (non-date) types also rewrite, exactly") {
+    val q =
+      """SELECT pid, iid FROM
+        |  (SELECT pid, pid * 7 % 500 AS x FROM rj_points) p JOIN
+        |  (SELECT iid, iid * 3 % 480 AS a, iid * 3 % 480 + iid % 25 AS b
+        |   FROM rj_intervals) i
+        |ON p.x > i.a AND p.x < i.b""".stripMargin
+    val df = spark.sql(q)
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("a join that already has an equi conjunct is left alone") {
+    val q =
+      """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+        |ON p.pid % 10 = i.iid % 10 AND p.day >= i.lo AND p.day <= i.hi""".stripMargin
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
+    assert(!plan.contains("NestedLoop"), plan) // hash join on the equi key
+  }
+
+  test("empty (inverted) intervals produce no rows instead of erroring") {
+    val q =
+      """SELECT pid, iid FROM rj_points p JOIN
+        |  (SELECT iid, hi AS lo, lo AS hi FROM rj_intervals WHERE iid % 40 <> 0) i
+        |ON p.day >= i.lo AND p.day <= i.hi""".stripMargin
+    // swapped bounds: every interval with lo > hi is empty; rows only where
+    // lo = hi (iid % 40 = 0 excluded -> none with span 0 remain... keep
+    // simply: the query must RUN and agree with the naive plan)
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want)
+  }
+}

@@ -44,10 +44,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), plan)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), plan)
-    // while the naive condition (same inputs, no bins) nested-loops:
-    val naive = points.join(intervals,
-      col("day") >= col("lo") && col("day") <= col("hi"))
-    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    // while the naive condition (same inputs, no bins) nested-loops —
+    // with RewriteRangeJoin disabled, since the rule (if registered in
+    // this shared session) would otherwise rescue exactly this plan
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    try {
+      val naive = points.join(intervals,
+        col("day") >= col("lo") && col("day") <= col("hi"))
+      assert(naive.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
   }
 
   test("points on interval endpoints are included; outside excluded") {
