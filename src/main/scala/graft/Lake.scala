@@ -108,6 +108,58 @@ object Lake {
     ()
   }
 
+  /** Keyed MERGE INTO (upsert) for a partitioned parquet lake — the late-
+    * correction path [[graft.Incremental]]'s high-water-mark strategy
+    * cannot serve: updates/inserts keyed by `keys` may land in ANY old
+    * partition, and only those partitions may be touched.
+    *
+    * Cost model at 100 TB: proportional to the TOUCHED partitions, never
+    * the table — (1) the update batch's distinct `partCol` values (a
+    * metadata-sized list) select the partitions; (2) ONLY those partitions
+    * are read back (predicate = partition pruning, proven in UpsertSpec);
+    * (3) existing rows superseded by an update key are dropped via a
+    * left-anti join (updates side is the small side — broadcast); (4) the
+    * merged rows replace exactly those partition dirs via a temp-write +
+    * rename swap. All other partition directories are never read or
+    * rewritten (UpsertSpec pins their files byte-identical).
+    *
+    * Constraint (standard for event-grain facts): a key's `partCol` value
+    * must be stable across versions — a "moved" row would leave its old
+    * version in an untouched partition. */
+  def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String], partCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val touched = updates.select(partCol).distinct().collect().map(_.get(0))
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isInCollection(touched.toSeq))
+    val kept = existing.join(
+      org.apache.spark.sql.functions.broadcast(
+        updates.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+    val merged = kept.unionByName(updates.select(existing.columns.map(col): _*))
+    // Spark refuses to overwrite a path it is reading (correctly — a failed
+    // job would destroy its own input), so the merged partitions go through
+    // a temp dir and a per-partition rename swap, same crash posture as
+    // [[compact]]: originals are intact until their replacement is fully
+    // written, and a crash mid-swap loses no partition (the __old backup
+    // remains).
+    val tmp = path + "__upsert_tmp"
+    merged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    touched.foreach { v =>
+      val part = s"$partCol=$v"
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$part")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/${part}__old")
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      fs.rename(src, dst)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    touched.length.toLong
+  }
+
   /** Materialize the hot mid-DAG facts as bucketed tables, each bucketed by
     * the key its consumers join/aggregate on (the cluster twin of the
     * Store.table persist boundary). */
