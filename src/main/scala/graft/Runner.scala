@@ -251,4 +251,34 @@ object Runner {
       .count()
     require(orphans == 0, s"fct_orders_items has $orphans orphan customer keys")
   }
+
+  /** `dbt docs generate` twin — the model catalog: every dbt-surface model
+    * (the Extension operators are a library, not dbt models) with its
+    * materialization and fully resolved output schema. Schemas come from
+    * Catalyst ANALYSIS only — nothing beyond per-source parquet footer
+    * reads (1-task metadata jobs) runs — so the catalog is metadata-cheap
+    * at any scale, exactly like dbt compiling models to learn their shapes
+    * (ManifestSpec asserts no multi-task job runs). Inter-model dependency
+    * structure is carried by
+    * the materialization phases (base→ods→wh→gate→views/reports/metrics),
+    * the same coarse DAG `buildAll` executes. */
+  def manifest(ctx: Ctx): DataFrame = {
+    import ctx.spark.implicits._
+    Registry.all.toSeq.collect {
+      case (name, en) if en.mat != Registry.Mat.Extension =>
+        val mat = en.mat match {
+          case Registry.Mat.OdsTable => "table(ods)"
+          case Registry.Mat.WhTable => "table(wh)"
+          case Registry.Mat.View => "view"
+          case _ => "table"
+        }
+        val cols = en.fn(ctx).schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
+        (name, mat, cols)
+    }.toDF("model", "materialization", "columns")
+  }
+
+  /** Write the catalog as one JSON file (the manifest.json moral twin). */
+  def writeManifest(ctx: Ctx, path: String): Unit =
+    manifest(ctx).coalesce(1).write.mode("overwrite").json(path)
 }
