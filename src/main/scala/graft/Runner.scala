@@ -235,17 +235,21 @@ object Runner {
     * two-scan `count() == distinct().count()` — at SF10 the two fact
     * tables are 75M rows combined, so the second scan was pure waste. */
   def schemaGate(ctx: Ctx): Unit = {
-    import org.apache.spark.sql.functions.{count, count_distinct, lit}
-    def uniqueIn(df: DataFrame, key: String): Boolean = {
-      val r = df.agg(count(lit(1)).as("n"),
-        count_distinct(col(key)).as("d")).head()
-      r.getLong(0) == r.getLong(1)
-    }
-    require(uniqueIn(Wh.fctOrders(ctx), "order_key"),
-      "fct_orders.order_key not unique")
+    import Expectations._
+    // one aggregate scan per fact table carries ALL its declared tests
+    // (reference fct_orders.yml / fct_orders_items.yml: unique + not_null
+    // per column), batched through the Expectations engine instead of one
+    // SELECT per test
+    enforce(Wh.fctOrders(ctx), "fct_orders", Seq(
+      Unique("order_key"),
+      NotNull("order_key"), NotNull("order_date"), NotNull("customer_key"),
+      NotNull("order_status_code"),
+      NotNull("gross_item_sales_amount"), NotNull("net_item_sales_amount")))
     val foi = Wh.fctOrdersItems(ctx)
-    require(uniqueIn(foi, "order_item_key"),
-      "fct_orders_items.order_item_key not unique")
+    enforce(foi, "fct_orders_items", Seq(
+      Unique("order_item_key"),
+      NotNull("order_item_key"), NotNull("order_key"),
+      NotNull("customer_key"), NotNull("part_key"), NotNull("supplier_key")))
     val orphans = foi.select("customer_key")
       .join(Wh.dimCustomer(ctx).select("customer_key"), Seq("customer_key"), "left_anti")
       .count()
