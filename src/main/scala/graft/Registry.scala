@@ -2209,6 +2209,26 @@ object Registry {
          |FROM (SELECT DISTINCT order_date AS day FROM base_orders) d
          |JOIN base_line_item l ON d.day BETWEEN l.ship_date AND l.receipt_date
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "text_pii_redact" -> e(
+      ctx => extensions.Text.piiRedact(ctx),
+      s""", r_pii AS (SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.123.45' ELSE '' END AS raw
+         |  FROM documents)
+         |, r_piic AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
+         |    CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
+         |    CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', 0)) AS INT) AS n_ips,
+         |    CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+         |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g')) AS INT) AS redacted_chars
+         |  FROM r_pii)
+         |SELECT doc_id, source, n_emails, n_phones, n_ips, redacted_chars,
+         |  (n_emails + n_phones + n_ips = 0) AS is_clean
+         |FROM r_piic ORDER BY doc_id""".stripMargin),
     "text_heavy_hitters" -> e(
       ctx => extensions.Text.heavyHitters(ctx),
       s"""$duckTokCtes

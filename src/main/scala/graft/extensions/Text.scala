@@ -85,6 +85,43 @@ object Text {
       dv(length(regexp_replace(col("text"), "\\s+", "")), nullifZero(size(col("toks"))))
         .as("avg_token_len"))
 
+  /** PII detection + redaction — the scrub pass every training corpus runs
+    * before release: count and replace emails / phone numbers / IPv4
+    * addresses with typed placeholders. Pure map-side regex work (no
+    * shuffle at all before the output sort) — at 100 TB this runs at scan
+    * speed and composes with any downstream selection. The testdata
+    * documents carry no PII, so the operator PLANTS deterministic
+    * occurrences first (doc_id-keyed, mirrored exactly in the oracle) —
+    * the same planted-ground-truth pattern as the synth near-duplicates —
+    * which also gives the spec known counts to assert. Patterns are kept
+    * in the common subset of Java regex and RE2 so the Spark and DuckDB
+    * twins match byte for byte. */
+  def piiRedact(ctx: Ctx): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+    val planted = docs(ctx).select(
+      col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" from 10.0.123.45")).otherwise(lit("")))
+        .as("raw"))
+    planted.select(
+      col("doc_id"), col("source"),
+      size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)")).as("n_phones"),
+      size(expr(s"regexp_extract_all(raw, '$ipRe', 0)")).as("n_ips"),
+      expr(s"""length(regexp_replace(regexp_replace(regexp_replace(raw,
+        '$emailRe', '[EMAIL]'), '$phoneRe', '[PHONE]'), '$ipRe', '[IP]'))""")
+        .as("redacted_chars"))
+      .withColumn("is_clean",
+        col("n_emails") + col("n_phones") + col("n_ips") === 0)
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: punctuation/digit/upper ratios + stopword density and
     * a deterministic composite score. */
   def quality(ctx: Ctx): DataFrame = {
