@@ -1562,6 +1562,41 @@ object Registry {
          |FROM r_qx e LEFT JOIN r_qv q
          |  ON e.query_id = q.query_id AND e.cand_id = q.cand_id
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ann_pq_recall" -> e(
+      ctx => extensions.Similarity.annPqRecall(ctx),
+      s""", r_pq_sub AS (SELECT vec_id, s, list_slice(ed, s*8+1, s*8+8) AS sv FROM
+         |    (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed, UNNEST(range(8)) AS s
+         |     FROM embeddings))
+         |, r_pq_cb AS (SELECT s, vec_id AS cell, sv AS cv FROM r_pq_sub WHERE vec_id < 16)
+         |, r_pq_codes AS (SELECT vec_id, s, cell FROM (
+         |    SELECT v.vec_id, v.s, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY ${duckCos("v.sv", "c.cv")} DESC, c.cell) AS rn
+         |    FROM r_pq_sub v JOIN r_pq_cb c ON v.s = c.s) x WHERE rn = 1)
+         |, r_pq_qd AS (SELECT q.vec_id AS query_id, q.s, c.cell,
+         |    CAST(ROUND(${duckCos("q.sv", "c.cv")}, 9) AS DECIMAL(12,9)) AS qdec
+         |  FROM r_pq_sub q JOIN r_pq_cb c ON q.s = c.s
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 20)
+         |, r_pq_adc AS (SELECT qd.query_id, co.vec_id AS cand_id, SUM(qd.qdec) AS approx
+         |    FROM r_pq_codes co JOIN r_pq_qd qd ON co.s = qd.s AND co.cell = qd.cell
+         |    WHERE qd.query_id != co.vec_id
+         |    GROUP BY 1, 2 HAVING COUNT(*) = 8)
+         |, r_pq_top AS (SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY approx DESC, cand_id) AS rn FROM r_pq_adc) x WHERE rn <= 5)
+         |, r_pq_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+         |, r_pq_ex AS (SELECT query_id, cand_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${duckCos("a.ed", "b.ed")} DESC, b.vec_id) AS rn
+         |    FROM r_pq_emb a JOIN r_pq_emb b
+         |      ON a.vec_id >= 10 AND a.vec_id < 20 AND a.vec_id != b.vec_id) x
+         |  WHERE rn <= 5)
+         |SELECT e.query_id, COUNT(e.cand_id) AS n_exact, COUNT(p.cand_id) AS n_overlap,
+         |  ${dv("COUNT(p.cand_id)", "COUNT(e.cand_id)")} AS recall_at_k
+         |FROM r_pq_ex e LEFT JOIN r_pq_top p
+         |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "label_centroids" -> e(
       ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
       """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,

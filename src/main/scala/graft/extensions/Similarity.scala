@@ -253,4 +253,83 @@ object Similarity {
       count(lit(1)).as("n_vectors"),
       (dv(sum("v"), count(lit(1))) / lit(1e9)).as("dim_mean"))
   }
+
+  /** Product-quantization recall@k — the third leg of the production ANN
+    * trio (LSH buckets / IVF cells / PQ codes). The 64-dim space splits
+    * into 8 subspaces of 8 dims; the codebook per subspace is the seed
+    * vectors' subvectors (vec_id < 16, fixed coarse quantizer exactly like
+    * [[annIvf]] — no iterative k-means, so both engines derive identical
+    * codebooks). Every vector encodes to 8 codes (nearest codeword per
+    * subspace by subvector cosine); a query's similarity to a candidate is
+    * recovered WITHOUT touching the candidate's floats — the ADC pattern:
+    * the query precomputes its 8×16 codeword similarities, a candidate
+    * costs 8 table lookups + a sum. Compression here: 64 floats → 8 bytes.
+    *
+    * Cross-engine exactness: per-subspace cosines are single sequential
+    * folds (the verified [[graft.functions.CosineSim]]/list_dot_product
+    * pairing), then ROUNDed to DECIMAL(12,9) before the 8-way ADC sum —
+    * decimal addition is order-free, so the shuffle's nondeterministic
+    * row order cannot flip a ranking (double addition is not associative;
+    * the int8 quantize oracle uses the same round-then-exact rule).
+    *
+    * At 100 TB: encoding is a linear pass with a broadcast codebook; the
+    * ADC scan is Q×N lookups — in production composed with [[annIvf]]
+    * (probe cells first, ADC within cells), both pieces of which this
+    * library ships. */
+  def annPqRecall(ctx: Ctx, k: Int = 5): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    val e = ctx.tbl("embeddings")
+    val sub = e.select(col("vec_id"), col("label"),
+        explode(expr("sequence(0, 7)")).as("s"), col("embedding"))
+      .select(col("vec_id"), col("s"),
+        expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("cell"), col("sv").as("cv"))
+    // encode: nearest codeword per (vector, subspace)
+    val codes = sub.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cell"),
+        expr("cosine_sim(sv, cv)").as("subcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy(col("subcos").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cell"))
+    val queries = sub.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qv"))
+    // the query's 8x16 codeword-similarity table, rounded to exact decimal
+    val qd = queries.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cell"),
+        round(expr("cosine_sim(qv, cv)"), 9).cast("decimal(12,9)").as("qdec"))
+    // ADC: candidate score = sum of the query's similarities to its codes
+    val adc = codes.join(broadcast(qd), Seq("s", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("qdec")).as("approx"), count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === 8) // every subspace matched (always true)
+    val pqTop = adc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"))
+    // ground truth: exact full-vector cosine top-k
+    val qe = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("fq"))
+    val exactTop = qe.join(e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("fc")), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr("cosine_sim(fq, fc)").as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"))
+    val pqT = pqTop.select(col("query_id").as("pq_qid"), col("cand_id").as("pq_cand"))
+    exactTop.join(pqT,
+        col("query_id") === col("pq_qid") && col("cand_id") === col("pq_cand"),
+        "left_outer")
+      .groupBy("query_id")
+      .agg(count(col("cand_id")).as("n_exact"),
+        count(col("pq_cand")).as("n_overlap"))
+      .select(col("query_id"), col("n_exact"), col("n_overlap"),
+        dv(col("n_overlap"), col("n_exact")).as("recall_at_k"))
+      .orderBy("query_id")
+  }
 }
