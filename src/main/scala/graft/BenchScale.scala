@@ -160,7 +160,9 @@ object BenchScale {
       "dedup_simhash_near", // pigeonhole Hamming chunks
       "text_quality",       // map-side scoring
       "corpus_vocab",       // global token ids via two-phase row_number
-      "ann_lsh_buckets",    // bucketed cosine candidates
+      "ann_lsh_buckets",    // bucketed cosine candidates (8-bit verification grid)
+      "ann_lsh_buckets_wide", // 16-bit/mod-13 grid: occupancy-scaled buckets
+      "ann_pq_recall",      // product-quantization ADC + recall audit
       "ann_ivf",            // centroid-probed ANN
       "events_sessionize",  // gap sessionization over 1M x SF events
       "events_sliding_rates",

@@ -1562,6 +1562,20 @@ object Registry {
          |FROM r_qx e LEFT JOIN r_qv q
          |  ON e.query_id = q.query_id AND e.cand_id = q.cand_id
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ann_lsh_buckets_wide" -> e(
+      ctx => extensions.Similarity.annLshBucketsWide(ctx).orderBy("vec_a", "vec_b"),
+      s""", r_embw AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         |    ${(0 until 16).map(j =>
+              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 13 - 6 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")} AS bucket
+         |  FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.label AS label_a, b.label AS label_b,
+         |    ${duckCos("a.ed", "b.ed")} AS cosine,
+         |    a.label = b.label AS same_label
+         |  FROM r_embw a JOIN r_embw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
     "ann_pq_recall" -> e(
       ctx => extensions.Similarity.annPqRecall(ctx),
       s""", r_pq_sub AS (SELECT vec_id, s, list_slice(ed, s*8+1, s*8+8) AS sv FROM

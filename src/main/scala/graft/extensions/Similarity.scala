@@ -69,11 +69,25 @@ object Similarity {
     * signature are candidates; exact cosine on candidates only. The 0.3
     * cosine floor is calibrated to the testdata's similarity scale (label
     * clusters peak near 0.5), keeping the result non-empty at every SF. */
-  def annLshBuckets(ctx: Ctx): DataFrame = {
+  def annLshBuckets(ctx: Ctx): DataFrame =
+    annLshBucketsWith(ctx, bucketExpr)
+
+  /** [[annLshBuckets]] with a 16-bit / mod-13 signature — 13 effective
+    * hyperplanes instead of 7 (the default grid repeats bits past j=6), so
+    * bucket occupancy drops ~2^6× and the candidate-pair count stops
+    * growing quadratically at corpus scale: the same occupancy-scaling fix
+    * the 64-bit SimHash widening applied to near-dup chunk dedup. Shipped
+    * as its own verified query (the 8-bit original stays the
+    * high-recall/verification configuration; production picks bits ≈
+    * log2(N / target bucket size)). */
+  def annLshBucketsWide(ctx: Ctx): DataFrame =
+    annLshBucketsWith(ctx, expr("lsh_sign(embedding, 16, 13)"))
+
+  private def annLshBucketsWith(ctx: Ctx, bucket: Column): DataFrame = {
     graft.functions.CosineSim.register(ctx.spark)
     graft.functions.LshSign.register(ctx.spark)
     val e = ctx.tbl("embeddings").select(
-      col("vec_id"), col("embedding"), col("label"), bucketExpr.as("bucket"))
+      col("vec_id"), col("embedding"), col("label"), bucket.as("bucket"))
     val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("label").as("label_a"))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * null/empty/null-element inputs to the all-'0' signature, keeping bucket
   * membership identical to the replaced form for every input.
   */
-case class LshSign(child: Expression, bits: Int = 8)
+case class LshSign(child: Expression, bits: Int = 8, mod: Int = 7)
     extends UnaryExpression {
+
+  require(mod % 2 == 1 && mod >= 3, "mod must be an odd prime-ish >= 3")
+  private val half = mod / 2
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
@@ -70,7 +73,7 @@ case class LshSign(child: Expression, bits: Int = 8)
         var k = 0
         while (k < n) {
           val x = if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)
-          s += x * ((k * 31 + j * 17) % 7 - 3).toDouble
+          s += x * ((k * 31 + j * 17) % mod - half).toDouble
           k += 1
         }
         out(j) = if (s >= 0.0) '1' else '0'
@@ -114,7 +117,7 @@ case class LshSign(child: Expression, bits: Int = 8)
             if ($anyNull) { $chars[$j] = '0'; continue; }
             double $s = 0.0;
             for (int $k = 0; $k < $n; $k++) {
-              $s += ($get) * (double) (($k * 31 + $j * 17) % 7 - 3);
+              $s += ($get) * (double) (($k * 31 + $j * 17) % $mod - $half);
             }
             $chars[$j] = $s >= 0.0 ? '1' : '0';
           }
@@ -128,10 +131,24 @@ case class LshSign(child: Expression, bits: Int = 8)
 }
 
 object LshSign {
-  /** Register `lsh_sign(arr)` for SQL text / expr(...). Idempotent. */
+  /** Register `lsh_sign(arr[, bits[, mod]])` for SQL text / expr(...).
+    * Idempotent. The default (8, 7) grid is the oracle-verified original;
+    * wider signatures MUST also widen `mod` — the weight pattern
+    * (i*31 + j*17) % mod repeats with period `mod` in j, so e.g. 16 bits
+    * at mod 7 would add only duplicate hyperplanes (bit j == bit j+7).
+    * Occupancy rule at scale: bits ~ log2(N / target bucket size), the
+    * same fix the 64-bit SimHash widening applied to near-dup chunks. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sign",
-      exprs => LshSign(exprs.head),
+      exprs => {
+        def lit(e: Expression, default: Int): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => other.eval(null).toString.toInt
+        }
+        val bits = exprs.lift(1).map(lit(_, 8)).getOrElse(8)
+        val mod = exprs.lift(2).map(lit(_, 7)).getOrElse(7)
+        LshSign(exprs.head, bits, mod)
+      },
       "built-in")
 }
