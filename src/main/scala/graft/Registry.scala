@@ -1562,6 +1562,24 @@ object Registry {
          |FROM r_qx e LEFT JOIN r_qv q
          |  ON e.query_id = q.query_id AND e.cand_id = q.cand_id
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "training_pairs" -> e(
+      ctx => extensions.Similarity.trainingPairs(ctx),
+      s""", r_tp AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         |    ROW_NUMBER() OVER (ORDER BY label, vec_id) AS rn,
+         |    COUNT(*) OVER () AS total
+         |  FROM embeddings)
+         |, r_tp_pos AS (SELECT TRUE AS is_positive, a.vec_id AS vec_a,
+         |    b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+         |    ${duckCos("a.ed", "b.ed")} AS cosine
+         |  FROM r_tp a JOIN r_tp b ON b.rn = a.rn + 1 AND a.label = b.label)
+         |, r_tp_neg AS (SELECT FALSE AS is_positive, a.vec_id AS vec_a,
+         |    b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+         |    ${duckCos("a.ed", "b.ed")} AS cosine
+         |  FROM r_tp a JOIN r_tp b
+         |    ON b.rn = ((a.rn - 1 + a.total // 2) % a.total) + 1
+         |    AND a.label <> b.label)
+         |SELECT * FROM r_tp_pos UNION ALL SELECT * FROM r_tp_neg
+         |ORDER BY is_positive DESC, vec_a, vec_b""".stripMargin),
     "ann_lsh_buckets_wide" -> e(
       ctx => extensions.Similarity.annLshBucketsWide(ctx).orderBy("vec_a", "vec_b"),
       s""", r_embw AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,

@@ -268,6 +268,44 @@ object Similarity {
       (dv(sum("v"), count(lit(1))) / lit(1e9)).as("dim_mean"))
   }
 
+  /** Contrastive training-pair construction — the dataset-building step of
+    * an embedding-training pipeline: positive pairs from within-cluster
+    * adjacency, negatives from a deterministic rank-offset pairing, both
+    * with their measured cosine (so downstream can curriculum-filter by
+    * hardness). Shapes chosen for 100 TB:
+    *  - positives: vectors ranked by (label, vec_id) through the two-phase
+    *    [[graft.operators.Scale.globalOrder]] (NEVER a per-label window —
+    *    one giant cluster would funnel a single task), adjacent ranks with
+    *    equal labels pair up — linear, shuffle = one range exchange;
+    *  - negatives: rank r pairs with rank (r + total/2) mod total — a
+    *    perfect matching by construction (no rejection sampling, no skew),
+    *    cross-label pairs kept. */
+  def trainingPairs(ctx: Ctx): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    val ranked = graft.operators.Scale.globalOrder(
+      ctx.tbl("embeddings").select(col("vec_id"), col("label"), col("embedding")),
+      order = Seq(col("label"), col("vec_id")),
+      rn = Some("rn"), totalCount = Some("total"))
+    val a = ranked.select(col("rn"), col("total"), col("vec_id").as("vec_a"),
+      col("label").as("label_a"), col("embedding").as("ea"))
+    val b = ranked.select(col("rn").as("rn_b"), col("vec_id").as("vec_b"),
+      col("label").as("label_b"), col("embedding").as("eb"))
+    val pos = a.join(b, col("rn_b") === col("rn") + 1)
+      .filter(col("label_a") === col("label_b"))
+      .select(lit(true).as("is_positive"), col("vec_a"), col("vec_b"),
+        col("label_a"), col("label_b"),
+        expr("cosine_sim(ea, eb)").as("cosine"))
+    val neg = a.join(b,
+        col("rn_b") === pmod(col("rn") - 1 + floor(col("total") / 2),
+          col("total")) + 1)
+      .filter(col("label_a") =!= col("label_b"))
+      .select(lit(false).as("is_positive"), col("vec_a"), col("vec_b"),
+        col("label_a"), col("label_b"),
+        expr("cosine_sim(ea, eb)").as("cosine"))
+    pos.unionByName(neg)
+      .orderBy(col("is_positive").desc, col("vec_a"), col("vec_b"))
+  }
+
   /** Product-quantization recall@k — the third leg of the production ANN
     * trio (LSH buckets / IVF cells / PQ codes). The 64-dim space splits
     * into 8 subspaces of 8 dims; the codebook per subspace is the seed
