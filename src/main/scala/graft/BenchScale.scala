@@ -168,6 +168,12 @@ object BenchScale {
       "events_sliding_rates",
       "text_heavy_hitters", // MG sketch pass + exact recount of candidates
       "price_percentiles_exact") // KLL certificate + exact slice, no global sort
+      // SPARK_GRAFT_PIPE_SKIP=a,b drops legs — the 8-bit ann_lsh_buckets
+      // grid is deliberately occupancy-UNscaled (the verification config)
+      // and goes quadratic past SF~2; skip it for big-SF records and let
+      // the _wide leg carry the at-scale number
+      .filterNot(sys.env.get("SPARK_GRAFT_PIPE_SKIP")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
     Store.clear(spark)
     val results = legs.map { name =>
       val t0 = System.nanoTime()
