@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions.col
 object Runner {
 
   final case class BuildResult(table: String, rows: Long, path: String,
-      seconds: Double = 0.0)
+      seconds: Double = 0.0, skipped: Boolean = false)
 
   /** Full dbt-build twin. `threads` mirrors the reference's `dbt build`
     * concurrency (profiles threads: 8): models WITHIN a phase have no
@@ -28,8 +28,17 @@ object Runner {
     * concurrent Spark actions — the scheduler interleaves their stages and
     * keeps all cores busy even while one model sits in a narrow stage.
     * Dependencies ACROSS phases (ods -> wh -> gate -> reports) stay strictly
-    * ordered, exactly like dbt's DAG-ordered, intra-level-parallel run. */
-  def buildAll(ctx: Ctx, outDir: String, threads: Int = 8): Seq[BuildResult] = {
+    * ordered, exactly like dbt's DAG-ordered, intra-level-parallel run.
+    *
+    * `resume = true` is the `dbt retry` twin: a model whose output
+    * directory already holds a complete write (its _SUCCESS marker) is
+    * NOT recomputed — it is swapped into the Store straight from parquet
+    * and reported with `skipped = true` — so a build that died mid-run
+    * redoes only the missing/incomplete models. Parquet writes are
+    * atomic-by-marker (a killed write leaves no _SUCCESS), which makes
+    * the marker a sound completeness signal. */
+  def buildAll(ctx: Ctx, outDir: String, threads: Int = 8,
+      resume: Boolean = false): Seq[BuildResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val runId = java.util.UUID.randomUUID().toString
@@ -40,6 +49,12 @@ object Runner {
       val t0 = System.nanoTime()
       val out = if (housekeeping) df.select(col("*") +: hk: _*) else df
       val path = s"$outDir/$name"
+      if (resume && new java.io.File(s"$path/_SUCCESS").exists()) {
+        // complete prior write: count from parquet row-group metadata (the
+        // reader short-circuits a bare count), no recompute
+        return BuildResult(name, ctx.spark.read.parquet(path).count(), path,
+          (System.nanoTime() - t0) / 1e9, skipped = true)
+      }
       // Row count rides the write action as an observed metric instead of a
       // post-write `read.parquet(path).count()`: at SF10 that re-count
       // re-scanned all ~487M output rows across 50 tables purely for the

@@ -43,4 +43,24 @@ class RunnerSpec extends SparkSpec {
     assert(layers.Rollups.customerOrders(ctx).count() > 0,
       "rollup must rebuild from source after buildAll")
   }
+
+  test("buildAll(resume = true) redoes only the missing models — the dbt retry twin") {
+    val out = java.nio.file.Files.createTempDirectory("graft-build-rs").toString
+    val first = Runner.buildAll(ctx, out)
+    // simulate a crash that lost two models: one with a complete-but-stale
+    // marker removed, one wiped entirely
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$out/supplier_scorecard"))
+    new java.io.File(s"$out/fct_orders/_SUCCESS").delete()
+    val second = Runner.buildAll(ctx, out, resume = true)
+    val redone = second.filterNot(_.skipped).map(_.table).toSet
+    assert(redone == Set("supplier_scorecard", "fct_orders"),
+      s"expected exactly the 2 damaged models redone, got $redone")
+    assert(second.count(_.skipped) == first.length - 2)
+    // row counts identical to the first full build
+    val f = first.map(r => r.table -> r.rows).toMap
+    second.foreach(r => assert(r.rows == f(r.table), r.table))
+  }
 }
