@@ -206,4 +206,36 @@ object Streams {
           }
       }
   }
+
+  /** Event-lake landing sink: every microbatch APPENDS into the
+    * date-partitioned layout (each batch's rows range-sorted on the sort
+    * keys within its files, so per-file min/max spans stay tight — the
+    * [[graft.Lake.writeTimePartitioned]] discipline, append-mode), and
+    * every `compactEvery` batches the accreted small files collapse to
+    * one file per date via [[graft.Lake.compact]]'s rename-swap. This is
+    * the operational loop a 100 TB event stream actually runs: streaming
+    * writes shard by microbatch (a day's partition accumulates hundreds
+    * of files), and unmaintained lakes drown their scans in task/footer
+    * overhead — the sink makes layout maintenance part of the pipeline
+    * instead of an out-of-band cron. Batch boundaries only (compaction
+    * inside foreachBatch), so the swap never races a concurrent batch
+    * write. */
+  def lakeSink(events: DataFrame, target: String, checkpoint: String,
+      dateCol: String = "dt", sortCols: Seq[String] = Seq("user_id"),
+      compactEvery: Long = 4, filesPerBatch: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        batch.repartitionByRange(filesPerBatch, sortCols.map(col): _*)
+          .sortWithinPartitions((col(dateCol) +: sortCols.map(col)): _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy(dateCol)
+          .parquet(target)
+        if (batchId > 0 && batchId % compactEvery == 0)
+          graft.Lake.compact(batch.sparkSession, target, dateCol)
+        ()
+      }
 }
