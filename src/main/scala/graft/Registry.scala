@@ -2276,6 +2276,22 @@ object Registry {
          |FROM (SELECT DISTINCT order_date AS day FROM base_orders) d
          |JOIN base_line_item l ON d.day BETWEEN l.ship_date AND l.receipt_date
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "corpus_chunk" -> e(
+      ctx => extensions.Text.corpusChunk(ctx),
+      s"""$duckTokCtes
+         |, r_ck AS (SELECT doc_id, toks, len(toks) AS n_toks
+         |    FROM r_toks WHERE len(toks) > 0)
+         |, r_ck2 AS (SELECT doc_id, n_toks, toks,
+         |    UNNEST(range(0, n_toks, 48)) AS chunk_start FROM r_ck)
+         |, r_ck3 AS (SELECT doc_id,
+         |    CAST(chunk_start // 48 AS INT) AS chunk_idx, chunk_start,
+         |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS ct
+         |  FROM r_ck2)
+         |SELECT doc_id, chunk_idx, chunk_start,
+         |  CAST(len(ct) AS INT) AS chunk_len,
+         |  md5(array_to_string(ct, ' ')) AS chunk_hash,
+         |  COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+         |FROM r_ck3 ORDER BY doc_id, chunk_idx""".stripMargin),
     "text_pii_redact" -> e(
       ctx => extensions.Text.piiRedact(ctx),
       s""", r_pii AS (SELECT doc_id, source,

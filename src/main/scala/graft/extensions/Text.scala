@@ -122,6 +122,31 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Training-chunk construction: fixed token windows (size `w`, stride
+    * `s`, so `w - s` tokens of overlap carry context across boundaries)
+    * with full provenance (doc, ordinal, start offset) and a content hash
+    * that links straight into the chunk-dedup family — the
+    * document→context-window pass between curation and tokenization.
+    * Pure map-side explode (chunk count per doc bounded by doc length);
+    * the count-per-doc window is partitioned by doc_id. */
+  def corpusChunk(ctx: Ctx, w: Int = 64, s: Int = 48): DataFrame = {
+    val chunked = docsTok(ctx)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("toks"),
+        explode(expr(s"sequence(0, n_toks - 1, $s)")).as("chunk_start"))
+      .select(col("doc_id"), col("n_toks"),
+        expr(s"CAST(chunk_start DIV $s AS INT)").as("chunk_idx"),
+        col("chunk_start"),
+        expr(s"slice(toks, chunk_start + 1, $w)").as("__ct"))
+    chunked.select(
+        col("doc_id"), col("chunk_idx"), col("chunk_start").cast("long").as("chunk_start"),
+        size(col("__ct")).as("chunk_len"),
+        md5(array_join(col("__ct"), " ")).as("chunk_hash"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("n_chunks"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Quality scoring: punctuation/digit/upper ratios + stopword density and
     * a deterministic composite score. */
   def quality(ctx: Ctx): DataFrame = {
