@@ -93,19 +93,73 @@ object Lake {
     * and every row. The rewrite goes through a temp dir then a rename
     * swap, so a crashed compaction leaves the original data intact. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      dateCol: String, parallelism: Int = 8): Unit = {
+      dateCol: String, parallelism: Int = 8,
+      sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
     val tmp = path + "__compact_tmp"
     spark.read.parquet(path)
-      .repartition(parallelism, org.apache.spark.sql.functions.col(dateCol))
+      .repartition(parallelism, col(dateCol))
+      // re-sorting inside each rewritten file preserves the tight per-file
+      // min/max spans the sorted-write layouts exist for — compaction must
+      // not trade file count for dead row-group skipping
+      .sortWithinPartitions((col(dateCol) +: sortCols.map(col)): _*)
       .write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // checked swap: on a failed second rename, restore the original and
+    // abort rather than leaving the table path missing. A crash BETWEEN
+    // the renames still leaves the full data at __compact_old (manual
+    // recovery: rename it back); neither case loses rows.
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(dst, bak), s"compact: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      val restored = fs.rename(bak, dst)
+      sys.error(s"compact: swap into $dst failed" +
+        (if (restored) " (original restored)" else s" (ORIGINAL AT $bak)"))
+    }
     fs.delete(bak, true)
     ()
+  }
+
+  /** [[compact]] restricted to the partitions that are actually fragmented
+    * (≥ `minFiles` data files) — the shape a long-running streaming sink
+    * needs: cold history is never re-read or re-written, so maintenance
+    * I/O tracks the ACTIVE partitions, not the lake's lifetime size. Each
+    * fragmented partition is rewritten independently through its own temp
+    * dir + checked rename swap. Returns the compacted partition names. */
+  def compactFragmented(spark: org.apache.spark.sql.SparkSession, path: String,
+      dateCol: String, minFiles: Int = 4,
+      sortCols: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val fragmented = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dateCol="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
+      .map(_.getPath)
+    fragmented.foreach { partDir =>
+      val tmp = new org.apache.hadoop.fs.Path(partDir.toString + "__compact_tmp")
+      val one = spark.read.parquet(partDir.toString).coalesce(1)
+      val sorted =
+        if (sortCols.nonEmpty) one.sortWithinPartitions(sortCols.map(col): _*)
+        else one
+      sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val bak = new org.apache.hadoop.fs.Path(partDir.toString + "__old")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      require(fs.rename(partDir, bak), s"compactFragmented: cannot move $partDir")
+      if (!fs.rename(tmp, partDir)) {
+        val restored = fs.rename(bak, partDir)
+        sys.error(s"compactFragmented: swap of $partDir failed" +
+          (if (restored) " (original restored)" else s" (ORIGINAL AT $bak)"))
+      }
+      fs.delete(bak, true)
+    }
+    fragmented.map(_.getName)
   }
 
   /** Keyed MERGE INTO (upsert) for a partitioned parquet lake — the late-
@@ -147,17 +201,31 @@ object Lake {
     merged.write.partitionBy(partCol).mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    touched.foreach { v =>
-      val part = s"$partCol=$v"
+    // swap by the temp dir's ACTUAL partition directory names (the writer
+    // Hive-escapes special characters in partition values — reconstructing
+    // names from raw values would miss those dirs), and CHECK every rename:
+    // the backup is deleted only after its replacement landed, so no
+    // failure mode silently drops a partition.
+    val written = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath)
+    written.foreach { src =>
+      val part = src.getName
       val dst = new org.apache.hadoop.fs.Path(s"$path/$part")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
       val bak = new org.apache.hadoop.fs.Path(s"$path/${part}__old")
-      if (fs.exists(dst)) fs.rename(dst, bak)
-      fs.rename(src, dst)
       if (fs.exists(bak)) fs.delete(bak, true)
+      val hadOld = fs.exists(dst)
+      if (hadOld) require(fs.rename(dst, bak),
+        s"upsert: cannot move $dst aside")
+      if (!fs.rename(src, dst)) {
+        val restored = !hadOld || fs.rename(bak, dst)
+        sys.error(s"upsert: swap of $part failed" +
+          (if (restored) " (original restored)" else s" (ORIGINAL AT $bak)"))
+      }
+      if (hadOld) fs.delete(bak, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    touched.length.toLong
+    written.length.toLong
   }
 
   /** Materialize the hot mid-DAG facts as bucketed tables, each bucketed by

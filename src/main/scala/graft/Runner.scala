@@ -49,7 +49,11 @@ object Runner {
       val t0 = System.nanoTime()
       val out = if (housekeeping) df.select(col("*") +: hk: _*) else df
       val path = s"$outDir/$name"
-      if (resume && new java.io.File(s"$path/_SUCCESS").exists()) {
+      val successMarker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      def markerExists: Boolean = successMarker
+        .getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+        .exists(successMarker) // Hadoop FS, not java.io: outDir may be hdfs://s3a://
+      if (resume && markerExists) {
         // complete prior write: count from parquet row-group metadata (the
         // reader short-circuits a bare count), no recompute
         return BuildResult(name, ctx.spark.read.parquet(path).count(), path,

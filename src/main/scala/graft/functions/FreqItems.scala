@@ -125,7 +125,11 @@ case class FreqItemsSketch(
     val it = buf.map.entrySet.iterator
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws past
+      // 64 KB and a web corpus will hand the tokenizer an unbroken
+      // base64/minified-JS "token" far larger than that
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush(); bos.toByteArray
   }
@@ -136,7 +140,12 @@ case class FreqItemsSketch(
     val n = in.readInt()
     val m = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     new Buf(m, offset)
   }
 

@@ -40,6 +40,17 @@ object ExactQuantile {
     val summary = vals.agg(expr(s"kll_sketch(v, $k)").as("s")).select("s.*").head()
     val n = summary.getLong(0)
     val err = summary.getLong(1)
+    if (n == 0) {
+      // empty relation: no order statistics exist — empty result, like
+      // percentile_cont's NULL-on-empty, rather than an opaque NPE
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("quantile",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
 
     final case class W(q: Double, loRank: Long, hiRank: Long, frac: Double,
         a: Option[Double], b: Option[Double]) {

@@ -24,7 +24,13 @@ import org.apache.spark.sql.types._
   *
   * Bin ordinal = value/width by truncating division (monotonic, so an
   * interval covers exactly bins bin(lo)..bin(hi)); `sequence` is guarded
-  * to an empty array for inverted (empty) intervals. Width comes from
+  * to an empty array for inverted (empty) intervals. Intervals wider than
+  * `spark.graft.rangejoin.maxBinsPerInterval` bins (validity-range
+  * sentinels like hi=MaxValue, or micros data under a days-width — which
+  * would otherwise explode into millions of generated rows) take a
+  * separate union branch that keeps the nested loop with the interval
+  * side broadcast-hinted (few such rows by nature; the hint doubles as
+  * the rule's convergence guard). Width comes from
   * `spark.graft.rangejoin.binWidth` (default 32 — near the typical
   * interval span so each interval lands in ~2 bins); rewrite toggles with
   * `spark.graft.rangejoin.enabled`, and an interval side whose estimated
@@ -90,12 +96,15 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           hint.leftHint.forall(_.strategy.isEmpty) &&
           hint.rightHint.forall(_.strategy.isEmpty) =>
         val conjuncts = splitConjunctivePredicates(cond)
+        def sidedEqui(a: Expression, b: Expression): Boolean =
+          (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) &&
+            a.references.nonEmpty && b.references.nonEmpty) ||
+          (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) &&
+            a.references.nonEmpty && b.references.nonEmpty)
         val hasEqui = conjuncts.exists {
-          case EqualTo(a, b) =>
-            (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) &&
-              a.references.nonEmpty && b.references.nonEmpty) ||
-            (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) &&
-              a.references.nonEmpty && b.references.nonEmpty)
+          case EqualTo(a, b) => sidedEqui(a, b)
+          // <=> is also a hash-join key — the join needs no rescue
+          case EqualNullSafe(a, b) => sidedEqui(a, b)
           case _ => false
         }
         if (hasEqui) j
@@ -117,6 +126,18 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
             val pPlan = Project(pSide.output :+ pBin, pSide)
             val binLo = bin(lo)
             val binHi = bin(hi)
+            // a WIDE interval (validity-range sentinels like
+            // hi = Long.MaxValue, or a caller binning microseconds with a
+            // days-sized width) must NOT explode into millions/2^58 bins:
+            // intervals past maxBinsPerInterval take the ORIGINAL
+            // nested-loop path in a separate union branch (there are
+            // normally few of them — sentinels and outliers), everything
+            // else gets the equi-join
+            val maxBins = Literal(conf.getConfString(
+              "spark.graft.rangejoin.maxBinsPerInterval", "256").toLong)
+            val spanOk = LessThanOrEqual(Subtract(binHi, binLo), maxBins)
+            val ivalNarrow = Filter(spanOk, iSide)
+            val ivalWide = Filter(Not(spanOk), iSide)
             // Sequence is TimeZoneAware: without a timeZoneId it reports
             // unresolved even over pure BIGINT operands
             val seqE = Sequence(binLo, binHi, Some(Literal(1L)),
@@ -126,13 +147,28 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
             val seq = If(LessThanOrEqual(binLo, binHi),
               seqE, Literal.create(Seq.empty[Long], seqE.dataType))
             val gOut = AttributeReference("__graft_bin_i", LongType, nullable = false)()
-            val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(gOut), iSide)
+            val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(gOut), ivalNarrow)
             val (nl, nr) =
               if (pointOnLeft) (pPlan: LogicalPlan, gen: LogicalPlan)
               else (gen: LogicalPlan, pPlan: LogicalPlan)
             val equiJoin = Join(nl, nr, Inner,
               Some(EqualTo(pBin.toAttribute, gOut)), hint)
-            Project(j.output, Filter(cond, equiJoin))
+            val binned = Project(j.output, Filter(cond, equiJoin))
+            // the wide branch keeps the nested loop, with an explicit
+            // BROADCAST hint on its (few-sentinel-rows) interval side:
+            // the hint IS the convergence guard — this rule skips hinted
+            // joins, so the fixed-point batch never re-matches the branch
+            val bHint = HintInfo(strategy = Some(BROADCAST))
+            val wideJoin =
+              if (pointOnLeft)
+                Join(l, ivalWide, Inner, Some(cond),
+                  JoinHint(hint.leftHint, Some(bHint)))
+              else
+                Join(ivalWide, r, Inner, Some(cond),
+                  JoinHint(Some(bHint), hint.rightHint))
+            // a NULL-bound interval lands in neither branch (spanOk is
+            // null) — correct, its join condition could never be true
+            Union(Seq(binned, Project(j.output, wideJoin)), false, false)
             }
           case None => j
         }

@@ -211,15 +211,18 @@ object Streams {
     * date-partitioned layout (each batch's rows range-sorted on the sort
     * keys within its files, so per-file min/max spans stay tight — the
     * [[graft.Lake.writeTimePartitioned]] discipline, append-mode), and
-    * every `compactEvery` batches the accreted small files collapse to
-    * one file per date via [[graft.Lake.compact]]'s rename-swap. This is
-    * the operational loop a 100 TB event stream actually runs: streaming
-    * writes shard by microbatch (a day's partition accumulates hundreds
-    * of files), and unmaintained lakes drown their scans in task/footer
-    * overhead — the sink makes layout maintenance part of the pipeline
-    * instead of an out-of-band cron. Batch boundaries only (compaction
-    * inside foreachBatch), so the swap never races a concurrent batch
-    * write. */
+    * every `compactEvery` batches the FRAGMENTED partitions (and only
+    * those — cold history is never re-read, so maintenance I/O tracks the
+    * active dates, not the lake's lifetime size) collapse via
+    * [[graft.Lake.compactFragmented]]'s checked rename-swap, re-sorted on
+    * the sort keys so the tight per-file spans survive compaction. This
+    * is the operational loop a 100 TB event stream actually runs:
+    * streaming writes shard by microbatch (a day's partition accumulates
+    * hundreds of files), and unmaintained lakes drown their scans in
+    * task/footer overhead — the sink makes layout maintenance part of
+    * the pipeline instead of an out-of-band cron. Batch boundaries only
+    * (compaction inside foreachBatch), so the swap never races a
+    * concurrent batch write. */
   def lakeSink(events: DataFrame, target: String, checkpoint: String,
       dateCol: String = "dt", sortCols: Seq[String] = Seq("user_id"),
       compactEvery: Long = 4, filesPerBatch: Int = 2)
@@ -235,7 +238,8 @@ object Streams {
           .partitionBy(dateCol)
           .parquet(target)
         if (batchId > 0 && batchId % compactEvery == 0)
-          graft.Lake.compact(batch.sparkSession, target, dateCol)
+          graft.Lake.compactFragmented(batch.sparkSession, target, dateCol,
+            sortCols = sortCols)
         ()
       }
 }

@@ -77,6 +77,19 @@ class FreqItemsSpec extends AnyFunSuite {
     assert(heavySet(16).intersect((0 until 10).map("h" + _).toSet).size == 10)
   }
 
+  test("items beyond writeUTF's 64KB limit survive partial-aggregate serialization") {
+    val s = spark; import s.implicits._
+    val big = "x" * 100000 // an unbroken 100KB "token" (base64 blob shape)
+    val df = (Seq.fill(50)(big) ++ (0 until 200).map(i => s"t$i")).toDF("v")
+    // repartition forces serialize/merge of partial buffers across tasks
+    val out = df.repartition(8)
+      .selectExpr("inline(freq_items(v, 64))")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hit = out.find(_._1 == big)
+    assert(hit.isDefined, "oversized item lost")
+    assert(hit.get._2 <= 50 && 50 <= hit.get._3)
+  }
+
   test("grouped aggregation; nulls skipped") {
     val df = spark.range(10000).select(
       pmod(col("id"), lit(2L)).as("g"),

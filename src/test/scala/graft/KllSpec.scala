@@ -72,6 +72,14 @@ class KllSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input yields an empty result, not an NPE") {
+    val s = spark; import s.implicits._
+    val out = ExactQuantile.percentiles(
+      Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("quantile", "value"))
+  }
+
   test("small inputs: exact even when the sketch never compacts") {
     val s = spark; import s.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")

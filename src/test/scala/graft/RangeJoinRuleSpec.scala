@@ -43,8 +43,12 @@ class RangeJoinRuleSpec extends AnyFunSuite {
   test("SQL BETWEEN join is rewritten to an equi-join with identical rows") {
     val df = spark.sql(sql)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("NestedLoop"), plan)
+    // the narrow intervals go through the binned hash equi-join; the
+    // always-present wide-sentinel guard branch is a BNLJ that AQE's
+    // empty-relation propagation prunes at runtime when (as here) no
+    // interval exceeds maxBinsPerInterval
     assert(plan.contains("__graft_bin"), plan)
+    assert(plan.matches("(?s).*BroadcastHashJoin \\[__graft_bin_p.*"), plan)
     val got = rows(sql)
     spark.conf.set("spark.graft.rangejoin.enabled", "false")
     val want = try rows(sql) finally
@@ -68,7 +72,7 @@ class RangeJoinRuleSpec extends AnyFunSuite {
         |   FROM rj_intervals) i
         |ON p.x > i.a AND p.x < i.b""".stripMargin
     val df = spark.sql(q)
-    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
     val got = rows(q)
     spark.conf.set("spark.graft.rangejoin.enabled", "false")
     val want = try rows(q) finally
@@ -83,6 +87,38 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     val plan = spark.sql(q).queryExecution.executedPlan.toString
     assert(!plan.contains("__graft_bin"), plan)
     assert(!plan.contains("NestedLoop"), plan) // hash join on the equi key
+  }
+
+  test("sentinel-wide intervals take the broadcast nested-loop branch, not a bin explosion") {
+    // one open-ended validity interval (hi 200 years out = ~2.3M day-bins)
+    // among normal intervals: rows must match the un-rewritten join and the
+    // plan must contain BOTH shapes — the binned equi-join for the narrow
+    // intervals and a broadcast nested loop for the sentinel — instead of
+    // generating millions of bin rows (or worse for BIGINT sentinels)
+    val q =
+      """SELECT pid, iid FROM rj_points p JOIN
+        |  (SELECT iid, lo, CASE WHEN iid = 7 THEN DATE '2225-01-01' ELSE hi END AS hi
+        |   FROM rj_intervals) i
+        |ON p.day >= i.lo AND p.day <= i.hi""".stripMargin
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+    // the sentinel interval matched many points (it spans everything)
+    assert(got.count(_._2 == 7L) > 200, "sentinel interval under-matched")
+  }
+
+  test("a null-safe equi conjunct (<=>) also suppresses the rewrite") {
+    val q =
+      """SELECT pid, iid FROM rj_points p JOIN rj_intervals i
+        |ON p.pid % 10 <=> i.iid % 10 AND p.day >= i.lo AND p.day <= i.hi""".stripMargin
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
   }
 
   test("empty (inverted) intervals produce no rows instead of erroring") {
