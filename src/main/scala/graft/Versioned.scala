@@ -196,6 +196,28 @@ object Versioned {
     }
   }
 
+  /** Transactional keyed MERGE INTO — [[Lake.upsert]]'s semantics with an
+    * ATOMIC publish: read only the touched partitions of the CURRENT
+    * snapshot, drop rows superseded by an update key (broadcast
+    * anti-join), and commit merged + untouched partitions in one manifest
+    * rename. A crash at any point leaves the previous version fully
+    * readable; concurrent readers never observe the intermediate state.
+    * Same stability constraint: a key's `partCol` value must not change
+    * across versions. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], partCol: String): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val touched = updates.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val current = read(spark, path)
+      .filter(col(partCol).isInCollection(touched))
+    val kept = current.join(
+      broadcast(updates.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+    val merged = kept.unionByName(updates.select(current.columns.map(col): _*))
+    replacePartitions(merged, path, partCol)
+  }
+
   /** Delete data files no longer referenced by any manifest newer than
     * `keepVersions` back — the GC that makes time travel bounded. */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Long = {

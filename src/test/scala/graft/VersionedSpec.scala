@@ -63,6 +63,28 @@ class VersionedSpec extends AnyFunSuite {
     assert(now.schema("dt").dataType.sql == "DATE")
   }
 
+  test("transactional upsert: update-wins merge, atomic version bump, old snapshot intact") {
+    val t = java.nio.file.Files.createTempDirectory("vtab6").toString
+    Versioned.write(df(0), t, partitionBy = Some("dt"))
+    val updates = spark.range(10).select(
+        (col("id") * 4 + 1).as("k"), // existing keys on dt=2024-05-02
+        lit(-1L).as("tag"),
+        lit(java.sql.Date.valueOf("2024-05-02")).as("dt"))
+      .unionByName(spark.range(5).select((col("id") + 5000).as("k"),
+        lit(-2L).as("tag"), lit(java.sql.Date.valueOf("2024-05-03")).as("dt")))
+    val v = Versioned.upsert(spark, t, updates, Seq("k"), "dt")
+    assert(v == 1L)
+    val now = Versioned.read(spark, t)
+    assert(now.count() == 105)
+    assert(now.filter(col("tag") === -1L).count() == 10)
+    assert(now.filter(col("tag") === -2L).count() == 5)
+    assert(now.filter(col("k") === 1L).head().getAs[Long]("tag") == -1L)
+    // untouched partition rows keep tag 0; prior snapshot fully intact
+    assert(now.filter(col("dt") === lit(java.sql.Date.valueOf("2024-05-01")))
+      .select("tag").distinct().head().getLong(0) == 0L)
+    assert(Versioned.read(spark, t, Some(0L)).filter(col("tag") =!= 0L).count() == 0)
+  }
+
   test("vacuum drops unreferenced files but keeps recent versions readable") {
     val t = java.nio.file.Files.createTempDirectory("vtab4").toString
     Versioned.write(df(0), t)
