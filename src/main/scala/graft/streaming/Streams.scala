@@ -242,4 +242,38 @@ object Streams {
             sortCols = sortCols)
         ()
       }
+
+  /** [[lakeSink]] on the [[graft.Versioned]] transaction log — the
+    * exactly-visible variant: each microbatch COMMITS (append) atomically,
+    * so a concurrent reader sees whole batches or nothing, and every
+    * `compactEvery` batches the fragmented partitions (≥ `minFiles` data
+    * files, decided from the MANIFEST — no filesystem listing) are
+    * rewritten and published via one `replacePartitions` commit. Old
+    * snapshots stay time-travelable until `vacuum`. */
+  def versionedSink(events: DataFrame, target: String, checkpoint: String,
+      dateCol: String = "dt", compactEvery: Long = 4, minFiles: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        graft.Versioned.write(batch, target, mode = "append",
+          partitionBy = Some(dateCol))
+        if (batchId > 0 && batchId % compactEvery == 0) {
+          val spark = batch.sparkSession
+          val m = graft.Versioned.readManifest(spark, target)
+          val fragmented = m.files.groupBy(_.part).collect {
+            case (Some(pv), fs) if fs.size >= minFiles => pv
+          }.toSet
+          if (fragmented.nonEmpty) {
+            val snap = graft.Versioned.read(spark, target)
+              .filter(col(dateCol).cast("string").isInCollection(fragmented))
+              .coalesce(1)
+            graft.Versioned.replacePartitions(snap, target, dateCol)
+            ()
+          }
+        }
+        ()
+      }
 }

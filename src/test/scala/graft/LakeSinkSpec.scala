@@ -52,4 +52,39 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(back.select(countDistinct(col("event_id"))).head().getLong(0) == 1500)
     } finally q.stop()
   }
+
+  test("versionedSink: atomic batch commits, manifest-driven compaction, time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("v_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("v_sink_ck").toString
+    val mem = MemoryStream[Long]
+    val shaped = mem.toDF().select(
+      col("value").as("event_id"),
+      date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+        (col("value") % 3).cast("int")).as("dt"))
+    val q = Streams.versionedSink(shaped, target, ckpt,
+      compactEvery = 4, minFiles = 3).start()
+    try {
+      for (b <- 0 until 4) {
+        mem.addData((b * 300L) until (b * 300L + 300L): _*)
+        q.processAllAvailable()
+      }
+      // 4 committed versions, one per batch; each partition has 4 shards
+      val m4 = Versioned.readManifest(spark, target)
+      assert(m4.version == 3L)
+      assert(m4.files.groupBy(_.part).values.forall(_.size >= 4))
+      mem.addData(1200L until 1500L: _*)
+      q.processAllAvailable() // batch 4 -> append commit + compaction commit
+      val m = Versioned.readManifest(spark, target)
+      assert(m.version == 5L, s"expected append+compaction commits, at v${m.version}")
+      assert(m.files.groupBy(_.part).values.forall(_.size == 1),
+        "compaction left fragmented partitions in the live manifest")
+      val now = Versioned.read(spark, target)
+      assert(now.count() == 1500)
+      assert(now.select(countDistinct(col("event_id"))).head().getLong(0) == 1500)
+      // the pre-compaction snapshot is still whole (time travel)
+      assert(Versioned.read(spark, target, Some(3L)).count() == 1200)
+    } finally q.stop()
+  }
 }
