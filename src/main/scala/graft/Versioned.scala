@@ -1,36 +1,63 @@
 package graft
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-versioned tables — the lakehouse transaction-log pattern
   * (Delta/Iceberg's core idea) in its minimal correct form:
   *
-  *  - data files are IMMUTABLE and write-once under `path/data/<uuid>/`;
+  *  - data files are IMMUTABLE and write-once under hive-style
+  *    `path/data/<partCol>=<v>/` dirs (unpartitioned: `path/data/`),
+  *    with a per-commit uuid prefix keeping names collision-free;
   *  - what constitutes the table is a MANIFEST (`path/_log/v<n>.manifest`)
-  *    listing the live files; committing a write = renaming one tmp
-  *    manifest into place — a single-file rename, atomic on every
-  *    Hadoop-compatible FS (unlike the directory swaps in
-  *    [[Lake.compact]]/[[Lake.upsert]], which have a crash window this
-  *    layer exists to close);
-  *  - readers resolve a manifest ONCE and read exactly its files: a
-  *    reader never sees a half-written table, concurrent writers never
-  *    disturb a running query (snapshot isolation), and old versions stay
-  *    readable (time travel) until vacuumed;
-  *  - concurrent committers race on the rename; the loser re-resolves the
-  *    latest version and retries (optimistic concurrency).
+  *    listing the live files; committing a write = publishing one
+  *    manifest file under the next version name;
+  *  - readers resolve a manifest ONCE and scan exactly its files in one
+  *    FileSourceScan (partition values come from the hive path fragments,
+  *    decoded by Spark itself): a reader never sees a half-written table,
+  *    concurrent writers never disturb a running query (snapshot
+  *    isolation), and old versions stay readable (time travel) until
+  *    vacuumed;
+  *  - concurrent committers race on the publish; the loser re-resolves
+  *    the latest version and retries (optimistic concurrency), and a
+  *    retry that would overwrite files a concurrent commit changed in the
+  *    same partitions ABORTS with a conflict instead of silently dropping
+  *    the other writer's work (the Delta/Iceberg write-conflict rule).
+  *
+  * FS contract (stated, not assumed): the publish is a
+  * `FileContext.rename(tmp, dst, Rename.NONE)` — atomic and
+  * fail-if-exists on HDFS-semantics filesystems, which is the class this
+  * layer targets (same contract as Delta's HDFSLogStore). On
+  * LocalFileSystem the no-overwrite check is check-then-rename, so
+  * cross-PROCESS races have a TOCTOU window there; in-process racers
+  * (the tests, any single-driver deployment) are additionally serialized
+  * by a JVM lock. Object stores without atomic rename need an external
+  * log store — out of scope, documented.
   *
   * At 100 TB the manifest is metadata (file list), the data plane is
-  * plain parquet, and `replacePartitions` gives UPSERT/compaction an
-  * atomic publish: stage new files for the touched partitions, commit one
-  * manifest that drops the old ones — zero renames of live data.
+  * plain parquet in one hive tree (so a snapshot of any partition count
+  * is ONE scan, not a per-partition union), and `replacePartitions`
+  * gives UPSERT/compaction an atomic publish: stage new files for the
+  * touched partitions, commit one manifest that drops the old ones —
+  * zero renames of live data.
   */
 object Versioned {
 
+  /** `part` is the RAW hive dir fragment value (still path-escaped,
+    * `__HIVE_DEFAULT_PARTITION__` for null) — exactly what is on disk.
+    * Partition matching (replacePartitions / conflict detection) compares
+    * these fragments against OTHER fragments, never against decoded data
+    * values, so values containing ':', '%', '/' or nulls round-trip
+    * correctly; readers never consume `part` at all (Spark decodes the
+    * hive path fragments natively at scan time). */
   final case class FileEntry(file: String, part: Option[String])
   final case class Manifest(version: Long, partCol: Option[String],
       partType: Option[String], files: Seq[FileEntry])
+
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,7 +82,8 @@ object Versioned {
       s"version=${m.version}",
       s"partCol=${m.partCol.getOrElse("")}",
       s"partType=${m.partType.getOrElse("")}")
-    // '\u0001' separator: never appears in hive partition dir names
+    // '\u0001' separator: never appears in hive-ESCAPED dir fragments
+    // (escapePathName percent-encodes control chars)
     val files = m.files.map(f => s"file=${f.file}\u0001${f.part.getOrElse("")}")
     (head ++ files).mkString("\n")
   }
@@ -89,58 +117,92 @@ object Versioned {
     } finally in.close()
   }
 
-  /** Atomic commit via tmp-write + rename; on a lost race (version taken),
-    * recompute against the NEW latest and retry. `build` receives the
-    * previous manifest (None for a fresh table) and returns the new file
-    * list + partition metadata. */
+  // serializes in-process committers per table path (LocalFileSystem's
+  // no-overwrite rename is check-then-act; see the FS contract above)
+  private val localLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Commit via tmp-write + no-overwrite rename; on a lost race (version
+    * taken), recompute against the NEW latest and retry. `build` receives
+    * the previous manifest (None for a fresh table) and returns the new
+    * file list + partition metadata — or throws
+    * [[CommitConflictException]] if the new tip conflicts with what the
+    * caller staged. */
   private def commit(spark: SparkSession, path: String)(
       build: Option[Manifest] => (Seq[FileEntry], Option[String], Option[String])): Long = {
     val fs = fsOf(spark, path)
     fs.mkdirs(logDir(path))
+    val lock = localLocks.getOrElseUpdate(
+      fs.makeQualified(new Path(path)).toString, new Object)
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
-      val prevV = latestVersion(spark, path)
-      val prev = prevV.map(v => readManifest(spark, path, Some(v)))
-      val (files, pc, pt) = build(prev)
-      val next = prevV.getOrElse(-1L) + 1
-      val m = Manifest(next, pc, pt, files)
-      val tmp = new Path(logDir(path),
-        s".v$next-${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // the atomic publish: exactly one racer's rename lands v<next>
-      if (fs.rename(tmp, new Path(logDir(path), f"v$next%08d.manifest")))
-        return next
-      fs.delete(tmp, false) // lost the race — retry against the new tip
+      val won = lock.synchronized {
+        val prevV = latestVersion(spark, path)
+        val prev = prevV.map(v => readManifest(spark, path, Some(v)))
+        val (files, pc, pt) = build(prev)
+        val next = prevV.getOrElse(-1L) + 1
+        val m = Manifest(next, pc, pt, files)
+        val tmp = new Path(logDir(path),
+          s".v$next-${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // the atomic publish: rename with Rename.NONE fails (instead of
+        // overwriting) if a concurrent committer already took v<next>
+        val dst = fs.makeQualified(new Path(logDir(path), f"v$next%08d.manifest"))
+        try {
+          FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(fs.makeQualified(tmp), dst, Options.Rename.NONE)
+          Some(next)
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.PathExistsException =>
+            fs.delete(tmp, false) // lost the race — retry against the new tip
+            None
+        }
+      }
+      won.foreach(v => return v)
     }
     sys.error(s"commit to $path lost ${attempts} optimistic races; giving up")
   }
 
-  /** Stage `df` as immutable files under data/<uuid>, returning entries
-    * (with hive partition values parsed from dir names when partitioned). */
+  /** Stage `df` as immutable files in the table's ONE hive tree
+    * (`data/<partCol>=<v>/<uuid>-<part file>`), via a tmp write + per-file
+    * rename into place (files are invisible to readers until a manifest
+    * references them, so this move needs no atomicity). Returns entries
+    * whose `part` is the raw dir fragment value. */
   private def stage(df: DataFrame, path: String,
       partitionBy: Option[String]): Seq[FileEntry] = {
     val uuid = java.util.UUID.randomUUID().toString
-    val dest = s"$path/data/$uuid"
+    val tmp = s"$path/_stage/$uuid"
     partitionBy match {
-      case Some(pc) => df.write.partitionBy(pc).parquet(dest)
-      case None => df.write.parquet(dest)
+      case Some(pc) => df.write.partitionBy(pc).parquet(tmp)
+      case None => df.write.parquet(tmp)
     }
     val fs = fsOf(df.sparkSession, path)
     def walk(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap { s =>
       if (s.isDirectory) walk(s.getPath)
       else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath) else Nil
     }
-    val rootAbs = fs.makeQualified(new Path(path)).toString
-    walk(new Path(dest)).map { f =>
-      val rel = fs.makeQualified(f).toString.stripPrefix(rootAbs).stripPrefix("/")
+    val entries = walk(new Path(tmp)).map { f =>
       val part = partitionBy.map { pc =>
-        f.getParent.getName.stripPrefix(s"$pc=")
+        val frag = f.getParent.getName
+        require(frag.startsWith(s"$pc="), s"unexpected staged layout at $f")
+        frag.stripPrefix(s"$pc=")
       }
+      val rel = part match {
+        case Some(pv) => s"data/${partitionBy.get}=$pv/$uuid-${f.getName}"
+        case None => s"data/$uuid-${f.getName}"
+      }
+      val dst = new Path(s"$path/$rel")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(f, dst), s"staging move failed: $f -> $dst")
       FileEntry(rel, part)
     }
+    fs.delete(new Path(s"$path/_stage/$uuid"), true)
+    entries
   }
 
   /** Write a new snapshot. `mode` = "overwrite" (files replace the table)
@@ -164,22 +226,46 @@ object Versioned {
     * transactional publish for upsert/compaction maintenance: stage the
     * rewritten partitions, commit one manifest that swaps them in. A
     * crash before the commit leaves the table untouched (orphan staged
-    * files only); readers never see a partial state. */
-  def replacePartitions(df: DataFrame, path: String, partCol: String): Long = {
+    * files only); readers never see a partial state.
+    *
+    * `baseVersion` is the snapshot the replacement was COMPUTED from
+    * (defaults to the tip at entry). If, by commit time, a concurrent
+    * commit has changed any of the touched partitions since that base,
+    * the commit ABORTS with [[CommitConflictException]] — retrying
+    * blindly would drop the concurrent writer's files (lost update).
+    * Concurrent commits to OTHER partitions are merged and win together.
+    */
+  def replacePartitions(df: DataFrame, path: String, partCol: String,
+      baseVersion: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val base = baseVersion.orElse(latestVersion(spark, path))
+      .map(v => readManifest(spark, path, Some(v)))
     val staged = stage(df, path, Some(partCol))
     val replaced = staged.flatMap(_.part).toSet
     val partType = df.schema(partCol).dataType.sql
-    commit(df.sparkSession, path) { prev =>
+    def touchedFiles(m: Option[Manifest]): Set[String] =
+      m.map(_.files).getOrElse(Nil)
+        .filter(_.part.exists(replaced.contains)).map(_.file).toSet
+    val baseTouched = touchedFiles(base)
+    commit(spark, path) { prev =>
+      if (touchedFiles(prev) != baseTouched)
+        throw new CommitConflictException(
+          s"partitions ${replaced.mkString(",")} of $path changed " +
+            s"concurrently since version ${base.map(_.version).getOrElse(-1L)}")
       val kept = prev.map(_.files).getOrElse(Nil)
         .filterNot(f => f.part.exists(replaced.contains))
       (kept ++ staged, Some(partCol), Some(partType))
     }
   }
 
-  /** Read a snapshot (latest, or `version` for time travel). Partitioned
-    * tables get their partition column reconstructed from the manifest
-    * (per-value file groups + a cast literal — files are read directly,
-    * so no directory listing of the data plane ever happens). */
+  /** Read a snapshot (latest, or `version` for time travel): ONE
+    * FileSourceScan over the manifest's file list whatever the partition
+    * count. Partition values decode from the hive path fragments
+    * (`basePath` anchors the inference); the explicit schema pins the
+    * partition column to the manifest's recorded type, so string
+    * partitions like "00123" or "a:b" round-trip exactly. No directory
+    * listing of the data plane ever happens — the manifest IS the file
+    * index. */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val m = readManifest(spark, path, version)
@@ -187,10 +273,13 @@ object Versioned {
     def abs(f: FileEntry) = s"$path/${f.file}"
     (m.partCol, m.partType) match {
       case (Some(pc), Some(pt)) =>
-        m.files.groupBy(_.part).toSeq.sortBy(_._1).map { case (pv, fs) =>
-          spark.read.parquet(fs.map(abs): _*)
-            .withColumn(pc, lit(pv.orNull).cast(pt))
-        }.reduce(_ unionByName _)
+        val dataSchema = spark.read.parquet(abs(m.files.head)).schema
+        val full = StructType(dataSchema.fields.filterNot(_.name == pc) :+
+          org.apache.spark.sql.types.StructField(pc, DataType.fromDDL(pt)))
+        spark.read
+          .option("basePath", s"$path/data")
+          .schema(full)
+          .parquet(m.files.map(abs): _*)
       case _ =>
         spark.read.parquet(m.files.map(abs): _*)
     }
@@ -201,26 +290,40 @@ object Versioned {
     * snapshot, drop rows superseded by an update key (broadcast
     * anti-join), and commit merged + untouched partitions in one manifest
     * rename. A crash at any point leaves the previous version fully
-    * readable; concurrent readers never observe the intermediate state.
-    * Same stability constraint: a key's `partCol` value must not change
-    * across versions. */
+    * readable; concurrent readers never observe the intermediate state;
+    * a concurrent commit into the same partitions aborts with
+    * [[CommitConflictException]] (lost updates are impossible, not just
+    * unlikely). Same stability constraint: a key's `partCol` value must
+    * not change across versions. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], partCol: String): Long = {
     import org.apache.spark.sql.functions.broadcast
+    val baseV = latestVersion(spark, path)
     val touched = updates.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val current = read(spark, path)
-      .filter(col(partCol).isInCollection(touched))
+      .collect().map(_.get(0)).toSeq
+    val nonNull = touched.filterNot(_ == null)
+    val cond = {
+      val in = if (nonNull.isEmpty) org.apache.spark.sql.functions.lit(false)
+        else col(partCol).isInCollection(nonNull)
+      if (touched.exists(_ == null)) in || col(partCol).isNull else in
+    }
+    val current = read(spark, path, baseV).filter(cond)
     val kept = current.join(
       broadcast(updates.select(keys.map(col): _*).distinct()),
       keys, "left_anti")
     val merged = kept.unionByName(updates.select(current.columns.map(col): _*))
-    replacePartitions(merged, path, partCol)
+    replacePartitions(merged, path, partCol, baseVersion = baseV)
   }
 
   /** Delete data files no longer referenced by any manifest newer than
-    * `keepVersions` back — the GC that makes time travel bounded. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Long = {
+    * `keepVersions` back — the GC that makes time travel bounded.
+    * Age-guarded like Delta's VACUUM: an unreferenced file is only
+    * removed once older than `retentionMs` (modification time), so files
+    * STAGED by an in-flight commit — on disk but not yet referenced by
+    * any manifest — are never destroyed by a concurrent vacuum. Tests
+    * that want eager GC pass retentionMs = 0 AFTER their commits land. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Long = {
     val fs = fsOf(spark, path)
     val latest = latestVersion(spark, path).getOrElse(return 0L)
     val keep = (math.max(0L, latest - keepVersions + 1) to latest)
@@ -231,6 +334,7 @@ object Versioned {
     }
     val dataRoot = new Path(s"$path/data")
     if (!fs.exists(dataRoot)) return 0L
+    val cutoff = System.currentTimeMillis() - retentionMs
     var removed = 0L
     def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
       if (s.isDirectory) {
@@ -239,7 +343,8 @@ object Versioned {
       } else {
         val rel = fs.makeQualified(s.getPath).toString
           .stripPrefix(fs.makeQualified(new Path(path)).toString).stripPrefix("/")
-        if (s.getPath.getName.endsWith(".parquet") && !keep.contains(rel)) {
+        if (s.getPath.getName.endsWith(".parquet") && !keep.contains(rel)
+            && s.getModificationTime < cutoff) {
           fs.delete(s.getPath, false); removed += 1
         }
       }

@@ -431,24 +431,58 @@ object Text {
 
   private def simhashes(ctx: Ctx): DataFrame =
     graft.Store.memo(ctx, "doc_simhashes") {
-      val toks = docsTok(ctx)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
       // 64-bit signature: bit j votes +/-1 by bit (j%4) of md5 hex digit
       // (j/4). A 16-bit signature was a SCALE BUG: chunk buckets over a
       // 6/5/5-bit domain (64/32/32 values) hold N/64 docs each, so the
       // near-dup candidate join grew quadratically — fine at 500 docs,
       // billions of pairs at 500k. 22/21/21-bit chunk domains make a
       // bucket collision mean something again at any corpus size.
-      val voteCols = (0 until 64).map(j =>
-        sum(when(substring(col("h"), j / 4 + 1, 1)
-          .isin(hexBitSets(j % 4): _*), 1).otherwise(-1)).as(s"v$j"))
-      val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      graft.Store.track(ctx.spark, votes.select(
+      //
+      // Compute shape (the r6→r7 reconciliation — same bits, ~5x less
+      // expression work): (1) natural-language tokens repeat, so reduce to
+      // per-(doc, token-hash) COUNTS first (narrow map-side-combining
+      // shuffle) and weight each vote by cnt — ±1 per occurrence summed
+      // == ±cnt per distinct, integer addition is order-free; (2) decode
+      // each hex digit ONCE into an int column and evaluate the 64 votes
+      // as integer bit-masks, instead of 64 substring+IN-list string
+      // comparisons per row (that form remains in the DuckDB oracle twin,
+      // where it is the dialect-portable spelling — same bits either way).
+      // the documents parquet is a single row group, so WITHOUT an explicit
+      // exchange the whole explode -> md5 -> partial-aggregate chain runs in
+      // ONE task (the map side of the first shuffle); spreading the RAW docs
+      // (a tiny relation) first parallelizes the heavy per-token hashing.
+      // This is simhash-local: the shared shingle consumers keep docsTok's
+      // fuse-into-consumer contract (see the docsTok note).
+      val spread = docs(ctx)
+        .repartition(ctx.spark.sparkContext.defaultParallelism)
+        .withColumn("toks", expr(toksExpr))
+      val tokCnt = spread
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), md5(col("tok")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val digits = tokCnt.select(
+        col("doc_id") +: col("cnt") +:
+          (0 until 16).map(i => conv(substring(col("h"), i + 1, 1), 16, 10)
+            .cast("int").as(s"d$i")): _*)
+      val voteCols = (0 until 64).map { j =>
+        sum(when(col(s"d${j / 4}").bitwiseAND(lit(1 << (j % 4))) > 0, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"v$j")
+      }
+      val votes = digits.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val sig = graft.Store.track(ctx.spark, votes.select(
         col("doc_id"),
         concat((0 until 64).map(j =>
           when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
         .persist())
+      // EAGER fill: consumers (the bucket join, the 3-chunk near-dup join)
+      // embed this relation on BOTH join sides — left lazy, each branch
+      // would carry (and codegen-compile) the whole 64-aggregate subtree
+      // again. Filling here compiles it once; consumers plan against the
+      // finished in-memory columnar relation. (Measured: 6.4 s -> ~1.5 s
+      // cold at sf0.1 — the cost was duplicated Janino compilation, not
+      // data.)
+      sig.count()
+      sig
     }
 
   /** SimHash (64-bit, md5-derived per-token bit votes): equal-signature

@@ -55,6 +55,33 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Cast(e, LongType)
   }
 
+  // derived-width memo, keyed by the canonicalized interval side + bounds:
+  // the optimizer may visit the same join shape repeatedly (fixpoint
+  // batches, re-planned microbatches) and the sample must not re-run
+  private val widthCache =
+    scala.collection.concurrent.TrieMap.empty[(LogicalPlan, Expression, Expression), Long]
+
+  /** Auto bin width: the median interval span from a bounded sample of the
+    * interval side, so the typical interval covers ~2 bins WHATEVER the
+    * column's unit is — day-grain dates and epoch-micros longs both get a
+    * sane width, where any fixed constant is off by orders of magnitude
+    * for one of them. The sample is a one-off planning-time job (LIMIT
+    * 2001 over a projection of the interval side), memoized per
+    * canonicalized plan; any failure falls back to the old constant. */
+  private def deriveWidth(iSide: LogicalPlan, lo: Expression, hi: Expression): Long =
+    widthCache.getOrElseUpdate(
+      (iSide.canonicalized, lo.canonicalized, hi.canonicalized), {
+        try {
+          val sess = org.apache.spark.sql.SparkSession.active
+          val span = Alias(Subtract(toLong(hi), toLong(lo)), "__graft_span")()
+          val df = org.apache.spark.sql.GraftPlanBridge.ofRows(sess,
+            Project(Seq(span), iSide))
+          val vals = df.where(df.col("__graft_span").geq(0)).limit(2001)
+            .collect().map(_.getLong(0)).sorted
+          if (vals.isEmpty) 32L else math.max(1L, vals(vals.length / 2) + 1L)
+        } catch { case scala.util.control.NonFatal(_) => 32L }
+      })
+
   /** (point, lowerBound, upperBound, pointOnLeft) if the conjuncts contain a
     * complete, side-separable range sandwich on a binnable column. */
   private def findRange(conjuncts: Seq[Expression], l: LogicalPlan,
@@ -86,7 +113,9 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.rangejoin.enabled", "true") != "true") return plan
-    val width = conf.getConfString("spark.graft.rangejoin.binWidth", "32").toLong
+    // "auto" (the default) derives the width from the interval-span
+    // distribution per join; an explicit number pins it
+    val widthConf = conf.getConfString("spark.graft.rangejoin.binWidth", "auto")
     plan.transform {
       case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved &&
           // an explicit per-side strategy hint (broadcast(dims) is the
@@ -110,18 +139,22 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEqui) j
         else findRange(conjuncts, l, r) match {
           case Some((point, lo, hi, pointOnLeft)) =>
-            def bin(e: Expression): Expression =
-              IntegralDivide(toLong(e), Literal(width))
             val (pSide, iSide) = if (pointOnLeft) (l, r) else (r, l)
             // a truly tiny interval side (a handful of windows/bands) is
             // BEST served by the broadcast nested loop Spark already
             // plans — each probe row scans only those few rows. Rewrite
             // only when the interval side is big enough that the per-row
-            // scan hurts.
+            // scan hurts. (Checked BEFORE width derivation so skipped
+            // joins never pay the sampling job.)
             val skipBelow = BigInt(conf.getConfString(
               "spark.graft.rangejoin.skipBelowBytes", "1024"))
             if (iSide.stats.sizeInBytes <= skipBelow) j
             else {
+            val width =
+              if (widthConf == "auto") deriveWidth(iSide, lo, hi)
+              else widthConf.toLong
+            def bin(e: Expression): Expression =
+              IntegralDivide(toLong(e), Literal(width))
             val pBin = Alias(bin(point), "__graft_bin_p")()
             val pPlan = Project(pSide.output :+ pBin, pSide)
             val binLo = bin(lo)

@@ -91,4 +91,35 @@ class LakeLayoutSpec extends AnyFunSuite {
       .agg(expr("bit_xor(h)")).head().getLong(0)
     assert(backCount == 40000 && checksumAfter == checksumBefore)
   }
+
+  test("compactFragmented bin-packs a big partition into N>1 bounded files") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_bp").toString
+    // one hot date fragmented into 16 shards; the rest have 1 file each
+    val hot = events.filter(col("dt") === lit(java.sql.Date.valueOf("2024-01-03")))
+    val cold = events.filter(col("dt") =!= lit(java.sql.Date.valueOf("2024-01-03")))
+    cold.coalesce(1).write.mode("overwrite").partitionBy("dt").parquet(dir)
+    hot.repartition(16).write.mode("append").partitionBy("dt").parquet(dir)
+    val hotDir = new java.io.File(s"$dir/dt=2024-01-03")
+    val hotBytes = hotDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val checksumBefore = spark.read.parquet(dir)
+      .select(xxhash64(col("event_id"), col("user_id"), col("value")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    // target a third of the partition per file -> expect ~3-4 output files,
+    // each a task of bounded size (no single-task straggler rewrite)
+    val done = Lake.compactFragmented(spark, dir, "dt", minFiles = 4,
+      sortCols = Seq("user_id"), targetFileBytes = hotBytes / 3)
+    assert(done == Seq("dt=2024-01-03"), s"compacted: $done")
+    val after = hotDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after > 1 && after < 16, s"expected bin-packed files, got $after")
+    val checksumAfter = spark.read.parquet(dir)
+      .select(xxhash64(col("event_id"), col("user_id"), col("value")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(checksumAfter == checksumBefore, "compaction changed the row multiset")
+    // cold partitions untouched (still single-file)
+    val coldFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(d => d.getName.startsWith("_") || d.getName == "dt=2024-01-03")
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(coldFiles.forall(_ == 1))
+  }
 }

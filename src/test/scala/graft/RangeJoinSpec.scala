@@ -41,9 +41,12 @@ class RangeJoinSpec extends AnyFunSuite {
     val planned = RangeJoin.pointInInterval(points, "day",
       intervals, "lo", "hi", RangeJoin.dateBin(16))
     val plan = planned.queryExecution.executedPlan.toString
-    assert(!plan.contains("NestedLoop"), plan)
+    // the data path is the bin equi-join; the only nested loop allowed is
+    // the guarded BROADCAST branch that carries intervals wider than
+    // maxBinsPerInterval (sentinels) — never a data-scaled nested loop
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.replace("BroadcastNestedLoop", "").contains("NestedLoop"), plan)
     // while the naive condition (same inputs, no bins) nested-loops —
     // with RewriteRangeJoin disabled, since the rule (if registered in
     // this shared session) would otherwise rescue exactly this plan
@@ -66,5 +69,24 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = RangeJoin.pointInInterval(p, "day", iv, "lo", "hi",
       RangeJoin.dateBin(16)).select("pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
+  }
+
+  test("operator guards: inverted intervals empty, sentinel-wide via broadcast") {
+    val s_ = spark; import s_.implicits._
+    val iv = Seq(
+      ("2000-01-01", "2000-01-20", 1L),   // normal
+      ("2000-02-01", "1999-01-01", 2L),   // inverted (corrupt): must match nothing
+      ("1995-01-01", "9999-12-31", 3L))   // sentinel-wide: broadcast branch
+      .toDF("l", "h", "iid")
+      .select(col("l").cast("date").as("lo"), col("h").cast("date").as("hi"), col("iid"))
+    val p = Seq(("2000-01-05", 10L), ("2024-06-01", 11L))
+      .toDF("d", "pid").select(col("d").cast("date").as("day"), col("pid"))
+    val got = RangeJoin.pointInInterval(p, "day", iv, "lo", "hi",
+        RangeJoin.dateBin(16))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pid 10 in interval 1 and sentinel 3; pid 11 only in sentinel 3;
+    // the inverted interval 2 contributes nothing (and, crucially, does
+    // not explode the bin space)
+    assert(got == Set((10L, 1L), (10L, 3L), (11L, 3L)), got.toString)
   }
 }

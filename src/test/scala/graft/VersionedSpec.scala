@@ -90,7 +90,9 @@ class VersionedSpec extends AnyFunSuite {
     Versioned.write(df(0), t)
     Versioned.write(df(1), t) // overwrite: v0's files now unreferenced by tip
     Versioned.write(df(2), t)
-    val removed = Versioned.vacuum(spark, t, keepVersions = 2)
+    // retention guards in-flight staged files by age; this test's files are
+    // all fresh AND all committed, so eager GC (retentionMs = 0) is safe
+    val removed = Versioned.vacuum(spark, t, keepVersions = 2, retentionMs = 0L)
     assert(removed > 0, "expected v0's files to be collected")
     // last two versions still read
     assert(Versioned.read(spark, t, Some(2L)).count() == 100)
@@ -104,5 +106,74 @@ class VersionedSpec extends AnyFunSuite {
     val vs = (0 until 5).map(i => Versioned.write(df(i.toLong, 10), t, mode = "append"))
     assert(vs == Seq(0L, 1L, 2L, 3L, 4L))
     assert(Versioned.read(spark, t).count() == 50)
+  }
+
+  test("a 100+-partition snapshot reads as ONE FileSourceScan") {
+    val t = java.nio.file.Files.createTempDirectory("vtab7").toString
+    val wide = spark.range(2000).select(
+      col("id").as("k"), (col("id") % 128).as("p"))
+    Versioned.write(wide, t, partitionBy = Some("p"))
+    val snap = Versioned.read(spark, t)
+    val scans = snap.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"expected one scan for 128 partitions, got ${scans.size}")
+    assert(snap.count() == 2000)
+    assert(snap.select("p").distinct().count() == 128)
+    // partition pruning still works on the manifest-listed scan
+    assert(snap.filter(col("p") === 7L).count() == 2000 / 128 + 1)
+  }
+
+  test("string partition values with ':' and null round-trip exactly") {
+    val t = java.nio.file.Files.createTempDirectory("vtab8").toString
+    val tricky = spark.range(40).select(
+      col("id").as("k"),
+      when(col("id") % 4 === 0, lit("a:b"))
+        .when(col("id") % 4 === 1, lit("x/y z"))
+        .when(col("id") % 4 === 2, lit("00123"))
+        .otherwise(lit(null)).as("src"))
+    Versioned.write(tricky, t, partitionBy = Some("src"))
+    val back = Versioned.read(spark, t)
+    assert(back.schema("src").dataType.sql == "STRING")
+    assert(back.filter(col("src") === "a:b").count() == 10)
+    assert(back.filter(col("src") === "x/y z").count() == 10)
+    assert(back.filter(col("src") === "00123").count() == 10, "leading zeros lost")
+    assert(back.filter(col("src").isNull).count() == 10, "null partition lost")
+    // upsert into the escaped partition matches in escape-space
+    val up = spark.range(2).select((col("id") * 4).as("k"), lit("a:b").as("src"))
+    Versioned.upsert(spark, t, up, Seq("k"), "src")
+    assert(Versioned.read(spark, t).filter(col("src") === "a:b").count() == 10)
+    assert(Versioned.read(spark, t).count() == 40)
+  }
+
+  test("concurrent same-partition commit aborts with a conflict, not a lost update") {
+    val t = java.nio.file.Files.createTempDirectory("vtab9").toString
+    Versioned.write(df(0), t, partitionBy = Some("dt")) // v0
+    val may2 = java.sql.Date.valueOf("2024-05-02")
+    // a concurrent writer lands first on the same partition (v1)
+    Versioned.replacePartitions(
+      df(5, 40).filter(col("dt") === lit(may2)), t, "dt")
+    // our replacement was computed from v0 — committing it would silently
+    // drop the v1 files: must abort
+    intercept[Versioned.CommitConflictException] {
+      Versioned.replacePartitions(
+        df(7, 40).filter(col("dt") === lit(may2)), t, "dt",
+        baseVersion = Some(0L))
+    }
+    assert(Versioned.read(spark, t)
+      .filter(col("dt") === lit(may2))
+      .select("tag").distinct().head().getLong(0) == 5L,
+      "the first committer's update must survive")
+    // a base-stale commit into a DIFFERENT partition merges fine
+    val may1 = java.sql.Date.valueOf("2024-05-01")
+    Versioned.replacePartitions(
+      df(9, 40).filter(col("dt") === lit(may1)), t, "dt",
+      baseVersion = Some(0L))
+    val now = Versioned.read(spark, t)
+    assert(now.filter(col("dt") === lit(may1))
+      .select("tag").distinct().head().getLong(0) == 9L)
+    assert(now.filter(col("dt") === lit(may2))
+      .select("tag").distinct().head().getLong(0) == 5L)
   }
 }
