@@ -23,9 +23,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // memory-backed scratch (shuffle + spill), like BenchScale: this host's
+    // disk is ~5x slower than tmpfs; model output still lands on disk
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch")
+    new java.io.File(scratch).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", scratch)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -108,12 +113,55 @@ object Bench {
         n / ((System.nanoTime() - t) / 1e9)
       } catch { case _: Throwable => -1.0 }
 
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+
+    // transaction-log throughput (Versioned): a full snapshot commit, then
+    // three year-scoped upsert batches (MERGE through replacePartitions —
+    // the incremental-corrections shape), then a time-travel audit. Rows
+    // counted = rows staged through the log (initial + each batch's
+    // rewritten partitions), so the rate prices commit overhead AND the
+    // partition-scoped rewrite, not just the delta size.
+    val versionedRate =
+      try {
+        val vdir = java.nio.file.Files.createTempDirectory("graft_bench_vtab").toString
+        import org.apache.spark.sql.functions.{date_trunc, year => yearOf}
+        val base = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+        val nBase = base.count()
+        val years = Seq(1995, 1996, 1997)
+        val touched = years.map(y =>
+          base.filter(yearOf(col("o_orderdate")) === y).count()).sum
+        val tv = System.nanoTime()
+        Versioned.write(base, vdir, partitionBy = Some("order_month"))
+        years.foreach { y =>
+          val updates = base.filter(yearOf(col("o_orderdate")) === y)
+            .withColumn("o_totalprice", col("o_totalprice") * 1.01)
+          Versioned.upsert(spark, vdir, updates, Seq("o_orderkey"), "order_month")
+        }
+        val v0 = Versioned.read(spark, vdir, Some(0L)).count()
+        val tip = Versioned.read(spark, vdir).count()
+        require(v0 == nBase && tip == nBase,
+          s"versioned audit: v0=$v0 tip=$tip expected $nBase")
+        val sec = (System.nanoTime() - tv) / 1e9
+        rm(new java.io.File(vdir))
+        (nBase + touched) / sec
+      } catch {
+        case e: Throwable =>
+          errors("__versioned") = e.getClass.getSimpleName
+          System.err.println(s"[bench] versioned leg FAILED: $e")
+          -1.0
+      }
+
     Store.clear(spark) // cold build: nothing reused from the query loop
     val buildDir =
       java.nio.file.Files.createTempDirectory("graft_bench_build").toString
     val tb = System.nanoTime()
     val built =
-      try Runner.buildAll(Ctx(spark, sfDir), buildDir).size
+      try Runner.buildAll(Ctx(spark, sfDir), buildDir, cacheParents = true).size
       catch {
         case e: Throwable =>
           errors("__build") = e.getClass.getSimpleName
@@ -121,9 +169,6 @@ object Bench {
           -1
       }
     val buildSec = (System.nanoTime() - tb) / 1e9
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(new java.io.File(buildDir))
     // The driver captures only the last ~2 KB of stdout: a JSON line naming
     // all 84 queries exceeds that and gets truncated at the FRONT, so it
@@ -142,7 +187,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)},"host_page_mbps":$pageMBps}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)},"versioned_rows_per_sec":${f(versionedRate)},"host_page_mbps":$pageMBps}"""
     println(s"BENCH_DETAIL: $detail")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -157,7 +202,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { shown += entry; used += entry.length + 1 }
     }
     val compactQs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"errors":$errJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)},"host_page_mbps":$pageMBps}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$compactQs,"queries_run":${results.size},"queries_shown":${shown.size},"errors":$errJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir","build_all_sec":${f(buildSec)},"build_tables":$built,"stream_events_per_sec":${f(streamRate)},"synth_rows_per_sec":${f(synthRate)},"versioned_rows_per_sec":${f(versionedRate)},"host_page_mbps":$pageMBps}""")
     spark.stop()
   }
 }

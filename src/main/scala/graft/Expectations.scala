@@ -29,12 +29,15 @@ object Expectations {
   }
 
   /** `col` must be unique (nulls count as violations of uniqueness only if
-    * duplicated, matching dbt's unique test which ignores nulls). */
+    * duplicated, matching dbt's unique test which ignores nulls). `col_`
+    * may be any SQL expression — e.g. `unhex(order_item_key)` to run the
+    * distinct over 16-byte binary instead of 32-char hex (exactly the same
+    * cardinality, half the shuffle). */
   final case class Unique(col_ : String) extends Expectation {
     val name = s"unique($col_)"
     // duplicates = non-null rows minus distinct non-null values; exact,
     // partial-aggregatable (count_distinct plans a partial per node)
-    val agg: Column = count(col(col_)) - count_distinct(col(col_))
+    val agg: Column = count(expr(col_)) - count_distinct(expr(col_))
   }
 
   /** `col` must be one of `values` (nulls pass, as in dbt). */

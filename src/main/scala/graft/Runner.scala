@@ -28,12 +28,50 @@ object Runner {
     if (sys.env.get("SPARK_GRAFT_BUILD_LOG").forall(_ != "0"))
       System.err.println(msg)
 
-  /** Relative cost rank for LPT submission order in the report phase —
+  /** Alternate front/back of a cost-sorted list: heavy models start
+    * early (no straggler tail) but never ALL at once — strict
+    * heaviest-first was measured WORSE at SF10 (the 8 heaviest are all
+    * memory-hungry two-phase rankings; co-running the full set thrashes
+    * the block manager). Interleaving caps concurrent heavies at
+    * ~threads/2 with light scan-aggregate models filling the other
+    * slots. */
+  private def interleave[A](sorted: Seq[A]): Seq[A] = {
+    val (front, back) = (sorted.iterator, sorted.reverseIterator)
+    (0 until sorted.size).map(i =>
+      if (i % 2 == 0) front.next() else back.next())
+      .take(sorted.size)
+  }
+
+  /** Which rollups each report model READS (from the Rollups.* call sites
+    * in layers.Reports / layers.Metrics) — its build-DAG dependencies
+    * beyond the schema gate. Models absent here are fact-direct. */
+  private val reportRollupDeps: Map[String, Seq[String]] = Map(
+    "customer_concentration_risk" -> Seq("rollup_customer_orders"),
+    "customer_cohort_retention" -> Seq("rollup_customer_orders", "rollup_customer_month"),
+    "customer_churn_risk" -> Seq("rollup_customer_orders"),
+    "customer_geographic_summary" -> Seq("rollup_customer_orders"),
+    "customer_purchase_frequency_bands" -> Seq("rollup_customer_orders"),
+    "customer_rfm_segments" -> Seq("rollup_customer_orders"),
+    "monthly_order_trends" -> Seq("rollup_customer_orders", "rollup_customer_month"),
+    "monthly_revenue_kpis" -> Seq("rollup_customer_month"),
+    "metrics_customer_retention" -> Seq("rollup_customer_orders", "rollup_customer_month"),
+    "metrics_monthly_orders" -> Seq("rollup_customer_month"),
+    "metrics_regional_revenue" -> Seq("rollup_customer_month"),
+    "part_abc_classification" -> Seq("rollup_part_month"),
+    "part_sales_velocity" -> Seq("rollup_part_month"),
+    "metrics_profit_margin_trend" -> Seq("rollup_part_month"),
+    "metrics_inventory_coverage" -> Seq("rollup_part_month"),
+    "metrics_top_parts_trending" -> Seq("rollup_part_month"),
+    "supplier_revenue_ranking" -> Seq("rollup_supplier_sales"),
+    "supplier_scorecard" -> Seq("rollup_supplier_sales"),
+    "regional_trade_balance" -> Seq("rollup_nation_flows"))
+
+  /** Relative cost rank for the report phase's interleaved submission —
     * from the measured per-model wall times of the SF10 replica build
     * (heaviest ≈ 300 s, lightest ≈ 30 s; the ranking, not the absolute
     * numbers, is what scheduling needs, and it is stable across scale
     * factors because it tracks each model's input grain). Models not
-    * listed are light and run last in registry order. */
+    * listed are light and sort last. */
   private val reportWeight: Map[String, Int] = Seq(
     "supplier_revenue_ranking", "customer_rfm_segments",
     "part_abc_classification", "part_sales_velocity",
@@ -118,100 +156,152 @@ object Runner {
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    def phase(label: String, models: Seq[(String, DataFrame)],
-        housekeeping: Boolean): Seq[BuildResult] = {
-      val results = Await.result(
-        Future.sequence(models.map { case (n, df) =>
-          Future(write(n, df, housekeeping))
-        }),
-        Duration.Inf)
-      // Write-through at the phase barrier: later phases read each model's
-      // WRITTEN parquet (dbt's execution model — children select from the
-      // parent's materialized table), and the in-build persisted copy is
-      // freed. Without this a cold SF10 build holds every table twice
-      // (output parquet + block-manager blocks) and overruns local disk.
-      // Housekeeping columns are dropped from the swapped relation so
-      // downstream consumers see the exact pre-write schema.
-      // With cacheParents the swap is skipped: the Store keeps the persisted
-      // relation the writer just materialized, and children read memory.
-      if (!cacheParents) results.foreach { r =>
-        Store.swap(ctx, r.table, {
+
+    // ---- model-level dependency DAG (dbt's actual scheduler shape) ----
+    // dbt runs the DAG with node-level readiness, not layer barriers: a dim
+    // starts the moment its sources land, rollups/tests start the moment
+    // their fact lands. Phase barriers left cores idle at every phase tail
+    // (measured at SF10: only orders_items+parts_suppliers run for the last
+    // ~55 s of the "ods phase" while six finished dims' consumers wait).
+    // Nodes chain through Future.flatMap — a waiting node occupies NO pool
+    // thread, so the fixed pool cannot deadlock on dependencies.
+    val nodes = scala.collection.mutable.Map.empty[String, Future[Any]]
+    val modelOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+    def after[A](deps: Seq[String])(body: => A): Future[A] =
+      Future.sequence(deps.map(nodes)).flatMap(_ => Future(body))
+    // plan CONSTRUCTION happens inside the node body (after deps), so a
+    // child's plan always embeds the parent's post-write Store state —
+    // the write-through swap (or cacheParents persist) its deps published
+    def model(name: String, deps: Seq[String], housekeeping: Boolean)
+        (df: => DataFrame): Unit = {
+      modelOrder += name
+      nodes(name) = after(deps) {
+        val r = write(name, df, housekeeping)
+        // per-model write-through: children read the WRITTEN parquet (dbt's
+        // execution model — select from the parent's materialized table)
+        // and the in-build persisted copy is freed; without it a cold SF10
+        // build holds every table twice and overruns local disk.
+        // cacheParents keeps the persist instead (children read memory) —
+        // except resumed skips, whose persist was never filled.
+        if (!cacheParents || r.skipped) Store.swap(ctx, name, {
           val pq = ctx.spark.read.parquet(r.path)
           if (housekeeping) pq.drop("dbt_batch_id", "dbt_batch_ts") else pq
         })
+        r
       }
-      buildLog(f"[build] +$rel%7.1f  === phase $label done (${results.size} models)")
-      results
     }
+    // demotion: in cacheParents mode a table whose hot consumers have all
+    // completed is swapped down to a parquet read, freeing block-manager
+    // memory for the relations the report fan-out actually re-reads.
+    // Keeping everything persisted measured SLOWER at SF10 (the report
+    // phase evict-thrashed ~45 GB of cached relations in a 38 GB store).
+    def demote(name: String, deps: Seq[String], housekeeping: Boolean): Seq[String] =
+      if (!cacheParents) Nil
+      else {
+        val node = s"__demote_$name"
+        nodes(node) = after(deps) {
+          Store.swap(ctx, name, {
+            val pq = ctx.spark.read.parquet(s"$outDir/$name")
+            if (housekeeping) pq.drop("dbt_batch_id", "dbt_batch_ts") else pq
+          })
+        }
+        Seq(node)
+      }
 
     try {
-      // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32)
-      val ods = phase("ods", Seq(
-        "customers" -> Ods.customers(ctx), "nations" -> Ods.nations(ctx),
-        "regions" -> Ods.regions(ctx), "parts" -> Ods.parts(ctx),
-        "suppliers" -> Ods.suppliers(ctx), "orders" -> Ods.orders(ctx),
-        "orders_items" -> Ods.ordersItems(ctx),
-        "parts_suppliers" -> Ods.partsSuppliers(ctx)), housekeeping = false)
+      // ods layer (dbt `table`, no housekeeping — dbt_project.yml:31-32);
+      // sources only, so no deps
+      model("customers", Nil, false)(Ods.customers(ctx))
+      model("nations", Nil, false)(Ods.nations(ctx))
+      model("regions", Nil, false)(Ods.regions(ctx))
+      model("parts", Nil, false)(Ods.parts(ctx))
+      model("suppliers", Nil, false)(Ods.suppliers(ctx))
+      model("orders", Nil, false)(Ods.orders(ctx))
+      model("orders_items", Nil, false)(Ods.ordersItems(ctx))
+      model("parts_suppliers", Nil, false)(Ods.partsSuppliers(ctx))
 
-      // wh layer (dbt `table` with housekeeping — dbt_project.yml:33-34)
-      val wh = phase("wh", Seq(
-        "dim_customer" -> Wh.dimCustomer(ctx),
-        "dim_supplier" -> Wh.dimSupplier(ctx),
-        "dim_part" -> Wh.dimPart(ctx),
-        "dim_part_supplier_xrf" -> Wh.dimPartSupplierXrf(ctx),
-        "fct_orders" -> Wh.fctOrders(ctx),
-        "fct_orders_items" -> Wh.fctOrdersItems(ctx),
-        "rpt_pricing_summary" -> Wh.rptPricingSummary(ctx),
-        "rpt_minimum_cost_suppliers" -> Wh.rptMinimumCostSuppliers(ctx)),
-        housekeeping = true)
+      // wh layer (dbt `table` with housekeeping — dbt_project.yml:33-34);
+      // each starts the moment ITS parents land, not the whole ods layer
+      model("dim_customer", Seq("customers", "nations", "regions"), true)(
+        Wh.dimCustomer(ctx))
+      model("dim_supplier", Seq("suppliers", "nations", "regions"), true)(
+        Wh.dimSupplier(ctx))
+      model("dim_part", Seq("parts"), true)(Wh.dimPart(ctx))
+      model("dim_part_supplier_xrf", Seq("parts_suppliers", "suppliers"), true)(
+        Wh.dimPartSupplierXrf(ctx))
+      model("fct_orders", Seq("orders", "orders_items"), true)(Wh.fctOrders(ctx))
+      model("fct_orders_items", Seq("orders_items", "parts_suppliers"), true)(
+        Wh.fctOrdersItems(ctx))
+      model("rpt_pricing_summary", Seq("fct_orders_items"), true)(
+        Wh.rptPricingSummary(ctx))
+      model("rpt_minimum_cost_suppliers", Seq("dim_part_supplier_xrf"), true)(
+        Wh.rptMinimumCostSuppliers(ctx))
+
+      val demotions =
+        demote("orders_items", Seq("fct_orders", "fct_orders_items"), false) ++
+        demote("parts_suppliers",
+          Seq("fct_orders_items", "dim_part_supplier_xrf"), false) ++
+        demote("dim_part_supplier_xrf", Seq("rpt_minimum_cost_suppliers"), true)
 
       // schema-test gate (reference fct_orders.yml / fct_orders_items.yml):
-      // violations abort the build before the reporting layers. The gate
-      // runs CONCURRENTLY with the rollup precomputation below — rollups
-      // are internal (not public models; nothing outside the build reads
-      // _rollups/), so starting them under a still-running gate publishes
-      // nothing; the await before the report phase preserves the dbt
-      // semantics (no report materializes until the tests pass).
-      val gateF = Future(schemaGate(ctx))
+      // starts the moment the facts + dims land; report models depend on it,
+      // so a violation aborts before any report materializes — `dbt build`
+      // semantics with dbt's actual scheduling
+      nodes("__gate") = after(Seq(
+        "fct_orders", "fct_orders_items", "dim_customer", "dim_supplier",
+        "parts")) {
+        schemaGate(ctx)
+        buildLog(f"[build] +$rel%7.1f  === schema gate passed")
+      }
 
       // shared rollup boundary (layers.Rollups — the dbt table-layer reuse
-      // twin): materialize each fact-grain rollup once, concurrently, so
-      // the report fan-out below aggregates grain-reduced relations instead
-      // of ~20 independent fact scans. Written under _rollups/ (a bucketed
-      // write at cluster scale) and write-through-swapped like every other
-      // phase, so the ~20 consumers scan compressed columnar parquet with
-      // column pruning instead of a second block-manager copy. Not part of
-      // the public 50-table build contract — kept out of the returned list.
-      Await.result(
-        Future.sequence(Rollups.all(ctx).map { case (n, df) =>
-          Future {
-            val path = s"$outDir/_rollups/$n"
-            df.write.mode("overwrite").parquet(path)
-            if (!cacheParents) Store.swap(ctx, n, ctx.spark.read.parquet(path))
-            ()
-          }
-        }),
-        Duration.Inf)
-      Await.result(gateF, Duration.Inf)
-      buildLog(f"[build] +$rel%7.1f  === schema gate + rollups done")
+      // twin): each rollup starts the moment its fact lands and serves the
+      // report fan-out grain-reduced relations. Written under _rollups/
+      // (a bucketed write at cluster scale); not part of the public
+      // 50-table contract — kept out of the returned list.
+      def rollup(name: String, deps: Seq[String])(df: => DataFrame): Unit =
+        nodes(name) = after(deps) {
+          val path = s"$outDir/_rollups/$name"
+          df.write.mode("overwrite").parquet(path)
+          if (!cacheParents) Store.swap(ctx, name, ctx.spark.read.parquet(path))
+          buildLog(f"[build] +$rel%7.1f  $name (rollup)")
+        }
+      rollup("rollup_customer_orders", Seq("fct_orders"))(Rollups.customerOrders(ctx))
+      rollup("rollup_customer_month", Seq("fct_orders"))(Rollups.customerMonth(ctx))
+      rollup("rollup_part_month", Seq("fct_orders_items"))(Rollups.partMonth(ctx))
+      rollup("rollup_supplier_sales", Seq("fct_orders_items"))(Rollups.supplierSales(ctx))
+      rollup("rollup_nation_flows",
+        Seq("fct_orders_items", "dim_supplier", "dim_customer"))(
+        Rollups.nationFlows(ctx))
+      val rollups = Seq("rollup_customer_orders", "rollup_customer_month",
+        "rollup_part_month", "rollup_supplier_sales", "rollup_nation_flows")
 
-      // metrics + reports layers (dbt `table`, no housekeeping); intermediate
-      // models stay views (dbt_project.yml:35-36) and extension operators are
-      // not dbt models — selected via the Registry materialization tag.
-      // LPT order: models within a phase are independent, so submission
-      // order is free — heaviest first minimizes the makespan (classic
-      // longest-processing-time scheduling). Without it the SF10 build's
-      // report phase ended on a tail of 300s models that had queued behind
-      // 30s ones.
-      val reports = phase("reports",
-        Registry.all.iterator
-          .collect { case (n, en) if en.mat == Registry.Mat.Table =>
-            n -> en.fn(ctx)
-          }.toSeq
-          .sortBy { case (n, _) => -reportWeight.getOrElse(n, 0) },
-        housekeeping = false)
+      // metrics + reports layers (dbt `table`, no housekeeping);
+      // intermediate models stay views (dbt_project.yml:35-36) and
+      // extension operators are not dbt models — selected via the Registry
+      // materialization tag. Every report gates on the schema tests (dbt
+      // semantics) but waits only for the rollups IT reads — a fact-direct
+      // report starts the moment the gate passes instead of idling behind
+      // the 50M-row part-month rollup. (A missing entry here is a perf
+      // slip, never a correctness one: an undeclared rollup would simply
+      // be computed by its first consumer through the Store boundary.)
+      // Submission order interleaves heavy and light models (cost-ranked
+      // ends of the list) so heavies start early without co-running as a
+      // memory-hungry block.
+      val baseDeps = Seq("__gate") ++ demotions
+      interleave(Registry.all.iterator
+        .collect { case (n, en) if en.mat == Registry.Mat.Table => n -> en }
+        .toSeq
+        .sortBy { case (n, _) => -reportWeight.getOrElse(n, 0) })
+        .foreach { case (n, en) =>
+          model(n, baseDeps ++ reportRollupDeps.getOrElse(n, Nil), false)(en.fn(ctx))
+        }
+      // (the final await below also covers rollup nodes nothing depends on)
 
-      ods ++ wh ++ reports
+      Await.result(Future.sequence(nodes.values.toSeq), Duration.Inf)
+      buildLog(f"[build] +$rel%7.1f  === build complete (${modelOrder.size} models)")
+      modelOrder.toSeq.map(n =>
+        Await.result(nodes(n), Duration.Inf).asInstanceOf[BuildResult])
     } finally {
       pool.shutdown()
       // A build is a batch job: the write-through swaps above left the
@@ -346,7 +436,11 @@ object Runner {
         "order_key", "order_date", "customer_key", "order_status_code",
         "order_priority_code", "gross_item_sales_amount",
         "item_discount_amount", "item_tax_amount", "net_item_sales_amount")),
-      () => enforce(foi, "fct_orders_items", Unique("order_item_key") +: notNulls(
+      // unhex: the md5 surrogate's distinctness over 16-byte binary is the
+      // same test as over the 32-char hex (hex decode is injective) at half
+      // the distinct-shuffle bytes — this check sits on the build's
+      // critical path (every report gates on it)
+      () => enforce(foi, "fct_orders_items", Unique("unhex(order_item_key)") +: notNulls(
         "order_item_key", "order_key", "order_date", "customer_key",
         "order_status_code", "part_key", "supplier_key", "return_status_code",
         "order_line_number", "order_line_status_code", "ship_date",
