@@ -63,4 +63,40 @@ class RunnerSpec extends SparkSpec {
     val f = first.map(r => r.table -> r.rows).toMap
     second.foreach(r => assert(r.rows == f(r.table), r.table))
   }
+
+  test("a schema-gate violation aborts the build before ANY report materializes") {
+    // corrupt twin of the sf0.001 source: one order gets a customer key
+    // that exists in no customer row -> the declared relationships test
+    // (fct_orders.customer_key -> dim_customer) must fail and, per `dbt
+    // build` semantics, no report-layer model may be written. The DAG
+    // scheduler makes every report depend on the gate node; this pins it.
+    val src = java.nio.file.Files.createTempDirectory("graft-badsrc").toString
+    val clean = "/root/testdata/sf0.001"
+    Seq("region", "nation", "customer", "supplier", "part", "lineitem",
+      "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$clean/$t.parquet")
+        .write.mode("overwrite").parquet(s"$src/$t.parquet")
+    }
+    val orders = spark.read.parquet(s"$clean/orders.parquet")
+    orders.withColumn("o_custkey",
+        org.apache.spark.sql.functions.when(col("o_orderkey") === orders
+          .select("o_orderkey").head().getLong(0),
+          org.apache.spark.sql.functions.lit(999999999L))
+          .otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$src/orders.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-badbuild").toString
+    val badCtx = Ctx(spark, src)
+    val err = intercept[Exception] { Runner.buildAll(badCtx, out) }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(err).exists(m => m != null && m.contains("orphan")),
+      s"expected an orphan-FK gate failure, got: $err")
+    // facts may exist (they precede the gate); reports must not
+    assert(new java.io.File(s"$out/fct_orders").exists())
+    Seq("supplier_scorecard", "part_abc_classification", "order_status_funnel",
+      "customer_rfm_segments").foreach { r =>
+      assert(!new java.io.File(s"$out/$r/_SUCCESS").exists(),
+        s"report $r materialized despite a failing schema gate")
+    }
+  }
 }
