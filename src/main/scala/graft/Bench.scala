@@ -31,6 +31,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", scratch)
+      // same dim-broadcast ceiling as BenchScale: at sf0.1 the pruned dims
+      // are a few MB (broadcast either way), but the conf keeps the bench
+      // plan shape identical to the at-scale build's
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

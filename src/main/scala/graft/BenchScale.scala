@@ -49,6 +49,14 @@ object BenchScale {
       // (globalOrder's range exchange) keep their requested count
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 4).toString)
+      // At SF10 the pruned dims (dim_part ~2M rows, dim_customer ~1.5M) are
+      // 40-200 MB — far over the 10 MB default, so every report's dim join
+      // was a sort-merge join that re-shuffled a 60M-row fact relation. A
+      // 256 MB ceiling broadcasts them (the same call a real cluster makes:
+      // executors holding multi-GB heaps routinely broadcast 100-500 MB
+      // dims) while the 8M-row xrf and fact-fact joins stay shuffle-shaped.
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

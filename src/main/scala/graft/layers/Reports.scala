@@ -254,15 +254,26 @@ object Reports {
         .when(col("discount_percentage") <= 0.06, "2_medium_4_6pct")
         .when(col("discount_percentage") <= 0.08, "3_high_7_8pct")
         .otherwise("4_deep_9pct_plus"))
-    val agg = items.groupBy("discount_band").agg(
-      count(lit(1)).as("line_item_count"),
-      sum("quantity").cast("double").as("total_quantity"),
-      sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
-      sum("discounted_item_sales_amount").cast("double").as("discounted_revenue"),
-      sum(abs(col("item_discount_amount"))).cast("double").as("total_discount_given"),
-      rnd(avgE(col("quantity")), 2).as("avg_quantity_per_item"),
-      rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_item_revenue"),
-      countDistinct(col("order_key")).as("distinct_orders"),
+    // staged-exact COUNT(DISTINCT) rewrite (see partTypePerformance): the
+    // (band, order_key) grain makes distinct_orders a plain row count,
+    // customer rides functionally on order_key, partial sums are exact
+    val orderGrain = items.groupBy("discount_band", "order_key").agg(
+      first("customer_key").as("customer_key"),
+      count(lit(1)).as("li_n"),
+      sum("quantity").as("q_s"), count("quantity").as("q_n"),
+      sum("gross_item_sales_amount").as("gross_s"),
+      count("gross_item_sales_amount").as("gross_n"),
+      sum("discounted_item_sales_amount").as("disc_s"),
+      sum(abs(col("item_discount_amount"))).as("given_s"))
+    val agg = orderGrain.groupBy("discount_band").agg(
+      sum("li_n").as("line_item_count"),
+      sum("q_s").cast("double").as("total_quantity"),
+      sum("gross_s").cast("double").as("gross_revenue"),
+      sum("disc_s").cast("double").as("discounted_revenue"),
+      sum("given_s").cast("double").as("total_discount_given"),
+      rnd(sum("q_s").cast("double") / sum("q_n"), 2).as("avg_quantity_per_item"),
+      rnd(sum("gross_s").cast("double") / sum("gross_n"), 2).as("avg_item_revenue"),
+      count(col("order_key")).as("distinct_orders"),
       countDistinct(col("customer_key")).as("distinct_customers"))
     agg.withColumn("pct_of_items",
       rnd(dv(col("line_item_count"),
@@ -286,7 +297,9 @@ object Reports {
           .when(col("full_price_lines") === 0, "all_discounted")
           .otherwise("mixed"))
     orderLevel.groupBy("order_discount_type").agg(
-      countDistinct(col("order_key")).as("order_count"),
+      // orderLevel is order grain: distinct orders == non-null row count,
+      // leaving a single distinct -> Spark's two-phase path, no Expand
+      count(col("order_key")).as("order_count"),
       countDistinct(col("customer_key")).as("customer_count"),
       rnd(avgE(col("total_quantity_d")), 2).as("avg_items_per_order"),
       rnd(avgE(col("gross_revenue_d")), 2).as("avg_order_value"),
@@ -296,7 +309,15 @@ object Reports {
         .as("effective_discount_rate"))
   }
 
-  /** Reference models/reports/fulfillment_priority_analysis.sql. */
+  /** Reference models/reports/fulfillment_priority_analysis.sql.
+    *
+    * Staged-exact rewrite of the reference's two COUNT(DISTINCT) (see
+    * [[partTypePerformance]] for the why): pre-aggregate to
+    * (priority, ship_mode, order_key) grain — order_count becomes a plain
+    * row count (an order has one priority, and is counted once per ship
+    * mode it appears under, exactly like the distinct did), customer_key is
+    * functional on order_key, and every other aggregate distributes over
+    * exact partial sums. No Expand, no 60M-row distinct hash. */
   def fulfillmentPriorityAnalysis(ctx: Ctx): DataFrame = {
     val items = Wh.fctOrdersItems(ctx)
       .select(col("order_key"), col("order_date"), col("ship_date"),
@@ -305,21 +326,30 @@ object Reports {
       .join(Wh.fctOrders(ctx).select("order_key", "order_priority_code"),
         Seq("order_key"))
       .withColumn("fulfillment_days", datediff(col("ship_date"), col("order_date")))
-    items.groupBy("order_priority_code", "ship_mode_name").agg(
-      count(lit(1)).as("line_item_count"),
-      countDistinct(col("order_key")).as("order_count"),
+    val orderGrain = items
+      .groupBy("order_priority_code", "ship_mode_name", "order_key")
+      .agg(
+        first("customer_key").as("customer_key"),
+        count(lit(1)).as("li_n"),
+        sum("gross_item_sales_amount").as("gross_s"),
+        sum("fulfillment_days").as("fd_s"), count("fulfillment_days").as("fd_n"),
+        min("fulfillment_days").as("fd_min"), max("fulfillment_days").as("fd_max"),
+        sum("quantity").as("q_s"), count("quantity").as("q_n"),
+        sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)).as("w7"),
+        sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)).as("w14"))
+    orderGrain.groupBy("order_priority_code", "ship_mode_name").agg(
+      sum("li_n").as("line_item_count"),
+      count(col("order_key")).as("order_count"),
       countDistinct(col("customer_key")).as("customer_count"),
-      sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-      rnd(avgE(col("fulfillment_days")), 1).as("avg_fulfillment_days"),
-      min("fulfillment_days").as("min_fulfillment_days"),
-      max("fulfillment_days").as("max_fulfillment_days"),
-      rnd(avgE(col("quantity")), 1).as("avg_quantity_per_line"),
-      sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)).as("fulfilled_within_7d"),
-      sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)).as("fulfilled_within_14d"),
-      rnd(dv(sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)) * 100,
-        count(lit(1))), 2).as("pct_within_7d"),
-      rnd(dv(sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)) * 100,
-        count(lit(1))), 2).as("pct_within_14d"))
+      sum("gross_s").cast("double").as("total_revenue"),
+      rnd(sum("fd_s").cast("double") / sum("fd_n"), 1).as("avg_fulfillment_days"),
+      min("fd_min").as("min_fulfillment_days"),
+      max("fd_max").as("max_fulfillment_days"),
+      rnd(sum("q_s").cast("double") / sum("q_n"), 1).as("avg_quantity_per_line"),
+      sum("w7").as("fulfilled_within_7d"),
+      sum("w14").as("fulfilled_within_14d"),
+      rnd(dv(sum("w7") * 100, sum("li_n")), 2).as("pct_within_7d"),
+      rnd(dv(sum("w14") * 100, sum("li_n")), 2).as("pct_within_14d"))
   }
 
   /** Reference models/reports/monthly_order_trends.sql — served from the
@@ -671,27 +701,67 @@ object Reports {
           .otherwise("diversified").as("concentration_risk"))
   }
 
-  /** Reference models/reports/part_type_performance.sql. */
-  def partTypePerformance(ctx: Ctx): DataFrame =
-    Wh.fctOrdersItems(ctx)
-      .join(Wh.dimPart(ctx)
-        .select("part_key", "part_type_name", "part_brand_name", "part_size"),
-        Seq("part_key"))
-      .groupBy(col("part_type_name"), col("part_brand_name"),
-        when(col("part_size") <= 10, "small")
-          .when(col("part_size") <= 30, "medium")
-          .otherwise("large").as("size_category"))
+  /** Reference models/reports/part_type_performance.sql.
+    *
+    * The reference's 3 COUNT(DISTINCT ...) in one GROUP BY would plan as an
+    * Expand that quadruples the 60M-row fact before aggregating. Rewritten
+    * staged-exact instead (values bit-identical — all partials are exact
+    * decimal/long sums, avgE = sum/count distributes):
+    *  1. order grain: group (gk, order_key); customer_key is functional on
+    *     order_key so it rides along; order_count = row count, the single
+    *     remaining customer distinct is Spark's two-phase (no Expand) path;
+    *  2. part_count per gk comes from a distinct-part branch (part attrs
+    *     determine gk, so distinct (gk, part) == distinct fact parts joined
+    *     to the dim) — partial-distinct map side, dim-sized shuffle. */
+  def partTypePerformance(ctx: Ctx): DataFrame = {
+    val sizeCat = when(col("part_size") <= 10, "small")
+      .when(col("part_size") <= 30, "medium")
+      .otherwise("large").as("size_category")
+    val dim = Wh.dimPart(ctx)
+      .select(col("part_key"), col("part_type_name"), col("part_brand_name"), sizeCat)
+    val fact = Wh.fctOrdersItems(ctx).select(
+      "part_key", "order_key", "customer_key", "quantity",
+      "gross_item_sales_amount", "base_price", "discount_percentage",
+      "supplier_cost_amount")
+    val gk = Seq("part_type_name", "part_brand_name", "size_category")
+    val orderGrain = fact.join(dim, Seq("part_key"))
+      .groupBy((gk :+ "order_key").map(col): _*)
       .agg(
-        countDistinct(col("part_key")).as("part_count"),
-        count(lit(1)).as("line_item_count"),
-        countDistinct(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("customer_count"),
-        sum("quantity").cast("double").as("total_units"),
-        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
-        rnd(avgE(col("base_price")), 2).as("avg_unit_price"),
-        rnd(avgE(col("discount_percentage")) * 100, 2).as("avg_discount_pct"),
+        first("customer_key").as("customer_key"),
+        count(lit(1)).as("li_n"),
+        sum("quantity").as("qty_s"),
+        sum("gross_item_sales_amount").as("gross_s"),
+        sum("base_price").as("bp_s"), count("base_price").as("bp_n"),
+        sum("discount_percentage").as("dp_s"), count("discount_percentage").as("dp_n"),
         sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
-          .cast("double").as("total_profit"))
+          .as("profit_s"))
+    val perGroup = orderGrain.groupBy(gk.map(col): _*)
+      .agg(
+        count(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"),
+        sum("li_n").as("line_item_count"),
+        sum("qty_s").cast("double").as("total_units"),
+        sum("gross_s").cast("double").as("total_revenue"),
+        rnd(sum("bp_s").cast("double") / sum("bp_n"), 2).as("avg_unit_price"),
+        rnd(sum("dp_s").cast("double") / sum("dp_n") * 100, 2).as("avg_discount_pct"),
+        sum("profit_s").cast("double").as("total_profit"))
+    val partCounts = fact.select("part_key").distinct()
+      .join(dim, Seq("part_key"))
+      .groupBy(gk.map(col): _*)
+      .agg(count(lit(1)).as("part_count"))
+      .select(gk.map(c => col(c).as(s"pc_$c")) :+ col("part_count"): _*)
+    // null-safe on the group key: a null dim attribute forms a group in both
+    // branches and must survive the recombine exactly like the single-pass
+    // groupBy would have kept it
+    perGroup.join(partCounts,
+        gk.map(c => col(c) <=> col(s"pc_$c")).reduce(_ && _))
+      .select(
+        col("part_type_name"), col("part_brand_name"),
+        col("size_category"),
+        col("part_count"), col("line_item_count"), col("order_count"),
+        col("customer_count"), col("total_units"), col("total_revenue"),
+        col("avg_unit_price"), col("avg_discount_pct"), col("total_profit"))
+  }
 
   /** Reference models/reports/supplier_lead_time_distribution.sql:
     * percentile_cont (exact linear interpolation, Spark >= 3.4 SQL) +
