@@ -6,6 +6,10 @@ object ReportProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // mirror the BenchScale build session so probed plans match built ones
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
       .config("spark.local.dir", "/dev/shm/graft-scratch")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
