@@ -175,4 +175,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "dimension join degenerated to a sort-merge join")
   }
+
+  test("staged multi-distinct reports plan without an Expand over the fact") {
+    // the r7 staged rewrites replace Spark's Expand plan (which multiplies
+    // the 60M-row fact by distinct-column count) with (group, order_key)
+    // grain pre-aggregation; a reintroduced COUNT(DISTINCT a), COUNT(
+    // DISTINCT b) pair in one agg would silently bring the Expand back
+    Seq(
+      "part_type_performance" -> layers.Reports.partTypePerformance(ctx),
+      "fulfillment_priority_analysis" -> layers.Reports.fulfillmentPriorityAnalysis(ctx),
+      "discount_depth_analysis" -> layers.Reports.discountDepthAnalysis(ctx),
+      "discount_effectiveness" -> layers.Reports.discountEffectiveness(ctx)
+    ).foreach { case (name, df) =>
+      val expands = df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Expand"))
+      assert(expands == 0, s"$name plans $expands Expand node(s)")
+    }
+  }
 }
