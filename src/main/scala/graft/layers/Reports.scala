@@ -254,27 +254,27 @@ object Reports {
         .when(col("discount_percentage") <= 0.06, "2_medium_4_6pct")
         .when(col("discount_percentage") <= 0.08, "3_high_7_8pct")
         .otherwise("4_deep_9pct_plus"))
-    // staged-exact COUNT(DISTINCT) rewrite (see partTypePerformance): the
-    // (band, order_key) grain makes distinct_orders a plain row count,
-    // customer rides functionally on order_key, partial sums are exact
-    val orderGrain = items.groupBy("discount_band", "order_key").agg(
-      first("customer_key").as("customer_key"),
-      count(lit(1)).as("li_n"),
-      sum("quantity").as("q_s"), count("quantity").as("q_n"),
-      sum("gross_item_sales_amount").as("gross_s"),
-      count("gross_item_sales_amount").as("gross_n"),
-      sum("discounted_item_sales_amount").as("disc_s"),
-      sum(abs(col("item_discount_amount"))).as("given_s"))
-    val agg = orderGrain.groupBy("discount_band").agg(
-      sum("li_n").as("line_item_count"),
-      sum("q_s").cast("double").as("total_quantity"),
-      sum("gross_s").cast("double").as("gross_revenue"),
-      sum("disc_s").cast("double").as("discounted_revenue"),
-      sum("given_s").cast("double").as("total_discount_given"),
-      rnd(sum("q_s").cast("double") / sum("q_n"), 2).as("avg_quantity_per_item"),
-      rnd(sum("gross_s").cast("double") / sum("gross_n"), 2).as("avg_item_revenue"),
-      count(col("order_key")).as("distinct_orders"),
-      countDistinct(col("customer_key")).as("distinct_customers"))
+    // split-branch COUNT(DISTINCT) rewrite (see partTypePerformance): sums
+    // collapse map-side to the 5 bands; the counts come from one narrow
+    // (band, order_key, customer_key) distinct — order grain, so the row
+    // count is the order count and customer rides functionally on order
+    val sums = items.groupBy("discount_band").agg(
+      count(lit(1)).as("line_item_count"),
+      sum("quantity").cast("double").as("total_quantity"),
+      sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
+      sum("discounted_item_sales_amount").cast("double").as("discounted_revenue"),
+      sum(abs(col("item_discount_amount"))).cast("double").as("total_discount_given"),
+      rnd(avgE(col("quantity")), 2).as("avg_quantity_per_item"),
+      rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_item_revenue"))
+    val ordCust = items.select("discount_band", "order_key", "customer_key")
+      .distinct()
+      .groupBy("discount_band")
+      .agg(count(col("order_key")).as("distinct_orders"),
+        countDistinct(col("customer_key")).as("distinct_customers"))
+      .select(col("discount_band").as("oc_discount_band"),
+        col("distinct_orders"), col("distinct_customers"))
+    val agg = sums.join(ordCust, col("discount_band") <=> col("oc_discount_band"))
+      .drop("oc_discount_band")
     agg.withColumn("pct_of_items",
       rnd(dv(col("line_item_count"),
         sum("line_item_count").over(Window.partitionBy())) * 100, 2))
@@ -311,13 +311,13 @@ object Reports {
 
   /** Reference models/reports/fulfillment_priority_analysis.sql.
     *
-    * Staged-exact rewrite of the reference's two COUNT(DISTINCT) (see
-    * [[partTypePerformance]] for the why): pre-aggregate to
-    * (priority, ship_mode, order_key) grain — order_count becomes a plain
-    * row count (an order has one priority, and is counted once per ship
-    * mode it appears under, exactly like the distinct did), customer_key is
-    * functional on order_key, and every other aggregate distributes over
-    * exact partial sums. No Expand, no 60M-row distinct hash. */
+    * Split-branch rewrite of the reference's two COUNT(DISTINCT) (see
+    * [[partTypePerformance]] for the why and the A/B): sums/avgs/min/max
+    * collapse map-side straight to the 35 group cells; order_count +
+    * customer_count come from one narrow (gk, order_key, customer_key)
+    * distinct — an order has one priority and is counted once per ship
+    * mode it appears under, exactly like the distinct did; customer_key
+    * is functional on order_key. No Expand, bit-identical results. */
   def fulfillmentPriorityAnalysis(ctx: Ctx): DataFrame = {
     val items = Wh.fctOrdersItems(ctx)
       .select(col("order_key"), col("order_date"), col("ship_date"),
@@ -326,30 +326,34 @@ object Reports {
       .join(Wh.fctOrders(ctx).select("order_key", "order_priority_code"),
         Seq("order_key"))
       .withColumn("fulfillment_days", datediff(col("ship_date"), col("order_date")))
-    val orderGrain = items
-      .groupBy("order_priority_code", "ship_mode_name", "order_key")
-      .agg(
-        first("customer_key").as("customer_key"),
-        count(lit(1)).as("li_n"),
-        sum("gross_item_sales_amount").as("gross_s"),
-        sum("fulfillment_days").as("fd_s"), count("fulfillment_days").as("fd_n"),
-        min("fulfillment_days").as("fd_min"), max("fulfillment_days").as("fd_max"),
-        sum("quantity").as("q_s"), count("quantity").as("q_n"),
-        sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)).as("w7"),
-        sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)).as("w14"))
-    orderGrain.groupBy("order_priority_code", "ship_mode_name").agg(
-      sum("li_n").as("line_item_count"),
-      count(col("order_key")).as("order_count"),
-      countDistinct(col("customer_key")).as("customer_count"),
-      sum("gross_s").cast("double").as("total_revenue"),
-      rnd(sum("fd_s").cast("double") / sum("fd_n"), 1).as("avg_fulfillment_days"),
-      min("fd_min").as("min_fulfillment_days"),
-      max("fd_max").as("max_fulfillment_days"),
-      rnd(sum("q_s").cast("double") / sum("q_n"), 1).as("avg_quantity_per_line"),
-      sum("w7").as("fulfilled_within_7d"),
-      sum("w14").as("fulfilled_within_14d"),
-      rnd(dv(sum("w7") * 100, sum("li_n")), 2).as("pct_within_7d"),
-      rnd(dv(sum("w14") * 100, sum("li_n")), 2).as("pct_within_14d"))
+    val gk = Seq("order_priority_code", "ship_mode_name")
+    val sums = items.groupBy(gk.map(col): _*).agg(
+      count(lit(1)).as("line_item_count"),
+      sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+      rnd(avgE(col("fulfillment_days")), 1).as("avg_fulfillment_days"),
+      min("fulfillment_days").as("min_fulfillment_days"),
+      max("fulfillment_days").as("max_fulfillment_days"),
+      rnd(avgE(col("quantity")), 1).as("avg_quantity_per_line"),
+      sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)).as("fulfilled_within_7d"),
+      sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)).as("fulfilled_within_14d"),
+      rnd(dv(sum(when(col("fulfillment_days") <= 7, 1).otherwise(0)) * 100,
+        count(lit(1))), 2).as("pct_within_7d"),
+      rnd(dv(sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)) * 100,
+        count(lit(1))), 2).as("pct_within_14d"))
+    val ordCust = items.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
+      .distinct()
+      .groupBy(gk.map(col): _*)
+      .agg(count(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"))
+      .select(gk.map(c => col(c).as(s"oc_$c")) :+ col("order_count") :+ col("customer_count"): _*)
+    sums.join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+      .select(
+        col("order_priority_code"), col("ship_mode_name"),
+        col("line_item_count"), col("order_count"), col("customer_count"),
+        col("total_revenue"), col("avg_fulfillment_days"),
+        col("min_fulfillment_days"), col("max_fulfillment_days"),
+        col("avg_quantity_per_line"), col("fulfilled_within_7d"),
+        col("fulfilled_within_14d"), col("pct_within_7d"), col("pct_within_14d"))
   }
 
   /** Reference models/reports/monthly_order_trends.sql — served from the
@@ -704,15 +708,21 @@ object Reports {
   /** Reference models/reports/part_type_performance.sql.
     *
     * The reference's 3 COUNT(DISTINCT ...) in one GROUP BY would plan as an
-    * Expand that quadruples the 60M-row fact before aggregating. Rewritten
-    * staged-exact instead (values bit-identical — all partials are exact
-    * decimal/long sums, avgE = sum/count distributes):
-    *  1. order grain: group (gk, order_key); customer_key is functional on
-    *     order_key so it rides along; order_count = row count, the single
-    *     remaining customer distinct is Spark's two-phase (no Expand) path;
-    *  2. part_count per gk comes from a distinct-part branch (part attrs
-    *     determine gk, so distinct (gk, part) == distinct fact parts joined
-    *     to the dim) — partial-distinct map side, dim-sized shuffle. */
+    * Expand that quadruples the 60M-row fact before aggregating. Split into
+    * three branches instead, each the cheapest shape for its aggregate
+    * (values bit-identical — exact decimal/long sums; A/B at SF10 in
+    * tools/AbProbe: 51 s Expand / 20-22 s this form, same hashes):
+    *  1. sums/avgs collapse map-side straight to the ~450 group cells;
+    *  2. order_count + customer_count come from ONE narrow
+    *     (gk, order_key, customer_key) distinct — customer_key is
+    *     functional on order_key so the distinct is order grain, the row
+    *     count is the order count, and the one remaining customer distinct
+    *     takes Spark's two-phase no-Expand path;
+    *  3. part_count from a distinct-part branch (part attrs determine gk,
+    *     so distinct (gk, part) == distinct fact parts joined to the dim).
+    * Branch recombines are null-safe on the group key: a null dim
+    * attribute forms a group in every branch and must survive exactly like
+    * the single-pass groupBy would have kept it. */
   def partTypePerformance(ctx: Ctx): DataFrame = {
     val sizeCat = when(col("part_size") <= 10, "small")
       .when(col("part_size") <= 30, "medium")
@@ -724,40 +734,31 @@ object Reports {
       "gross_item_sales_amount", "base_price", "discount_percentage",
       "supplier_cost_amount")
     val gk = Seq("part_type_name", "part_brand_name", "size_category")
-    val orderGrain = fact.join(dim, Seq("part_key"))
-      .groupBy((gk :+ "order_key").map(col): _*)
-      .agg(
-        first("customer_key").as("customer_key"),
-        count(lit(1)).as("li_n"),
-        sum("quantity").as("qty_s"),
-        sum("gross_item_sales_amount").as("gross_s"),
-        sum("base_price").as("bp_s"), count("base_price").as("bp_n"),
-        sum("discount_percentage").as("dp_s"), count("discount_percentage").as("dp_n"),
-        sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
-          .as("profit_s"))
-    val perGroup = orderGrain.groupBy(gk.map(col): _*)
-      .agg(
-        count(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("customer_count"),
-        sum("li_n").as("line_item_count"),
-        sum("qty_s").cast("double").as("total_units"),
-        sum("gross_s").cast("double").as("total_revenue"),
-        rnd(sum("bp_s").cast("double") / sum("bp_n"), 2).as("avg_unit_price"),
-        rnd(sum("dp_s").cast("double") / sum("dp_n") * 100, 2).as("avg_discount_pct"),
-        sum("profit_s").cast("double").as("total_profit"))
+    val joined = fact.join(dim, Seq("part_key"))
+    val sums = joined.groupBy(gk.map(col): _*).agg(
+      count(lit(1)).as("line_item_count"),
+      sum("quantity").cast("double").as("total_units"),
+      sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+      rnd(avgE(col("base_price")), 2).as("avg_unit_price"),
+      rnd(avgE(col("discount_percentage")) * 100, 2).as("avg_discount_pct"),
+      sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
+        .cast("double").as("total_profit"))
+    val ordCust = joined.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
+      .distinct()
+      .groupBy(gk.map(col): _*)
+      .agg(count(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"))
+      .select(gk.map(c => col(c).as(s"oc_$c")) :+ col("order_count") :+ col("customer_count"): _*)
     val partCounts = fact.select("part_key").distinct()
       .join(dim, Seq("part_key"))
       .groupBy(gk.map(col): _*)
       .agg(count(lit(1)).as("part_count"))
       .select(gk.map(c => col(c).as(s"pc_$c")) :+ col("part_count"): _*)
-    // null-safe on the group key: a null dim attribute forms a group in both
-    // branches and must survive the recombine exactly like the single-pass
-    // groupBy would have kept it
-    perGroup.join(partCounts,
-        gk.map(c => col(c) <=> col(s"pc_$c")).reduce(_ && _))
+    sums
+      .join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+      .join(partCounts, gk.map(c => col(c) <=> col(s"pc_$c")).reduce(_ && _))
       .select(
-        col("part_type_name"), col("part_brand_name"),
-        col("size_category"),
+        col("part_type_name"), col("part_brand_name"), col("size_category"),
         col("part_count"), col("line_item_count"), col("order_count"),
         col("customer_count"), col("total_units"), col("total_revenue"),
         col("avg_unit_price"), col("avg_discount_pct"), col("total_profit"))

@@ -56,11 +56,55 @@ object AbProbe {
         .agg(expr("bit_xor(h)")).head().getLong(0)
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.1f s  hash=$h%x")
     }
+    /** candidate: sums at gk grain directly (map-side, ~free) + ONE narrow
+      * distinct branch serving both order_count and customer_count */
+    def ptNarrow: DataFrame = {
+      val sizeCat = when(col("part_size") <= 10, "small")
+        .when(col("part_size") <= 30, "medium")
+        .otherwise("large").as("size_category")
+      val dim = Wh.dimPart(ctx)
+        .select(col("part_key"), col("part_type_name"), col("part_brand_name"), sizeCat)
+      val fact = Wh.fctOrdersItems(ctx).select(
+        "part_key", "order_key", "customer_key", "quantity",
+        "gross_item_sales_amount", "base_price", "discount_percentage",
+        "supplier_cost_amount")
+      val gk = Seq("part_type_name", "part_brand_name", "size_category")
+      val joined = fact.join(dim, Seq("part_key"))
+      val sums = joined.groupBy(gk.map(col): _*).agg(
+        count(lit(1)).as("line_item_count"),
+        sum("quantity").cast("double").as("total_units"),
+        sum("gross_item_sales_amount").cast("double").as("total_revenue"),
+        rnd(avgE(col("base_price")), 2).as("avg_unit_price"),
+        rnd(avgE(col("discount_percentage")) * 100, 2).as("avg_discount_pct"),
+        sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
+          .cast("double").as("total_profit"))
+      val ordCust = joined.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
+        .distinct()
+        .groupBy(gk.map(col): _*)
+        .agg(count(col("order_key")).as("order_count"),
+          countDistinct(col("customer_key")).as("customer_count"))
+        .select(gk.map(c => col(c).as(s"oc_$c")) :+ col("order_count") :+ col("customer_count"): _*)
+      val partCounts = fact.select("part_key").distinct()
+        .join(dim, Seq("part_key"))
+        .groupBy(gk.map(col): _*)
+        .agg(count(lit(1)).as("part_count"))
+        .select(gk.map(c => col(c).as(s"pc_$c")) :+ col("part_count"): _*)
+      sums
+        .join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+        .join(partCounts, gk.map(c => col(c) <=> col(s"pc_$c")).reduce(_ && _))
+        .select(
+          col("part_type_name"), col("part_brand_name"), col("size_category"),
+          col("part_count"), col("line_item_count"), col("order_count"),
+          col("customer_count"), col("total_units"), col("total_revenue"),
+          col("avg_unit_price"), col("avg_discount_pct"), col("total_profit"))
+    }
+
     // alternate A/B/A/B so drift hits both sides equally
     (1 to 2).foreach { round =>
-      t(s"pt_expand r$round")(ptExpand)
       t(s"pt_staged r$round")(layers.Reports.partTypePerformance(ctx))
+      t(s"pt_narrow r$round")(ptNarrow)
     }
+    t("pt_expand r1")(ptExpand)
     spark.stop()
   }
 }
