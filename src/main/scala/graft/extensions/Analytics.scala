@@ -50,7 +50,10 @@ object Analytics {
         .agg(
           grouping(col("region_name")).cast("int").as("region_subtotal"),
           grouping(col("nation_name")).cast("int").as("nation_subtotal"),
-          countDistinct(col("order_key")).as("order_count"),
+          // fct_orders ⋈ dim is order grain, so the order distinct is a
+          // plain count at every rollup level; only the customer distinct
+          // remains — no multi-distinct Expand stacked on the rollup Expand
+          count(col("order_key")).as("order_count"),
           countDistinct(col("customer_key")).as("customer_count"),
           sum("gross_item_sales_amount").cast("double").as("gross_revenue"),
           sum("net_item_sales_amount").cast("double").as("net_revenue"))

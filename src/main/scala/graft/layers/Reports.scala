@@ -138,16 +138,18 @@ object Reports {
       .groupBy(col("customer_region_name").as("region_name"),
         col("customer_nation_name").as("nation_name"))
       .agg(
-        countDistinct(col("customer_key")).as("customer_count"),
+        // customer grain in (dim ⟕ per-customer rollup), so the customer
+        // distinct is a plain non-null count — no distinct machinery at all
+        count(col("customer_key")).as("customer_count"),
         coalesce(sum("order_count"), lit(0L)).as("order_count"),
         sum("gross_d").cast("double").as("total_revenue"),
         sum("net_d").cast("double").as("total_net_revenue"),
         rnd(dv(sum("gross_d"), sum("order_count")), 2).as("avg_order_value"),
         rnd(dv(sum("gross_d"),
-          nullifZero(countDistinct(col("customer_key")))), 2)
+          nullifZero(count(col("customer_key")))), 2)
           .as("revenue_per_customer"),
         rnd(dv(coalesce(sum("order_count"), lit(0L)),
-          nullifZero(countDistinct(col("customer_key")))), 2)
+          nullifZero(count(col("customer_key")))), 2)
           .as("orders_per_customer"),
         sum(col("customer_account_balance") * coalesce(col("order_count"), lit(1L)))
           .cast("double").as("total_account_balance"))
@@ -426,8 +428,11 @@ object Reports {
 
   /** Reference models/reports/order_status_funnel.sql. */
   def orderStatusFunnel(ctx: Ctx): DataFrame = {
+    // fct_orders is order grain (schema gate pins o_orderkey unique), so
+    // the order distinct is a plain non-null count; the one remaining
+    // customer distinct takes Spark's two-phase path — no Expand
     val agg = Wh.fctOrders(ctx).groupBy("order_status_code").agg(
-      countDistinct(col("order_key")).as("order_count"),
+      count(col("order_key")).as("order_count"),
       sum("gross_item_sales_amount").as("total_revenue_d"),
       rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_order_value"),
       countDistinct(col("customer_key")).as("unique_customers"))

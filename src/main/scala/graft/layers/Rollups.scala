@@ -95,11 +95,17 @@ object Rollups {
     * aggregates (a null receipt_date contributes 0 / is count-skipped in
     * both shapes). */
   def supplierSales(ctx: Ctx): DataFrame = Store.table(ctx, "rollup_supplier_sales") {
-    Wh.fctOrdersItems(ctx).groupBy("supplier_key").agg(
+    // narrow split-branch form (see Reports.partTypePerformance): the three
+    // COUNT(DISTINCT) would plan an Expand ×4 over the 60M-row fact with the
+    // full 16-column agg buffer on every expanded key; instead the sums
+    // collapse map-side to the 100k supplier cells and the counts come from
+    // two narrow distincts (customer_key is functional on order_key, so one
+    // (supplier, order, customer) distinct serves both order and customer
+    // counts). Bit-identical: counts after distinct skip nulls exactly like
+    // COUNT(DISTINCT), integer/decimal sums are single-pass either way.
+    val fact = Wh.fctOrdersItems(ctx)
+    val sums = fact.groupBy("supplier_key").agg(
       count(lit(1)).as("line_count"),
-      countDistinct(col("order_key")).as("order_count"),
-      countDistinct(col("customer_key")).as("customer_count"),
-      countDistinct(col("part_key")).as("part_count"),
       pin4(sum("quantity")).as("qty_d"),
       pin4(sum("gross_item_sales_amount")).as("gross_d"),
       pin4(sum("net_item_sales_amount")).as("net_d"),
@@ -118,6 +124,21 @@ object Rollups {
       count(datediff(col("receipt_date"), col("ship_date"))).as("transit_cnt"),
       sum(datediff(col("receipt_date"), col("commit_date"))).as("delay_sum"),
       count(datediff(col("receipt_date"), col("commit_date"))).as("delay_cnt"))
+    val ordCust = fact.select("supplier_key", "order_key", "customer_key")
+      .distinct()
+      .groupBy("supplier_key")
+      .agg(count(col("order_key")).as("order_count"),
+        countDistinct(col("customer_key")).as("customer_count"))
+      .select(col("supplier_key").as("oc_supplier_key"),
+        col("order_count"), col("customer_count"))
+    val parts = fact.select("supplier_key", "part_key").distinct()
+      .groupBy("supplier_key")
+      .agg(count(col("part_key")).as("part_count"))
+      .select(col("supplier_key").as("pc_supplier_key"), col("part_count"))
+    sums
+      .join(ordCust, col("supplier_key") <=> col("oc_supplier_key"))
+      .join(parts, col("supplier_key") <=> col("pc_supplier_key"))
+      .drop("oc_supplier_key", "pc_supplier_key")
   }
 
   /** (supplier-nation × customer-nation × ship-year) trade-flow rollup: the
