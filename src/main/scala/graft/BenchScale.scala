@@ -57,6 +57,12 @@ object BenchScale {
       // dims) while the 8M-row xrf and fact-fact joins stay shuffle-shaped.
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      // zstd writes 33% fewer bytes than snappy at equal encode CPU on this
+      // data (tools/CodecProbe.scala: 6.02 -> 4.06 GB on the 60M-row fact,
+      // 9.9-10.4 s either codec against tmpfs) — ~7 GB less write I/O over
+      // the ~22 GB build output, which is exactly the exposure that drags
+      // run tails on degraded-disk epochs.
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
