@@ -55,32 +55,165 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Cast(e, LongType)
   }
 
-  // derived-width memo, keyed by the canonicalized interval side + bounds:
-  // the optimizer may visit the same join shape repeatedly (fixpoint
-  // batches, re-planned microbatches) and the sample must not re-run
+  // derived-width memo. Keyed by SEMANTIC HASHES (three Ints), not plan
+  // trees: a tree-keyed cache pins relations/session state for the life of
+  // the process. Bounded LRU (access-order, 64 entries) so long-lived
+  // multi-query sessions can't accumulate entries either. A hash collision
+  // only mis-sizes a perf heuristic — correctness is carried by the exact
+  // re-check Filter, never by the width.
   private val widthCache =
-    scala.collection.concurrent.TrieMap.empty[(LogicalPlan, Expression, Expression), Long]
+    new java.util.LinkedHashMap[(Int, Int, Int), java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int), java.lang.Long]): Boolean = size() > 64
+    }
+
+  // observability for specs: how widths got derived this JVM
+  private[graft] val statsPathHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val sampleFallbackHits = new java.util.concurrent.atomic.AtomicLong
 
   /** Auto bin width: the median interval span from a bounded sample of the
     * interval side, so the typical interval covers ~2 bins WHATEVER the
     * column's unit is — day-grain dates and epoch-micros longs both get a
     * sane width, where any fixed constant is off by orders of magnitude
-    * for one of them. The sample is a one-off planning-time job (LIMIT
-    * 2001 over a projection of the interval side), memoized per
-    * canonicalized plan; any failure falls back to the old constant. */
-  private def deriveWidth(iSide: LogicalPlan, lo: Expression, hi: Expression): Long =
-    widthCache.getOrElseUpdate(
-      (iSide.canonicalized, lo.canonicalized, hi.canonicalized), {
-        try {
-          val sess = org.apache.spark.sql.SparkSession.active
-          val span = Alias(Subtract(toLong(hi), toLong(lo)), "__graft_span")()
-          val df = org.apache.spark.sql.GraftPlanBridge.ofRows(sess,
-            Project(Seq(span), iSide))
-          val vals = df.where(df.col("__graft_span").geq(0)).limit(2001)
-            .collect().map(_.getLong(0)).sorted
-          if (vals.isEmpty) 32L else math.max(1L, vals(vals.length / 2) + 1L)
-        } catch { case scala.util.control.NonFatal(_) => 32L }
-      })
+    * for one of them.
+    *
+    * Derivation order (memoized per semantic hash of the interval side +
+    * bounds, bounded LRU):
+    *  1. DRIVER-SIDE parquet read: when both bounds resolve (through
+    *     Project/Filter/SubqueryAlias) to root columns of a parquet
+    *     [[HadoopFsRelation]], read ≤2001 rows of just those two columns
+    *     from the lexicographically-first file with parquet-mr — no Spark
+    *     job inside the optimizer, and deterministic (fixed file, fixed
+    *     row order). Footer min/max alone cannot estimate the span
+    *     distribution (column extremes say nothing about per-row hi−lo),
+    *     so the bounded row read is the honest stats source.
+    *  2. Fallback Spark sample (LIMIT 2001 collect) for non-parquet or
+    *     computed-bound interval sides — the only path that runs a job at
+    *     planning time, and only on cache miss.
+    *  3. Constant 32 if both fail. */
+  private def deriveWidth(iSide: LogicalPlan, lo: Expression, hi: Expression): Long = {
+    val key = (iSide.semanticHash(), lo.semanticHash(), hi.semanticHash())
+    val hit = widthCache.synchronized(widthCache.get(key))
+    if (hit != null) return hit.longValue()
+    val w = parquetSampleWidth(iSide, lo, hi) match {
+      case Some(v) => statsPathHits.incrementAndGet(); v
+      case None => sampleFallbackHits.incrementAndGet(); sparkSampleWidth(iSide, lo, hi)
+    }
+    widthCache.synchronized(widthCache.put(key, java.lang.Long.valueOf(w)))
+    w
+  }
+
+  private def medianWidth(spans: Seq[Long]): Option[Long] =
+    if (spans.isEmpty) None
+    else { val v = spans.sorted; Some(math.max(1L, v(v.length / 2) + 1L)) }
+
+  /** Resolve `exprs` through Project/Filter/SubqueryAlias layers down to a
+    * parquet scan; succeeds only when every expression lands on a plain
+    * root-column [[AttributeReference]] of the relation. Rows behind a
+    * Filter are sampled unfiltered — acceptable for a width heuristic. */
+  private def resolveToParquetScan(plan: LogicalPlan, exprs: Seq[Expression])
+      : Option[(org.apache.spark.sql.execution.datasources.HadoopFsRelation, Seq[String])] =
+    plan match {
+      case Project(projList, child) =>
+        val subst = projList.collect {
+          case a: Alias => a.toAttribute.exprId -> a.child
+        }.toMap
+        val next = exprs.map(_.transformUp {
+          case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+        })
+        resolveToParquetScan(child, next)
+      case Filter(_, child) => resolveToParquetScan(child, exprs)
+      case SubqueryAlias(_, child) => resolveToParquetScan(child, exprs)
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+            val names = exprs.map {
+              case ar: AttributeReference if lr.output.exists(_.exprId == ar.exprId) =>
+                ar.name
+              case _ => return None
+            }
+            Some((fs, names))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Driver-side bounded parquet read of the two bound columns — the
+    * no-Spark-job width source. Returns None whenever the shape doesn't
+    * qualify, never throws. */
+  private def parquetSampleWidth(
+      iSide: LogicalPlan, lo: Expression, hi: Expression): Option[Long] =
+    try {
+      resolveToParquetScan(iSide, Seq(lo, hi)).flatMap { case (fs, Seq(loName, hiName)) =>
+        val files = fs.location.inputFiles.sorted
+        if (files.isEmpty) return None
+        val conf = fs.sparkSession.sessionState.newHadoopConf()
+        val path = new org.apache.hadoop.fs.Path(files.head)
+        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+        val fileSchema = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+          try r.getFooter.getFileMetaData.getSchema finally r.close()
+        }
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+        def rootPrim(n: String): Option[org.apache.parquet.schema.Type] =
+          if (fileSchema.containsField(n)) {
+            val t = fileSchema.getFields.get(fileSchema.getFieldIndex(n))
+            if (t.isPrimitive && {
+              val p = t.asPrimitiveType.getPrimitiveTypeName
+              p == INT32 || p == INT64
+            }) Some(t) else None
+          } else None
+        (rootPrim(loName), rootPrim(hiName)) match {
+          case (Some(loT), Some(hiT)) =>
+            val fields =
+              if (loName == hiName) Seq(loT) else Seq(loT, hiT)
+            val proj = new org.apache.parquet.schema.MessageType(
+              "graft_span_sample", fields: _*)
+            val readConf = new org.apache.hadoop.conf.Configuration(conf)
+            readConf.set(
+              org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+            val reader = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+              .withConf(readConf).build()
+            try {
+              def num(g: org.apache.parquet.example.data.Group,
+                  n: String, t: org.apache.parquet.schema.Type): Long =
+                if (t.asPrimitiveType.getPrimitiveTypeName == INT32)
+                  g.getInteger(n, 0).toLong
+                else g.getLong(n, 0)
+              val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var read = 0
+              var g = reader.read()
+              while (g != null && read < 2001) {
+                if (g.getFieldRepetitionCount(loName) > 0 &&
+                    g.getFieldRepetitionCount(hiName) > 0) {
+                  val s = num(g, hiName, hiT) - num(g, loName, loT)
+                  if (s >= 0) spans += s
+                }
+                read += 1
+                g = reader.read()
+              }
+              medianWidth(spans.toSeq)
+            } finally reader.close()
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fallback: bounded Spark sample (the one planning-time job). */
+  private def sparkSampleWidth(
+      iSide: LogicalPlan, lo: Expression, hi: Expression): Long =
+    try {
+      val sess = org.apache.spark.sql.SparkSession.active
+      val span = Alias(Subtract(toLong(hi), toLong(lo)), "__graft_span")()
+      val df = org.apache.spark.sql.GraftPlanBridge.ofRows(sess,
+        Project(Seq(span), iSide))
+      val vals = df.where(df.col("__graft_span").geq(0)).limit(2001)
+        .collect().map(_.getLong(0)).toSeq
+      medianWidth(vals).getOrElse(32L)
+    } catch { case scala.util.control.NonFatal(_) => 32L }
 
   /** (point, lowerBound, upperBound, pointOnLeft) if the conjuncts contain a
     * complete, side-separable range sandwich on a binnable column. */

@@ -121,6 +121,54 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(!plan.contains("__graft_bin"), plan)
   }
 
+  test("auto width over a parquet interval side is driver-derived — no Spark sample job") {
+    val dir = java.nio.file.Files.createTempDirectory("rj_parq").toFile.getAbsolutePath
+    // spans 9..11 (median 10) → derived width must be 11
+    spark.range(300).select(col("id").as("iid"), (col("id") * 37 % 1000).as("a"))
+      .withColumn("b", col("a") + lit(9) + (col("iid") % 3))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("rj_parq_intervals")
+    val q =
+      """SELECT pid, iid FROM
+        |  (SELECT pid, pid * 7 % 500 AS x FROM rj_points) p JOIN rj_parq_intervals i
+        |ON p.x >= i.a AND p.x <= i.b""".stripMargin
+    val stats0 = graft.plans.RewriteRangeJoin.statsPathHits.get()
+    val fall0 = graft.plans.RewriteRangeJoin.sampleFallbackHits.get()
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), plan)
+    assert(graft.plans.RewriteRangeJoin.statsPathHits.get() > stats0,
+      "parquet-backed auto width did not take the driver-side stats path")
+    assert(graft.plans.RewriteRangeJoin.sampleFallbackHits.get() == fall0,
+      "parquet-backed auto width fell back to the Spark sample job")
+    // width 11 = median span 10 + 1 shows up as the bin divisor
+    assert(plan.contains(" 11)") || plan.contains("div 11"), plan)
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
+  test("in-memory (non-parquet) interval side still derives via the bounded Spark sample") {
+    // a distinct shape (projection renames) so the width memo can't serve it
+    val q =
+      """SELECT pid, iid FROM
+        |  (SELECT pid, pid * 11 % 333 AS x FROM rj_points) p JOIN
+        |  (SELECT iid, iid * 5 % 300 AS a, iid * 5 % 300 + iid % 7 AS b
+        |   FROM rj_intervals) i
+        |ON p.x >= i.a AND p.x <= i.b""".stripMargin
+    val fall0 = graft.plans.RewriteRangeJoin.sampleFallbackHits.get()
+    val df = spark.sql(q)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    assert(graft.plans.RewriteRangeJoin.sampleFallbackHits.get() > fall0)
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty)
+  }
+
   test("empty (inverted) intervals produce no rows instead of erroring") {
     val q =
       """SELECT pid, iid FROM rj_points p JOIN
