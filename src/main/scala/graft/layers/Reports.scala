@@ -248,6 +248,29 @@ object Reports {
           .otherwise("need_attention").as("rfm_segment"))
   }
 
+  /** Split-branch COUNT(DISTINCT) recombine — the shared shape behind
+    * [[partTypePerformance]] (see there for the why and the SF10 A/B),
+    * [[fulfillmentPriorityAnalysis]] and [[discountDepthAnalysis]]:
+    * appends order/customer distinct counts to a map-side `sums` branch via
+    * ONE narrow (gk…, order_key, customer_key) distinct. That distinct is
+    * order grain (customer_key is functional on order_key), so the row
+    * count IS the order count and the one remaining customer distinct
+    * takes Spark's two-phase no-Expand path. The recombine is NULL-SAFE
+    * (`<=>`) on every group key: a null group attribute forms a group in
+    * each branch and must survive exactly like a single-pass groupBy would
+    * have kept it. */
+  private def joinOrderCustomerDistincts(sums: DataFrame, items: DataFrame,
+      gk: Seq[String], orderAlias: String, customerAlias: String): DataFrame = {
+    val ordCust = items.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
+      .distinct()
+      .groupBy(gk.map(col): _*)
+      .agg(count(col("order_key")).as(orderAlias),
+        countDistinct(col("customer_key")).as(customerAlias))
+      .select(gk.map(c => col(c).as(s"oc_$c")) :+ col(orderAlias) :+ col(customerAlias): _*)
+    sums.join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+      .drop(gk.map(c => s"oc_$c"): _*)
+  }
+
   /** Reference models/reports/discount_depth_analysis.sql. */
   def discountDepthAnalysis(ctx: Ctx): DataFrame = {
     val items = Wh.fctOrdersItems(ctx).withColumn("discount_band",
@@ -256,10 +279,8 @@ object Reports {
         .when(col("discount_percentage") <= 0.06, "2_medium_4_6pct")
         .when(col("discount_percentage") <= 0.08, "3_high_7_8pct")
         .otherwise("4_deep_9pct_plus"))
-    // split-branch COUNT(DISTINCT) rewrite (see partTypePerformance): sums
-    // collapse map-side to the 5 bands; the counts come from one narrow
-    // (band, order_key, customer_key) distinct — order grain, so the row
-    // count is the order count and customer rides functionally on order
+    // split-branch COUNT(DISTINCT) rewrite (joinOrderCustomerDistincts):
+    // sums collapse map-side to the 5 bands; counts from the narrow distinct
     val sums = items.groupBy("discount_band").agg(
       count(lit(1)).as("line_item_count"),
       sum("quantity").cast("double").as("total_quantity"),
@@ -268,15 +289,8 @@ object Reports {
       sum(abs(col("item_discount_amount"))).cast("double").as("total_discount_given"),
       rnd(avgE(col("quantity")), 2).as("avg_quantity_per_item"),
       rnd(avgE(col("gross_item_sales_amount")), 2).as("avg_item_revenue"))
-    val ordCust = items.select("discount_band", "order_key", "customer_key")
-      .distinct()
-      .groupBy("discount_band")
-      .agg(count(col("order_key")).as("distinct_orders"),
-        countDistinct(col("customer_key")).as("distinct_customers"))
-      .select(col("discount_band").as("oc_discount_band"),
-        col("distinct_orders"), col("distinct_customers"))
-    val agg = sums.join(ordCust, col("discount_band") <=> col("oc_discount_band"))
-      .drop("oc_discount_band")
+    val agg = joinOrderCustomerDistincts(sums, items, Seq("discount_band"),
+      "distinct_orders", "distinct_customers")
     agg.withColumn("pct_of_items",
       rnd(dv(col("line_item_count"),
         sum("line_item_count").over(Window.partitionBy())) * 100, 2))
@@ -342,13 +356,7 @@ object Reports {
         count(lit(1))), 2).as("pct_within_7d"),
       rnd(dv(sum(when(col("fulfillment_days") <= 14, 1).otherwise(0)) * 100,
         count(lit(1))), 2).as("pct_within_14d"))
-    val ordCust = items.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
-      .distinct()
-      .groupBy(gk.map(col): _*)
-      .agg(count(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("customer_count"))
-      .select(gk.map(c => col(c).as(s"oc_$c")) :+ col("order_count") :+ col("customer_count"): _*)
-    sums.join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+    joinOrderCustomerDistincts(sums, items, gk, "order_count", "customer_count")
       .select(
         col("order_priority_code"), col("ship_mode_name"),
         col("line_item_count"), col("order_count"), col("customer_count"),
@@ -748,19 +756,12 @@ object Reports {
       rnd(avgE(col("discount_percentage")) * 100, 2).as("avg_discount_pct"),
       sum(col("gross_item_sales_amount") - col("supplier_cost_amount") * col("quantity"))
         .cast("double").as("total_profit"))
-    val ordCust = joined.select((gk :+ "order_key" :+ "customer_key").map(col): _*)
-      .distinct()
-      .groupBy(gk.map(col): _*)
-      .agg(count(col("order_key")).as("order_count"),
-        countDistinct(col("customer_key")).as("customer_count"))
-      .select(gk.map(c => col(c).as(s"oc_$c")) :+ col("order_count") :+ col("customer_count"): _*)
     val partCounts = fact.select("part_key").distinct()
       .join(dim, Seq("part_key"))
       .groupBy(gk.map(col): _*)
       .agg(count(lit(1)).as("part_count"))
       .select(gk.map(c => col(c).as(s"pc_$c")) :+ col("part_count"): _*)
-    sums
-      .join(ordCust, gk.map(c => col(c) <=> col(s"oc_$c")).reduce(_ && _))
+    joinOrderCustomerDistincts(sums, joined, gk, "order_count", "customer_count")
       .join(partCounts, gk.map(c => col(c) <=> col(s"pc_$c")).reduce(_ && _))
       .select(
         col("part_type_name"), col("part_brand_name"), col("size_category"),
