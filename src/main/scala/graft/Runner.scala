@@ -168,7 +168,14 @@ object Runner {
     val nodes = scala.collection.mutable.Map.empty[String, Future[Any]]
     val modelOrder = scala.collection.mutable.ArrayBuffer.empty[String]
     def after[A](deps: Seq[String])(body: => A): Future[A] =
-      Future.sequence(deps.map(nodes)).flatMap(_ => Future(body))
+      Future.sequence(deps.map(nodes)).flatMap(_ => Future {
+        // every node body tags its Spark jobs with this build's run id so a
+        // failing build can cancel the in-flight siblings (fail fast, and
+        // no job is left writing into outDir after buildAll returns)
+        ctx.spark.sparkContext.setJobGroup(runId, s"graft buildAll $runId",
+          interruptOnCancel = true)
+        try body finally ctx.spark.sparkContext.clearJobGroup()
+      })
     // plan CONSTRUCTION happens inside the node body (after deps), so a
     // child's plan always embeds the parent's post-write Store state —
     // the write-through swap (or cacheParents persist) its deps published
@@ -298,7 +305,22 @@ object Runner {
         }
       // (the final await below also covers rollup nodes nothing depends on)
 
-      Await.result(Future.sequence(nodes.values.toSeq), Duration.Inf)
+      scala.util.Try(
+        Await.result(Future.sequence(nodes.values.toSeq), Duration.Inf)) match {
+        case scala.util.Failure(e) =>
+          // a gate/model failed: Future.sequence fails fast while sibling
+          // nodes are still running. Cancel this build's in-flight jobs,
+          // then wait for EVERY node future to settle before rethrowing —
+          // otherwise the finally's Store.clear races live jobs and a
+          // background write can land in outDir after buildAll returned
+          // (callers delete outDir on failure).
+          scala.util.Try(ctx.spark.sparkContext.cancelJobGroup(runId))
+          Await.ready(Future.sequence(
+            nodes.values.toSeq.map(_.transform(scala.util.Success(_)))),
+            Duration.Inf)
+          throw e
+        case scala.util.Success(_) => ()
+      }
       buildLog(f"[build] +$rel%7.1f  === build complete (${modelOrder.size} models)")
       modelOrder.toSeq.map(n =>
         Await.result(nodes(n), Duration.Inf).asInstanceOf[BuildResult])

@@ -98,5 +98,22 @@ class RunnerSpec extends SparkSpec {
       assert(!new java.io.File(s"$out/$r/_SUCCESS").exists(),
         s"report $r materialized despite a failing schema gate")
     }
+    // buildAll must not RETURN (throw) while sibling node jobs are still
+    // running: outDir has to be quiescent — no background write may land
+    // after the failure surfaced (callers delete outDir on failure)
+    import scala.jdk.CollectionConverters._
+    def snapshot(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try s.iterator().asScala.map { p =>
+        val sz = if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.size(p) else 0L
+        s"$p:$sz"
+      }.toSet
+      finally s.close()
+    }
+    val before = snapshot()
+    Thread.sleep(2500)
+    assert(snapshot() == before,
+      "outDir changed after buildAll returned — an in-flight sibling kept writing")
   }
 }
