@@ -25,8 +25,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // memory-backed scratch (shuffle + spill), like BenchScale: this host's
     // disk is ~5x slower than tmpfs; model output still lands on disk
-    val scratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch")
-    new java.io.File(scratch).mkdirs()
+    val scratch = Scratch.resolve(Scratch.SweepFootprint)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

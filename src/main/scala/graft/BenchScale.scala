@@ -35,8 +35,9 @@ object BenchScale {
     // and a full SF10 build moves hundreds of GB of shuffle traffic. The
     // cluster analogue is NVMe/ramdisk-backed spark.local.dir — standard
     // practice, not a benchmark trick. Model OUTPUT still goes to real disk.
-    val scratch = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch")
-    new java.io.File(scratch).mkdirs()
+    // (guarded: falls back to disk temp when tmpfs lacks the headroom —
+    // see graft.Scratch)
+    val scratch = Scratch.resolve(Scratch.BuildFootprint)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -112,7 +113,12 @@ object BenchScale {
     // SF10-equivalent build (BENCH_SF10_REPLICA.json keys on this)
     val metric = synthSf.map(sf => s"build_sf$sf").getOrElse(
       if (copies == 100) "build_sf10_replica" else s"build_replica_x$copies")
-    println(s"""{"metric":"$metric","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"threads":$threads,"cache_parents":$cacheParents,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
+    // "metric_legacy" aliases the pre-r7 key (`build_sf1` for the default
+    // x10 replica) for one transition window, so external ledgers keying
+    // on the old name keep matching — rename documented in SCALE.md
+    val legacy = synthSf.map(_ => metric).getOrElse(
+      if (copies == 10) "build_sf1" else metric)
+    println(s"""{"metric":"$metric","metric_legacy":"$legacy","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"threads":$threads,"cache_parents":$cacheParents,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 

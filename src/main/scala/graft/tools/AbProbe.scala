@@ -15,7 +15,7 @@ object AbProbe {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
-      .config("spark.local.dir", "/dev/shm/graft-scratch")
+      .config("spark.local.dir", Scratch.resolve(Scratch.SweepFootprint))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val work = "/tmp/graft_sf10r"

@@ -11,7 +11,7 @@ object CodecProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.local.dir", "/dev/shm/graft-scratch")
+      .config("spark.local.dir", graft.Scratch.resolve(graft.Scratch.SweepFootprint))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = spark.read.parquet("/tmp/graft_sf10r/__build/fct_orders_items")
