@@ -26,15 +26,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    same partitions ABORTS with a conflict instead of silently dropping
   *    the other writer's work (the Delta/Iceberg write-conflict rule).
   *
-  * FS contract (stated, not assumed): the publish is a
-  * `FileContext.rename(tmp, dst, Rename.NONE)` — atomic and
-  * fail-if-exists on HDFS-semantics filesystems, which is the class this
-  * layer targets (same contract as Delta's HDFSLogStore). On
-  * LocalFileSystem the no-overwrite check is check-then-rename, so
-  * cross-PROCESS races have a TOCTOU window there; in-process racers
-  * (the tests, any single-driver deployment) are additionally serialized
-  * by a JVM lock. Object stores without atomic rename need an external
-  * log store — out of scope, documented.
+  * FS contract (stated, not assumed): on HDFS-semantics filesystems the
+  * publish is a `FileContext.rename(tmp, dst, Rename.NONE)` — atomic and
+  * fail-if-exists (same contract as Delta's HDFSLogStore). On `file:`
+  * paths rename-no-overwrite is check-then-rename (TOCTOU), so the local
+  * publish uses the POSIX atomic fail-if-exists primitive instead:
+  * `link(2)` via `Files.createLink` — two processes racing the same
+  * version cannot both win, and a crash leaves no lock to break (links
+  * need no cleanup protocol, unlike lock files). In-process racers are
+  * additionally serialized by a JVM lock (a fast path that avoids futile
+  * staging retries, no longer a correctness requirement). Object stores
+  * without atomic publish need an external log store — out of scope,
+  * documented.
   *
   * At 100 TB the manifest is metadata (file list), the data plane is
   * plain parquet in one hive tree (so a snapshot of any partition count
@@ -53,8 +56,13 @@ object Versioned {
     * correctly; readers never consume `part` at all (Spark decodes the
     * hive path fragments natively at scan time). */
   final case class FileEntry(file: String, part: Option[String])
+
+  /** `schema` is the full table schema DDL recorded at commit time, so a
+    * read never pays a footer-inference job (and an empty snapshot can
+    * still report its shape). None only on pre-r8 manifests. */
   final case class Manifest(version: Long, partCol: Option[String],
-      partType: Option[String], files: Seq[FileEntry])
+      partType: Option[String], files: Seq[FileEntry],
+      schema: Option[String] = None)
 
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
@@ -77,11 +85,13 @@ object Versioned {
   }
 
   // ---- manifest serialization: line-based, dependency-free ----
-  private def render(m: Manifest): String = {
+  private[graft] def render(m: Manifest): String = {
     val head = Seq(
       s"version=${m.version}",
       s"partCol=${m.partCol.getOrElse("")}",
-      s"partType=${m.partType.getOrElse("")}")
+      s"partType=${m.partType.getOrElse("")}") ++
+      // DDL is single-line; key absent entirely on None (pre-r8 manifests)
+      m.schema.map(s => s"schema=$s")
     // '\u0001' separator: never appears in hive-ESCAPED dir fragments
     // (escapePathName percent-encodes control chars)
     val files = m.files.map(f => s"file=${f.file}\u0001${f.part.getOrElse("")}")
@@ -100,7 +110,8 @@ object Versioned {
     }
     Manifest(kv("version").toLong,
       Option(kv("partCol")).filter(_.nonEmpty),
-      Option(kv("partType")).filter(_.nonEmpty), files)
+      Option(kv("partType")).filter(_.nonEmpty), files,
+      Option(kv("schema")).filter(_.nonEmpty))
   }
 
   def readManifest(spark: SparkSession, path: String,
@@ -117,19 +128,47 @@ object Versioned {
     } finally in.close()
   }
 
-  // serializes in-process committers per table path (LocalFileSystem's
-  // no-overwrite rename is check-then-act; see the FS contract above)
+  // serializes in-process committers per table path — a fast path that
+  // avoids futile publish retries; cross-process safety comes from the
+  // atomic publish primitive itself (see the FS contract above)
   private val localLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Commit via tmp-write + no-overwrite rename; on a lost race (version
-    * taken), recompute against the NEW latest and retry. `build` receives
-    * the previous manifest (None for a fresh table) and returns the new
-    * file list + partition metadata — or throws
-    * [[CommitConflictException]] if the new tip conflicts with what the
-    * caller staged. */
+  // test hook: runs after the tmp manifest is written, before the publish
+  // — lets a spec inject a competing committer ("another process") at
+  // exactly the contested version, deterministically exercising the
+  // lost-race path through the real publish primitive
+  private[graft] var raceInjector: Option[(String, Long) => Unit] = None
+
+  /** Atomic fail-if-exists publish of `tmp` as `dst`. HDFS-semantics
+    * filesystems: rename with `Rename.NONE`. `file:` paths: `link(2)` via
+    * `Files.createLink` — POSIX-atomic and EEXIST-failing, closing the
+    * check-then-rename TOCTOU window LocalFileSystem has (and leaving no
+    * crash-orphaned lock to break). Throws a FileAlreadyExists-family
+    * exception when `dst` is already taken. */
+  private def publishNoOverwrite(spark: SparkSession, fs: FileSystem,
+      tmp: Path, dst: Path): Unit = {
+    val qTmp = fs.makeQualified(tmp)
+    if (Option(dst.toUri.getScheme).forall(_ == "file")) {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(qTmp.toUri.getPath))
+      fs.delete(tmp, false)
+      ()
+    } else
+      FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(qTmp, dst, Options.Rename.NONE)
+  }
+
+  /** Commit via tmp-write + atomic no-overwrite publish; on a lost race
+    * (version taken), recompute against the NEW latest and retry. `build`
+    * receives the previous manifest (None for a fresh table) and returns
+    * the new file list, partition metadata and table schema DDL — or
+    * throws [[CommitConflictException]] if the new tip conflicts with
+    * what the caller staged. */
   private def commit(spark: SparkSession, path: String)(
-      build: Option[Manifest] => (Seq[FileEntry], Option[String], Option[String])): Long = {
+      build: Option[Manifest] =>
+        (Seq[FileEntry], Option[String], Option[String], Option[String])): Long = {
     val fs = fsOf(spark, path)
     fs.mkdirs(logDir(path))
     val lock = localLocks.getOrElseUpdate(
@@ -140,20 +179,18 @@ object Versioned {
       val won = lock.synchronized {
         val prevV = latestVersion(spark, path)
         val prev = prevV.map(v => readManifest(spark, path, Some(v)))
-        val (files, pc, pt) = build(prev)
+        val (files, pc, pt, ddl) = build(prev)
         val next = prevV.getOrElse(-1L) + 1
-        val m = Manifest(next, pc, pt, files)
+        val m = Manifest(next, pc, pt, files, ddl)
         val tmp = new Path(logDir(path),
           s".v$next-${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
         try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        // the atomic publish: rename with Rename.NONE fails (instead of
-        // overwriting) if a concurrent committer already took v<next>
+        raceInjector.foreach(f => f(path, next))
         val dst = fs.makeQualified(new Path(logDir(path), f"v$next%08d.manifest"))
         try {
-          FileContext.getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(fs.makeQualified(tmp), dst, Options.Rename.NONE)
+          publishNoOverwrite(spark, fs, tmp, dst)
           Some(next)
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -210,6 +247,7 @@ object Versioned {
   def write(df: DataFrame, path: String, mode: String = "overwrite",
       partitionBy: Option[String] = None): Long = {
     val partType = partitionBy.map(pc => df.schema(pc).dataType.sql)
+    val ddl = df.schema.toDDL
     val staged = stage(df, path, partitionBy)
     commit(df.sparkSession, path) { prev =>
       val kept = mode match {
@@ -218,7 +256,7 @@ object Versioned {
         case other => sys.error(s"unknown mode $other")
       }
       (kept ++ staged, partitionBy.orElse(prev.flatMap(_.partCol)),
-        partType.orElse(prev.flatMap(_.partType)))
+        partType.orElse(prev.flatMap(_.partType)), Some(ddl))
     }
   }
 
@@ -254,7 +292,7 @@ object Versioned {
             s"concurrently since version ${base.map(_.version).getOrElse(-1L)}")
       val kept = prev.map(_.files).getOrElse(Nil)
         .filterNot(f => f.part.exists(replaced.contains))
-      (kept ++ staged, Some(partCol), Some(partType))
+      (kept ++ staged, Some(partCol), Some(partType), Some(df.schema.toDDL))
     }
   }
 
@@ -269,19 +307,30 @@ object Versioned {
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val m = readManifest(spark, path, version)
-    require(m.files.nonEmpty, s"version ${m.version} of $path is empty")
+    require(m.files.nonEmpty,
+      s"version ${m.version} of $path is an empty snapshot (no data files); " +
+        s"schema: ${m.schema.getOrElse("<unrecorded>")}")
     def abs(f: FileEntry) = s"$path/${f.file}"
+    // commit-time recorded schema: no footer-inference job on read. The
+    // head-file inference remains only for pre-r8 manifests.
+    def recorded: Option[StructType] =
+      m.schema.map(ddl => DataType.fromDDL(ddl).asInstanceOf[StructType])
     (m.partCol, m.partType) match {
       case (Some(pc), Some(pt)) =>
-        val dataSchema = spark.read.parquet(abs(m.files.head)).schema
-        val full = StructType(dataSchema.fields.filterNot(_.name == pc) :+
-          org.apache.spark.sql.types.StructField(pc, DataType.fromDDL(pt)))
+        val full = recorded.getOrElse {
+          val dataSchema = spark.read.parquet(abs(m.files.head)).schema
+          StructType(dataSchema.fields.filterNot(_.name == pc) :+
+            org.apache.spark.sql.types.StructField(pc, DataType.fromDDL(pt)))
+        }
         spark.read
           .option("basePath", s"$path/data")
           .schema(full)
           .parquet(m.files.map(abs): _*)
       case _ =>
-        spark.read.parquet(m.files.map(abs): _*)
+        recorded match {
+          case Some(s) => spark.read.schema(s).parquet(m.files.map(abs): _*)
+          case None => spark.read.parquet(m.files.map(abs): _*)
+        }
     }
   }
 

@@ -33,6 +33,53 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, t).select("tag").distinct().head().getLong(0) == 2L)
   }
 
+  test("cross-process publish race: loser retries against the winner's tip, nothing lost") {
+    // the in-process JVM lock cannot serialize another PROCESS — simulate
+    // one by injecting a competing manifest at exactly the contested
+    // version, between the loser's tmp write and its publish. The publish
+    // primitive (hard link on file:, atomic fail-if-exists) must reject
+    // the loser, which then retries against the injected tip.
+    val t = java.nio.file.Files.createTempDirectory("vtabrace").toString
+    Versioned.write(df(0), t) // v0
+    var injected = false
+    Versioned.raceInjector = Some { (path, next) =>
+      Versioned.raceInjector = None // fire once
+      injected = true
+      assert(next == 1L)
+      // "other process" publishes v1 re-pointing at v0's files (tag=0)
+      val m0 = Versioned.readManifest(spark, path, Some(0L))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/_log/v00000001.manifest"),
+        Versioned.render(m0.copy(version = 1L))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val v = try Versioned.write(df(2, 30), t, mode = "append")
+    finally Versioned.raceInjector = None
+    assert(injected)
+    assert(v == 2L, s"loser must land AFTER the injected tip, got v$v")
+    // the winner's v1 is intact (100 tag=0 rows), and the retried append
+    // built on it: v2 = winner's files + the loser's 30 tag=2 rows
+    assert(Versioned.read(spark, t, Some(1L)).count() == 100)
+    assert(Versioned.read(spark, t).count() == 130)
+    assert(Versioned.read(spark, t).filter(col("tag") === 2).count() == 30)
+  }
+
+  test("reads resolve the schema from the manifest — no footer-inference job") {
+    val t = java.nio.file.Files.createTempDirectory("vtabschema").toString
+    Versioned.write(df(0), t, partitionBy = Some("dt"))
+    val m = Versioned.readManifest(spark, t)
+    assert(m.schema.exists(_.contains("k BIGINT")), m.schema)
+    // analysis of the read (schema resolution) must launch zero Spark jobs
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val read = Versioned.read(spark, t)
+    read.schema // force analysis
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"schema resolution launched ${after - before} job(s) — footer inference leaked back in")
+    assert(read.schema("dt").dataType.sql == "DATE")
+    assert(read.count() == 100)
+  }
+
   test("staged-but-uncommitted files are invisible (snapshot isolation)") {
     val t = java.nio.file.Files.createTempDirectory("vtab2").toString
     Versioned.write(df(0), t)
