@@ -1582,11 +1582,19 @@ object Registry {
          |ORDER BY is_positive DESC, vec_a, vec_b""".stripMargin),
     "ann_lsh_buckets_wide" -> e(
       ctx => extensions.Similarity.annLshBucketsWide(ctx).orderBy("vec_a", "vec_b"),
-      s""", r_embw AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
-         |    ${(0 until 16).map(j =>
-              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 13 - 6 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
-              .mkString(" || ")} AS bucket
+      // occupancy-adaptive grid: 24-bit / mod-23 signature truncated to
+      // b = clamp(8..24, ceil(log2(N/16))) — the same formula the Spark
+      // side computes, so the gate verifies the adaptive re-grid itself
+      s""", r_embw_all AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
+         |    substr(${(0 until 24).map(j =>
+              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 23 - 11 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
+              .mkString(" || ")}, 1,
+         |      (SELECT GREATEST(8, LEAST(24, CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS INT)))
+         |       FROM embeddings)) AS bucket
          |  FROM embeddings)
+         |, r_embw AS (SELECT vec_id, label, ed, bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |    FROM r_embw_all) WHERE rn <= 128)
          |SELECT * FROM (
          |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    a.label AS label_a, b.label AS label_b,

@@ -72,22 +72,54 @@ object Similarity {
   def annLshBuckets(ctx: Ctx): DataFrame =
     annLshBucketsWith(ctx, bucketExpr)
 
-  /** [[annLshBuckets]] with a 16-bit / mod-13 signature — 13 effective
-    * hyperplanes instead of 7 (the default grid repeats bits past j=6), so
-    * bucket occupancy drops ~2^6× and the candidate-pair count stops
-    * growing quadratically at corpus scale: the same occupancy-scaling fix
-    * the 64-bit SimHash widening applied to near-dup chunk dedup. Shipped
-    * as its own verified query (the 8-bit original stays the
-    * high-recall/verification configuration; production picks bits ≈
-    * log2(N / target bucket size)). */
-  def annLshBucketsWide(ctx: Ctx): DataFrame =
-    annLshBucketsWith(ctx, expr("lsh_sign(embedding, 16, 13)"))
+  /** [[annLshBuckets]] hardened for corpus scale, two mechanisms:
+    *
+    *  1. OCCUPANCY-ADAPTIVE grid: a 24-bit / mod-23 signature (23 distinct
+    *     hyperplanes — the weight pattern repeats with period `mod` in j)
+    *     truncated to b = clamp(8..24, ⌈log2(N / 16)⌉) bits, from one
+    *     scalar COUNT broadcast onto the scan (no collect). More data ⇒
+    *     finer grid, so DISPERSED corpora keep ~16 expected occupancy.
+    *  2. Per-bucket member CAP (first 128 by vec_id, rank via one
+    *     bucket-partitioned row_number): hyperplanes cannot split a TIGHT
+    *     cluster — its members share every sign, so its pair output is
+    *     quadratic in cluster size no matter how many bits the grid has.
+    *     Measured on the synth corpus (10 planted megaclusters,
+    *     tools/LshProbe): full output 54.0M pairs at SF2 → 1.184B at SF10
+    *     (quadratic, 22× on 5× data — this was r7's super-linear
+    *     `ann_lsh_buckets_wide` leg); capped output 192k → 330k (1.7× on
+    *     5× data, bounded by buckets × cap²/2). The cap is the standard
+    *     production bucket-size limit (FAISS max bucket): for dedup /
+    *     graph seeding a cluster needs REPRESENTATIVE pairs, not all
+    *     |C|²/2 of them — exhaustive within-cluster enumeration stays
+    *     available on the uncapped 8-bit [[annLshBuckets]] leg.
+    *
+    * Both mechanisms run identically in the DuckDB oracle, so the
+    * correctness gate verifies the adaptive grid and the cap themselves. */
+  def annLshBucketsWide(ctx: Ctx): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    graft.functions.LshSign.register(ctx.spark)
+    val bits = ctx.tbl("embeddings").agg(
+      greatest(lit(8), least(lit(24),
+        ceil(log2(count(lit(1)) / lit(16.0))).cast("int"))).as("__b"))
+    val e = ctx.tbl("embeddings")
+      .crossJoin(broadcast(bits))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        expr("substring(lsh_sign(embedding, 24, 23), 1, __b)").as("bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      .filter(col("__rn") <= 128).drop("__rn")
+    pairsWithCosine(e)
+  }
 
   private def annLshBucketsWith(ctx: Ctx, bucket: Column): DataFrame = {
     graft.functions.CosineSim.register(ctx.spark)
     graft.functions.LshSign.register(ctx.spark)
     val e = ctx.tbl("embeddings").select(
       col("vec_id"), col("embedding"), col("label"), bucket.as("bucket"))
+    pairsWithCosine(e)
+  }
+
+  private def pairsWithCosine(e: DataFrame): DataFrame = {
     bucketSelfPairs(e)
       .select(
         col("bucket"),
