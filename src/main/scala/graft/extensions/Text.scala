@@ -497,36 +497,99 @@ object Text {
         col("bucket_keep_doc_id"))
   }
 
-  /** SimHash near-duplicate pairs within Hamming distance 2, found without
-    * an all-pairs scan: split the 64-bit signature into 3 chunks (22/21/21);
-    * by pigeonhole any pair within distance 2 agrees on at least one chunk,
-    * so a single (chunk_idx, chunk_val) self-join generates all candidates
-    * (multi-index Hamming join). Chunk domains of 2^21+ mean an average
-    * bucket holds O(1) docs even at millions of documents — the candidate
-    * set stays proportional to TRUE near-dups, not to corpus size squared.
-    * Distance is computed by the native codegen'd
-    * [[graft.functions.BitHamming]] expression. */
+  /** SimHash near-duplicate pairs within Hamming distance `maxDist`,
+    * found without an all-pairs scan.
+    *
+    * For the contract distance (≤ 2) the candidate step runs at the
+    * DISTINCT-SIGNATURE level via MEET-IN-THE-MIDDLE bit-flip expansion:
+    * each distinct signature emits itself plus its 64 one-bit flips; two
+    * signatures at distance 2 collide on a shared midpoint variant (flip
+    * one differing bit on each side), distance 1 collides flip-vs-exact —
+    * and, decisively, EVERY collision is a true ≤2 pair (|α|,|β| ≤ 1 ⇒
+    * d(X,Y) ≤ 2), so there is no far-candidate verification mass at all.
+    * This replaced the r7 chunk-pigeonhole join whose (chunk_idx,
+    * chunk_val) buckets went quadratic on template-concentrated corpora:
+    * measured with `tools/SimhashProbe` at synth SF100 (5M docs), 63 953
+    * docs shared one 21-bit chunk and candidate mass was 38.4B pairs
+    * (one reduce task burned 24 min before the leg was killed) vs a true
+    * output floor of ~1M pairs. Flip expansion is 65 rows per DISTINCT
+    * signature (4.57M at SF100), joined on the full variant key where a
+    * bucket is the set of signatures inside a radius-1 Hamming ball —
+    * sparse even when 22-bit subspaces are hot (signatures concentrate in
+    * clusters of radius ~10, so radius-1 balls hold O(1) of them). Doc
+    * pairs then expand from verified signature pairs only: identical-sig
+    * groups pair within themselves (≤215 docs at SF100), cross-sig pairs
+    * join each side's doc list. Other `maxDist` values keep the
+    * 22/21/21-chunk pigeonhole join (exact for ≤ 2 chunks' worth of
+    * error; its bucket skew returns, documented trade). Distance comes
+    * from the native codegen'd [[graft.functions.BitHamming]]. */
   def dedupSimhashNear(ctx: Ctx, maxDist: Int = 2): DataFrame = {
     graft.functions.BitHamming.register(ctx.spark)
     val sim = simhashes(ctx)
-    val chunks = sim.select(col("doc_id"), col("simhash"), expr(
-      """stack(3,
-        |  0, substring(simhash, 1, 22),
-        |  1, substring(simhash, 23, 21),
-        |  2, substring(simhash, 44, 21)) AS (chunk_idx, chunk_val)""".stripMargin))
-    val cands = chunks
-      .select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      .join(chunks.select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
-        Seq("chunk_idx", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
-    cands
-      .withColumn("hamming", expr("bit_hamming(sim_a, sim_b)"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("sim_a").as("simhash_a"),
-        col("sim_b").as("simhash_b"), col("hamming"))
+    if (maxDist == 2) {
+      // ---- signature-level meet-in-the-middle (exact for d <= 2) ----
+      val sigs = sim.select("simhash").distinct()
+      // j = 0 keeps the signature itself; j in 1..64 flips bit j
+      val variants = sigs
+        .select(col("simhash"), explode(expr("sequence(0, 64)")).as("j"))
+        .select(col("simhash"), when(col("j") === 0, col("simhash"))
+          .otherwise(expr(
+            """concat(substring(simhash, 1, j - 1),
+              |  case when substring(simhash, j, 1) = '1' then '0' else '1' end,
+              |  substring(simhash, j + 1, 64 - j))""".stripMargin))
+          .as("variant"))
+      val sigPairs = variants.select(col("variant"), col("simhash").as("sig_a"))
+        .join(variants.select(col("variant"), col("simhash").as("sig_b")),
+          Seq("variant"))
+        .filter(col("sig_a") < col("sig_b"))
+        .select("sig_a", "sig_b").distinct()
+        .withColumn("hamming", expr("bit_hamming(sig_a, sig_b)"))
+        .filter(col("hamming") <= maxDist) // collisions are all <= 2; kept as the documented invariant
+      // doc expansion: cross-sig pairs from each side's doc list …
+      val cross = sigPairs
+        .join(sim.select(col("doc_id").as("da"), col("simhash").as("sig_a")),
+          Seq("sig_a"))
+        .join(sim.select(col("doc_id").as("db"), col("simhash").as("sig_b")),
+          Seq("sig_b"))
+        .select(
+          least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          when(col("da") < col("db"), col("sig_a")).otherwise(col("sig_b"))
+            .as("simhash_a"),
+          when(col("da") < col("db"), col("sig_b")).otherwise(col("sig_a"))
+            .as("simhash_b"),
+          col("hamming"))
+      // … plus distance-0 pairs within each identical-signature group
+      val d0 = sim.select(col("doc_id").as("doc_a"), col("simhash"))
+        .join(sim.select(col("doc_id").as("doc_b"), col("simhash")),
+          Seq("simhash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("simhash").as("simhash_a"),
+          col("simhash").as("simhash_b"), lit(0).as("hamming"))
+      cross.unionByName(d0)
+    } else {
+      // pigeonhole chunk join: any pair within distance 2·#chunks-... —
+      // exact for maxDist <= 2; retained as the generic path for other
+      // tolerances at the cost of chunk-bucket skew on concentrated data
+      val chunks = sim.select(col("doc_id"), col("simhash"), expr(
+        """stack(3,
+          |  0, substring(simhash, 1, 22),
+          |  1, substring(simhash, 23, 21),
+          |  2, substring(simhash, 44, 21)) AS (chunk_idx, chunk_val)""".stripMargin))
+      val cands = chunks
+        .select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        .join(chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+          Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
+      cands
+        .withColumn("hamming", expr("bit_hamming(sim_a, sim_b)"))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("sim_a").as("simhash_a"),
+          col("sim_b").as("simhash_b"), col("hamming"))
+    }
   }
 
   /** N-gram Jaccard near-dup with LSH blocking WITHIN the source key:
