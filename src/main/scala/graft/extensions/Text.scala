@@ -528,21 +528,34 @@ object Text {
     val sim = simhashes(ctx)
     if (maxDist == 2) {
       // ---- signature-level meet-in-the-middle (exact for d <= 2) ----
-      val sigs = sim.select("simhash").distinct()
-      // j = 0 keeps the signature itself; j in 1..64 flips bit j
+      // Signatures travel as TWO 32-bit longs, not 64-char strings: the
+      // variant self-join is the big shuffle (65 rows per distinct sig)
+      // and the long encoding is ~5x narrower per row — at SF100 the
+      // string form spilled ~90 GB and filled the scratch disk.
+      val sigs = sim.select("simhash").distinct().select(
+        expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").as("hi"),
+        expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").as("lo"))
+      // j = 0 keeps the signature itself; j in 1..32 flips a hi bit,
+      // 33..64 a lo bit
       val variants = sigs
-        .select(col("simhash"), explode(expr("sequence(0, 64)")).as("j"))
-        .select(col("simhash"), when(col("j") === 0, col("simhash"))
-          .otherwise(expr(
-            """concat(substring(simhash, 1, j - 1),
-              |  case when substring(simhash, j, 1) = '1' then '0' else '1' end,
-              |  substring(simhash, j + 1, 64 - j))""".stripMargin))
-          .as("variant"))
-      val sigPairs = variants.select(col("variant"), col("simhash").as("sig_a"))
-        .join(variants.select(col("variant"), col("simhash").as("sig_b")),
-          Seq("variant"))
-        .filter(col("sig_a") < col("sig_b"))
-        .select("sig_a", "sig_b").distinct()
+        .select(col("hi"), col("lo"), explode(expr("sequence(0, 64)")).as("j"))
+        .select(
+          when(col("j").between(1, 32),
+            expr("hi ^ shiftleft(1L, 32 - j)")).otherwise(col("hi")).as("vhi"),
+          when(col("j") >= 33,
+            expr("lo ^ shiftleft(1L, 64 - j)")).otherwise(col("lo")).as("vlo"),
+          col("hi"), col("lo"))
+      val colliding = variants
+        .select(col("vhi"), col("vlo"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+        .join(variants
+          .select(col("vhi"), col("vlo"), col("hi").as("hi_b"), col("lo").as("lo_b")),
+          Seq("vhi", "vlo"))
+        .filter(struct(col("hi_a"), col("lo_a")) < struct(col("hi_b"), col("lo_b")))
+        .select("hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      def sigStr(hi: String, lo: String) =
+        concat(lpad(bin(col(hi)), 32, "0"), lpad(bin(col(lo)), 32, "0"))
+      val sigPairs = colliding
+        .select(sigStr("hi_a", "lo_a").as("sig_a"), sigStr("hi_b", "lo_b").as("sig_b"))
         .withColumn("hamming", expr("bit_hamming(sig_a, sig_b)"))
         .filter(col("hamming") <= maxDist) // collisions are all <= 2; kept as the documented invariant
       // doc expansion: cross-sig pairs from each side's doc list …
