@@ -519,14 +519,57 @@ object Text {
     * clusters of radius ~10, so radius-1 balls hold O(1) of them). Doc
     * pairs then expand from verified signature pairs only: identical-sig
     * groups pair within themselves (≤215 docs at SF100), cross-sig pairs
-    * join each side's doc list. Other `maxDist` values keep the
-    * 22/21/21-chunk pigeonhole join (exact for ≤ 2 chunks' worth of
-    * error; its bucket skew returns, documented trade). Distance comes
-    * from the native codegen'd [[graft.functions.BitHamming]]. */
+    * join each side's doc list.
+    *
+    * The path is chosen COST-BASED at declaration: one aggregation over
+    * the persisted signature relation computes the chunk join's true
+    * candidate mass Σ occ·(occ−1)/2, and the flip expansion (a fixed
+    * 65-rows-per-distinct-signature cost — slower at small N) engages
+    * only above `spark.graft.simhash.maxChunkPairs` (default 500M; synth
+    * SF10 mass 386M → chunk join 24 s vs flip 56 s, SF100 mass 38.4B →
+    * chunk join unbounded vs flip 135 s). Both paths are exact, so the
+    * choice never changes the result. Other `maxDist` values always use
+    * the chunk join (exact for ≤ 2 chunks' worth of error). Distance
+    * comes from the native codegen'd [[graft.functions.BitHamming]]. */
   def dedupSimhashNear(ctx: Ctx, maxDist: Int = 2): DataFrame = {
     graft.functions.BitHamming.register(ctx.spark)
     val sim = simhashes(ctx)
-    if (maxDist == 2) {
+    // Cost-based path choice (both paths are EXACT — same result set):
+    // the chunk join's cost is the candidate-pair mass Σ occ·(occ−1)/2
+    // over its (chunk_idx, chunk_val) buckets (measured ~25M pairs/s,
+    // skew-bound above ~half a billion), while the flip path pays a
+    // fixed 65-variants-per-distinct-signature expansion that only wins
+    // once the mass explodes (synth SF10: mass 386M → chunk join 24 s vs
+    // flip 56 s; SF100: mass 38.4B → chunk join unbounded vs flip 135 s).
+    // One aggregation over the persisted signature relation decides —
+    // the same bounded planning-cost pattern as RangeJoinRule's width
+    // derivation. Override with spark.graft.simhash.maxChunkPairs.
+    val chunks = sim.select(col("doc_id"), col("simhash"), expr(
+      """stack(3,
+        |  0, substring(simhash, 1, 22),
+        |  1, substring(simhash, 23, 21),
+        |  2, substring(simhash, 44, 21)) AS (chunk_idx, chunk_val)""".stripMargin))
+    def chunkJoinPath: DataFrame = {
+      val cands = chunks
+        .select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        .join(chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+          Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
+      cands
+        .withColumn("hamming", expr("bit_hamming(sim_a, sim_b)"))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("sim_a").as("simhash_a"),
+          col("sim_b").as("simhash_b"), col("hamming"))
+    }
+    val maxChunkPairs = ctx.spark.conf
+      .get("spark.graft.simhash.maxChunkPairs", "500000000").toLong
+    lazy val mass = chunks.groupBy("chunk_idx", "chunk_val")
+      .agg(count(lit(1)).as("o"))
+      .agg(sum(expr("o * (o - 1) div 2"))).head().getLong(0)
+    if (maxDist == 2 && mass > maxChunkPairs) {
       // ---- signature-level meet-in-the-middle (exact for d <= 2) ----
       // Signatures travel as TWO 32-bit longs, not 64-char strings: the
       // variant self-join is the big shuffle (65 rows per distinct sig)
@@ -580,29 +623,7 @@ object Text {
         .select(col("doc_a"), col("doc_b"), col("simhash").as("simhash_a"),
           col("simhash").as("simhash_b"), lit(0).as("hamming"))
       cross.unionByName(d0)
-    } else {
-      // pigeonhole chunk join: any pair within distance 2·#chunks-... —
-      // exact for maxDist <= 2; retained as the generic path for other
-      // tolerances at the cost of chunk-bucket skew on concentrated data
-      val chunks = sim.select(col("doc_id"), col("simhash"), expr(
-        """stack(3,
-          |  0, substring(simhash, 1, 22),
-          |  1, substring(simhash, 23, 21),
-          |  2, substring(simhash, 44, 21)) AS (chunk_idx, chunk_val)""".stripMargin))
-      val cands = chunks
-        .select(col("chunk_idx"), col("chunk_val"),
-          col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-        .join(chunks.select(col("chunk_idx"), col("chunk_val"),
-          col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
-          Seq("chunk_idx", "chunk_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "sim_a", "doc_b", "sim_b").distinct()
-      cands
-        .withColumn("hamming", expr("bit_hamming(sim_a, sim_b)"))
-        .filter(col("hamming") <= maxDist)
-        .select(col("doc_a"), col("doc_b"), col("sim_a").as("simhash_a"),
-          col("sim_b").as("simhash_b"), col("hamming"))
-    }
+    } else chunkJoinPath // small mass, or a maxDist the flip path doesn't cover
   }
 
   /** N-gram Jaccard near-dup with LSH blocking WITHIN the source key:

@@ -43,4 +43,23 @@ class BitHammingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(near == brute, s"multi-index missed ${(brute -- near).size} pairs")
   }
+
+  test("cost-based path choice: flip path and chunk path agree exactly") {
+    // dedupSimhashNear picks chunk-join vs meet-in-the-middle from the
+    // measured candidate mass; both must be EXACT, so forcing each via the
+    // threshold conf must yield the same (doc_a, doc_b, hamming) set
+    BitHamming.register(spark)
+    def pairs() = extensions.Text.dedupSimhashNear(ctx)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val key = "spark.graft.simhash.maxChunkPairs"
+    spark.conf.set(key, Long.MaxValue.toString) // mass never exceeds: chunk join
+    val chunk = pairs()
+    spark.conf.set(key, "0")                    // mass always exceeds: flip path
+    val flip =
+      try pairs()
+      finally spark.conf.unset(key)
+    assert(flip == chunk,
+      s"path disagreement: flip-only ${(flip -- chunk).size}, chunk-only ${(chunk -- flip).size}")
+  }
 }
