@@ -147,9 +147,19 @@ object Lake {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return Nil
+    // Data files live at the LEAF of the hive-style directory tree: descend
+    // through any nested `k=v` levels under each `dateCol=` dir so layouts
+    // like dateCol=…/source=… compact per-leaf instead of silently no-oping
+    // (single-level layouts see exactly the old behavior).
+    def leaves(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val subs = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(dir) else subs.flatMap(s => leaves(s.getPath))
+    }
     val fragmented = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dateCol="))
-      .map(s => (s.getPath, fs.listStatus(s.getPath)
+      .flatMap(s => leaves(s.getPath))
+      .map(p => (p, fs.listStatus(p)
         .filter(_.getPath.getName.endsWith(".parquet"))))
       .collect { case (p, files) if files.length >= minFiles =>
         (p, files.map(_.getLen).sum)
@@ -174,7 +184,10 @@ object Lake {
       }
       fs.delete(bak, true)
     }
-    fragmented.map(_._1.getName)
+    // root-relative names so nested leaves stay unambiguous
+    // ("dt=…/source=…"); single-level layouts still read as before
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    fragmented.map(_._1.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
   }
 
   /** Keyed MERGE INTO (upsert) for a partitioned parquet lake — the late-

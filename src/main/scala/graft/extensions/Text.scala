@@ -63,7 +63,7 @@ object Text {
     * instead of re-running it per plan branch. Array length is bounded by
     * document length, not corpus size; a cluster-scale run would back this
     * with a bucketed write instead of an in-memory persist. */
-  private def shingleArr(ctx: Ctx): DataFrame =
+  private[graft] def shingleArr(ctx: Ctx): DataFrame =
     graft.Store.memo(ctx, "doc_shingle_sets") {
       graft.Store.track(ctx.spark,
         shingleSet(ctx).groupBy("doc_id")

@@ -122,4 +122,33 @@ class LakeLayoutSpec extends AnyFunSuite {
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(coldFiles.forall(_ == 1))
   }
+
+  test("compactFragmented descends nested hive partitions to the leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_nest").toString
+    // src must vary WITHIN a date (dt is id%8, so use a modulus coprime
+    // to 8) or the sibling-leaf assertions have nothing to check
+    val tagged = events.withColumn("src",
+      when(col("event_id") % 3 === 0, "web").otherwise("app"))
+    // fragment exactly one (dt, src) leaf; every other leaf stays 1 file
+    val hot = tagged.filter(col("dt") === lit(java.sql.Date.valueOf("2024-01-03"))
+      && col("src") === "web")
+    val cold = tagged.filter(!(col("dt") === lit(java.sql.Date.valueOf("2024-01-03"))
+      && col("src") === "web"))
+    cold.coalesce(1).write.mode("overwrite").partitionBy("dt", "src").parquet(dir)
+    hot.repartition(8).write.mode("append").partitionBy("dt", "src").parquet(dir)
+    val checksumBefore = spark.read.parquet(dir)
+      .select(xxhash64(col("event_id"), col("user_id"), col("value")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    val done = Lake.compactFragmented(spark, dir, "dt", minFiles = 4)
+    assert(done == Seq("dt=2024-01-03/src=web"), s"compacted: $done")
+    val leaf = new java.io.File(s"$dir/dt=2024-01-03/src=web")
+    assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    val checksumAfter = spark.read.parquet(dir)
+      .select(xxhash64(col("event_id"), col("user_id"), col("value")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(checksumAfter == checksumBefore, "compaction changed the row multiset")
+    // sibling leaf of the same date untouched
+    val sibling = new java.io.File(s"$dir/dt=2024-01-03/src=app")
+    assert(sibling.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
