@@ -1114,6 +1114,16 @@ object Registry {
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE [] END) AS shingle
        |    FROM r_toks) u)""".stripMargin
+  /** 16 min-hash columns h0..h15 from FOUR md5 digests per shingle (four
+    * 8-hex-char slices each) — lockstep twin of extensions.Text.minhash16;
+    * see there for the why (the digest pass dominated the SF100 dedup leg). */
+  private val duckSig16Body: String = {
+    val mh = (0 until 4).map(j => s"md5('$j|' || shingle)").mkString(" || ")
+    s"""SELECT doc_id,
+       |    ${(0 until 16).map(i =>
+            s"MIN(substring(mh, ${8 * i + 1}, 8)) AS h$i").mkString(",\n    ")}
+       |  FROM (SELECT doc_id, $mh AS mh FROM r_sh) GROUP BY 1""".stripMargin
+  }
   private val duckSimhashCtes = {
     // 64-bit signature in lockstep with Text.simhashes: bit j votes by bit
     // (j%4) of md5 hex digit (j/4), each bit an IN-list over the digit char
@@ -1135,9 +1145,7 @@ object Registry {
     * extensions.Text.dedupClusters' label-propagation fixpoint; requires a
     * WITH RECURSIVE prefix (Oracle.qr). */
   private val duckClusterCtes =
-    s""", r_csig AS (SELECT doc_id,
-       |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-       |  FROM r_sh GROUP BY 1)
+    s""", r_csig AS ($duckSig16Body)
        |, r_cband AS (
        |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_csig
        |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_csig
@@ -1285,9 +1293,7 @@ object Registry {
     "dedup_minhash_lsh" -> e(
       ctx => extensions.Text.dedupMinhashLsh(ctx).orderBy("doc_a", "doc_b"),
       s"""$duckTokCtes
-         |, r_sig AS (SELECT doc_id,
-         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-         |  FROM r_sh GROUP BY 1)
+         |, r_sig AS ($duckSig16Body)
          |, r_bandrows AS (
          |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
          |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
@@ -1316,9 +1322,7 @@ object Registry {
     "dedup_incremental" -> e(
       ctx => extensions.Text.dedupIncremental(ctx).orderBy("doc_id"),
       s"""$duckTokCtes
-         |, r_sig AS (SELECT doc_id,
-         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-         |  FROM r_sh GROUP BY 1)
+         |, r_sig AS ($duckSig16Body)
          |, r_bandrows AS (
          |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
          |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
@@ -2165,9 +2169,7 @@ object Registry {
          |    JOIN r_msz za ON i.doc_a = za.doc_id
          |    JOIN r_msz zb ON i.doc_b = zb.doc_id
          |    WHERE ${dv("i.i", "(za.sz + zb.sz - i.i)")} >= 0.5)
-         |, r_msig AS (SELECT doc_id,
-         |    ${(0 until 16).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-         |  FROM r_sh GROUP BY 1)
+         |, r_msig AS ($duckSig16Body)
          |, r_mbands AS (
          |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_msig
          |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_msig

@@ -279,6 +279,25 @@ object Text {
         (count(lit(1)) > 1).as("has_duplicates"))
   }
 
+  /** 16 min-hash columns h0..h15 from FOUR md5 digests per shingle instead
+    * of sixteen: seed-j md5 (j = 0..3) contributes four 8-hex-char (32-bit)
+    * slices. Slices of a well-mixed digest behave as independent uniform
+    * hashes for min-wise use (the Kirsch-Mitzenmacher "less hashing, same
+    * performance" observation) — and the digest pass was the single
+    * biggest cost of the SF100 dedup_minhash_lsh leg (~half of 250 s), so
+    * 4x fewer md5 evaluations is the honest lever. The digest concat is
+    * computed in ONE array pass; the 16 mins are cheap slice traversals.
+    * Must stay in lockstep with Registry's duckSig16Body oracle twin. */
+  private[graft] def minhash16(docArr: DataFrame): DataFrame = {
+    // native one-pass expression (functions.MinHashSig16) — the composed
+    // transform/array_min form costs ~3x the digest work in array-pass
+    // overhead (measured in tools/MinhashSigAb); value-identical
+    graft.functions.MinHashSig16.register(docArr.sparkSession)
+    docArr.withColumn("hs", expr("minhash16_sig(shingles)"))
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        expr(s"hs[$i]").as(s"h$i")): _*)
+  }
+
   /** MinHash + LSH near-dup detection: shingle -> 16 md5-based min-hashes ->
     * 4 bands of 4 -> band-bucket self-join for candidates -> exact Jaccard
     * verification. The band join is the scale path: candidates are generated
@@ -288,9 +307,7 @@ object Text {
     // arrays; the exact verify is array_intersect on two doc-keyed joins
     // instead of two (doc, shingle)-pair shuffles
     val docArr = shingleArr(ctx)
-    val sigCols = (0 until 16).map(i =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
-    val sig = docArr.select(col("doc_id") +: sigCols: _*)
+    val sig = minhash16(docArr)
     // unpivot bands to rows -> ONE self-join keyed on (band_idx, band_hash)
     // instead of four — single shuffle, the standard LSH bucket-join shape
     val bandRows = sig.select(col("doc_id"), expr(
@@ -337,9 +354,7 @@ object Text {
     val docArr = shingleArr(ctx)
     val isNew =
       substring(md5(concat(lit("ibatch|"), col("doc_id").cast("string"))), 1, 1) < "4"
-    val sigCols = (0 until 16).map(i =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
-    val sig = docArr.select(col("doc_id") +: sigCols: _*)
+    val sig = minhash16(docArr)
     val bandRows = sig.select(col("doc_id"), expr(
       """stack(4,
         |  0, md5(concat(h0, h1, h2, h3)),

@@ -40,11 +40,10 @@ object MinhashProbe {
     }
     println(s"  docs=$nDocs total_shingles=$nShingles avg=${nShingles / math.max(1, nDocs)}")
 
-    val sigCols = (0 until 16).map(i =>
-      expr(s"array_min(transform(shingles, x -> md5(concat('$i|', x))))").as(s"h$i"))
-    val sig = docArr.select(col("doc_id") +: sigCols: _*)
-    timed("2 16x md5 min-hash signatures") {
-      sig.agg(min(col("h0")), min(col("h15"))).head()
+    val sig = extensions.Text.minhash16(docArr)
+    timed("2 min-hash signatures (all 16 columns)") {
+      sig.agg((0 until 16).map(i => min(col(s"h$i"))).head,
+        (1 until 16).map(i => min(col(s"h$i"))): _*).head()
     }
 
     val bandRows = sig.select(col("doc_id"), expr(
