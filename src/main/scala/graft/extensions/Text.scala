@@ -46,15 +46,17 @@ object Text {
   private def docsTok(ctx: Ctx): DataFrame =
     docs(ctx).withColumn("toks", expr(toksExpr))
 
-  /** distinct (doc_id, shingle) pairs — the base relation for MinHash /
-    * Jaccard. At scale this is the one big explode; everything downstream is
-    * partial-aggregatable. Deliberately NOT persisted: the explode+distinct
-    * is cheaper to recompute fused into each consumer than to materialize
-    * (measured: persisting cost +6s on the MinHash pipeline at sf0.1). */
-  private def shingleSet(ctx: Ctx): DataFrame =
+  /** raw exploded (doc_id, shingle) pairs, duplicates included — the base
+    * relation for MinHash / Jaccard. At scale this is the one big explode;
+    * everything downstream is partial-aggregatable. Deliberately NOT
+    * persisted: the explode is cheaper to recompute fused into each
+    * consumer than to materialize (measured: persisting cost +6s on the
+    * MinHash pipeline at sf0.1). Deduplication happens inside the
+    * consumers' aggregates (collect_set in [[shingleArr]]). */
+  private[graft] def shinglePairs(ctx: Ctx): DataFrame =
     docsTok(ctx)
       .select(col("doc_id"), explode(expr(shinglesOfToks)).as("shingle"))
-      .distinct()
+
 
   /** One row per doc holding its whole shingle SET as an array, memoized and
     * persisted per (session, sfDir): every shingle consumer (MinHash
@@ -66,11 +68,16 @@ object Text {
   private[graft] def shingleArr(ctx: Ctx): DataFrame =
     graft.Store.memo(ctx, "doc_shingle_sets") {
       graft.Store.track(ctx.spark,
-        shingleSet(ctx).groupBy("doc_id")
+        // collect_set straight off the raw pairs: ONE doc-keyed shuffle,
+        // with the dedup happening inside the map-side partial sets — the
+        // distinct + collect_list form paid a second full pair-sized
+        // exchange for nothing (4x at SF10, tools/ShingleAb; consumers are
+        // order-insensitive: mins / sizes / intersect-size / re-explodes)
+        shinglePairs(ctx).groupBy("doc_id")
           // serialized storage: wide string-array rows deserialized are
           // several× their batch size and evict first under sweep-wide
           // memory pressure (the r3 stall diagnosis) — keep them compact
-          .agg(collect_list(col("shingle")).as("shingles"))
+          .agg(collect_set(col("shingle")).as("shingles"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     }
 
