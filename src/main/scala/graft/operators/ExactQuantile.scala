@@ -36,7 +36,23 @@ object ExactQuantile {
       k: Int = 512): DataFrame = {
     val spark = df.sparkSession
     KllSketch.register(spark)
-    val vals = df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)
+    // All three jobs scan the same single-column projection; persist it
+    // once (8 bytes/row serialized — at any SF this is the narrowest
+    // possible copy of the data, and MEMORY_AND_DISK_SER degrades to
+    // spill instead of failing) so the source relation is evaluated once
+    // instead of three times. Unpersisted before returning: the result
+    // is a handful of driver-built rows, nothing downstream re-reads vals.
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      percentilesOver(vals, qs, k)
+    } finally { vals.unpersist(blocking = false); () }
+  }
+
+  private def percentilesOver(vals: DataFrame, qs: Seq[Double],
+      k: Int): DataFrame = {
+    val spark = vals.sparkSession
     val summary = vals.agg(expr(s"kll_sketch(v, $k)").as("s")).select("s.*").head()
     val n = summary.getLong(0)
     val err = summary.getLong(1)
