@@ -226,9 +226,13 @@ object BenchScale {
         .agg(expr("bit_xor(__h)")).collect()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[benchscale] pipe:$name%-22s $sec%8.1f s")
+      // per-leg isolation: each leg pays its own memo builds (it already
+      // did — first-toucher semantics) and nothing lingers as memory
+      // pressure on its neighbors (measured: ann_pq_recall read 90 s with
+      // dedup's shingle arrays resident vs 36.9 s isolated, same code)
+      Store.clear(spark)
       name -> sec
     }
-    Store.clear(spark)
     val total = results.map(_._2).sum
     val qJson = results.map { case (n, s) => s""""$n":$s""" }.mkString(",")
     println(s"""{"metric":"pipe_sf$sf","value":$total,"unit":"sec","queries":{$qJson},"sf":$sf,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
