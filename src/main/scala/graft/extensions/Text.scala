@@ -610,6 +610,12 @@ object Text {
           when(col("j") >= 33,
             expr("lo ^ shiftleft(1L, 64 - j)")).otherwise(col("lo")).as("vlo"),
           col("hi"), col("lo"))
+      // Self-join kept over a groupBy-bucket formulation after measuring:
+      // tools/SimhashJoinAb at SF100 reads 43.2-44.5 s (join) vs
+      // 41.0-47.4 s (radius-1-ball buckets + bounded double explode),
+      // identical pair sets — Spark reuses the variant exchange across
+      // the self-join sides, so the "second shuffle" the bucket form
+      // saves does not exist in the executed plan.
       val colliding = variants
         .select(col("vhi"), col("vlo"), col("hi").as("hi_a"), col("lo").as("lo_a"))
         .join(variants
