@@ -29,7 +29,36 @@ object Scratch {
       }
     }
     new java.io.File(dir).mkdirs()
+    reapOrphans(new java.io.File(dir))
     dir
+  }
+
+  /** Reap scratch left by killed JVMs: tmpfs files count against RAM — a
+    * 57 GB orphan from a kernel-OOM-killed run measurably OOM'd a later
+    * 64g-heap run (PERF_NOTES_r8). An entry is an orphan only when NOTHING
+    * under it was touched for 2 hours (the NEWEST mtime in the subtree, so
+    * a live run whose top-level blockmgr dir is old but whose shuffle
+    * files are fresh is never touched). Fresh orphans are instead handled
+    * by the free-space fallback above. Best-effort: IO errors skip. */
+  private[graft] def reapOrphans(root: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft(own)((m, k) => math.max(m, newestMtime(k)))
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+      f.delete(); ()
+    }
+    try
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { e =>
+        if (newestMtime(e) < cutoff) {
+          System.err.println(s"[scratch] reaping orphaned ${e.getName}")
+          rmTree(e)
+        }
+      }
+    catch { case _: Exception => () }
   }
 
   /** Footprint for a full at-scale build (BenchScale): SF10 observed

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Orphan reaping for the tmpfs scratch dir: an entry is deleted only when
+  * the NEWEST mtime in its whole subtree is stale — a live run with an old
+  * top-level dir but fresh nested shuffle files must be spared. */
+class ScratchSpec extends AnyFunSuite {
+
+  test("reapOrphans removes stale trees, spares trees with any fresh file") {
+    val root = java.nio.file.Files.createTempDirectory("scratch_spec").toFile
+    val old = 3L * 3600 * 1000
+
+    // orphan: everything stale
+    val orphan = new java.io.File(root, "blockmgr-dead")
+    val orphanSub = new java.io.File(orphan, "0a")
+    orphanSub.mkdirs()
+    val of = new java.io.File(orphanSub, "shuffle_0_0_0.data")
+    of.createNewFile()
+    Seq(of, orphanSub, orphan).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - old))
+
+    // live: top dir stale, one nested file fresh
+    val live = new java.io.File(root, "blockmgr-live")
+    val liveSub = new java.io.File(live, "0b")
+    liveSub.mkdirs()
+    val stale = new java.io.File(liveSub, "shuffle_1_0_0.data")
+    stale.createNewFile()
+    stale.setLastModified(System.currentTimeMillis() - old)
+    val fresh = new java.io.File(liveSub, "shuffle_1_0_1.data")
+    fresh.createNewFile() // mtime = now
+    Seq(liveSub, live).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - old))
+
+    Scratch.reapOrphans(root)
+
+    assert(!orphan.exists(), "stale tree must be reaped")
+    assert(live.exists() && fresh.exists() && stale.exists(),
+      "tree with any fresh file must be spared whole")
+  }
+}
