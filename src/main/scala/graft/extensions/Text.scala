@@ -155,13 +155,18 @@ object Text {
   }
 
   /** Quality scoring: punctuation/digit/upper ratios + stopword density and
-    * a deterministic composite score. */
+    * a deterministic composite score. The char-class counts go through
+    * `translate` (a codegen'd byte-table pass), not regexp_replace: the
+    * classes are fixed ASCII sets, so removing those characters counts
+    * identically either way — the DuckDB twin keeps its regex form and the
+    * gate checks value equality. */
   def quality(ctx: Ctx): DataFrame = {
     val enStop = "array('the','and','of','to','in','is','you','that','it','for')"
     val nTokens = size(col("toks"))
-    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    val digits = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
-    val uppers = length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))
+    val punct = length(col("text")) - length(translate(col("text"), ".,;:!?", ""))
+    val digits = length(col("text")) - length(translate(col("text"), "0123456789", ""))
+    val uppers = length(col("text")) -
+      length(translate(col("text"), ('A' to 'Z').mkString, ""))
     val stops = expr(s"size(filter(toks, x -> array_contains($enStop, x)))")
     docsTok(ctx).select(
       col("doc_id"),
