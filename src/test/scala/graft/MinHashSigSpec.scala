@@ -32,6 +32,29 @@ class MinHashSigSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("minhash16_sig equals the composed form on random inputs (property, 500 arrays)") {
+    MinHashSig16.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ 0189 .,|'éü漢é" // multi-byte + the '|' seed separator
+    def randString() =
+      (0 until (1 + rnd.nextInt(20))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val df = (1 to 500)
+      .map(_ => (0 until (1 + rnd.nextInt(30))).map(_ => randString()))
+      .toDF("shingles")
+    val mhCat = (0 until 4).map(j => s"md5(concat('$j|', x))")
+      .mkString("transform(shingles, x -> concat(", ", ", "))")
+    val composed = (0 until 16).map(i =>
+      expr(s"array_min(transform($mhCat, h -> substring(h, ${8 * i + 1}, 8)))")
+        .as(s"e$i"))
+    val bad = df
+      .withColumn("hs", expr("minhash16_sig(shingles)"))
+      .select(col("hs") +: composed: _*)
+      .filter((0 until 16).map(i => col("hs")(i) =!= col(s"e$i")).reduce(_ || _))
+      .count()
+    assert(bad == 0)
+  }
+
   test("minhash16_sig: null and empty arrays yield null") {
     MinHashSig16.register(spark)
     import spark.implicits._
