@@ -208,6 +208,7 @@ object BenchScale {
       "ann_lsh_buckets_wide", // 16-bit/mod-13 grid: occupancy-scaled buckets
       "ann_pq_recall",      // product-quantization ADC + recall audit
       "ann_ivf",            // centroid-probed ANN
+      "ann_ivf_pq",         // composed IVFADC: probe cells -> ADC -> exact rerank
       "events_sessionize",  // gap sessionization over 1M x SF events
       "events_sliding_rates",
       "text_heavy_hitters", // MG sketch pass + exact recount of candidates

@@ -1641,6 +1641,58 @@ object Registry {
          |FROM r_pq_ex e LEFT JOIN r_pq_top p
          |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ann_ivf_pq" -> e(
+      ctx => extensions.Similarity.annIvfPq(ctx).orderBy("query_id", "rank"),
+      s""", r_ip_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+         |, r_ip_seeds AS (SELECT vec_id AS cell_id, ed AS se FROM r_ip_emb WHERE vec_id < 8)
+         |, r_ip_assigned AS (SELECT vec_id, cell_id FROM (
+         |    SELECT v.vec_id, s.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${duckCos("v.ed", "s.se")} DESC, s.cell_id) AS rn
+         |    FROM r_ip_emb v CROSS JOIN r_ip_seeds s) x WHERE rn = 1)
+         |, r_ip_probes AS (SELECT query_id, cell_id FROM (
+         |    SELECT q.vec_id AS query_id, s.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.ed", "s.se")} DESC, s.cell_id) AS rn
+         |    FROM r_ip_emb q CROSS JOIN r_ip_seeds s
+         |    WHERE q.vec_id >= 10 AND q.vec_id < 20) x WHERE rn <= 2)
+         |, r_ip_sub AS (SELECT vec_id, s, list_slice(ed, s*8+1, s*8+8) AS sv
+         |    FROM (SELECT vec_id, ed, UNNEST(range(8)) AS s FROM r_ip_emb))
+         |, r_ip_cb AS (SELECT s, vec_id AS code, sv AS cv FROM r_ip_sub WHERE vec_id < 16)
+         |, r_ip_codes AS (SELECT vec_id AS cand_id, s, code FROM (
+         |    SELECT v.vec_id, v.s, c.code,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY ${duckCos("v.sv", "c.cv")} DESC, c.code) AS rn
+         |    FROM r_ip_sub v JOIN r_ip_cb c ON v.s = c.s) x WHERE rn = 1)
+         |, r_ip_qd AS (SELECT q.vec_id AS query_id, q.s, c.code,
+         |    CAST(ROUND(${duckCos("q.sv", "c.cv")}, 9) AS DECIMAL(12,9)) AS qdec
+         |  FROM r_ip_sub q JOIN r_ip_cb c ON q.s = c.s
+         |  WHERE q.vec_id >= 10 AND q.vec_id < 20)
+         |, r_ip_cand AS (SELECT p.query_id, a.vec_id AS cand_id, p.cell_id
+         |    FROM r_ip_probes p JOIN r_ip_assigned a ON p.cell_id = a.cell_id
+         |    WHERE p.query_id != a.vec_id)
+         |, r_ip_adc AS (SELECT c.query_id, c.cand_id, c.cell_id,
+         |      SUM(qd.qdec) AS approx
+         |    FROM r_ip_cand c
+         |    JOIN r_ip_codes co ON co.cand_id = c.cand_id
+         |    JOIN r_ip_qd qd ON qd.query_id = c.query_id
+         |      AND qd.s = co.s AND qd.code = co.code
+         |    GROUP BY 1, 2, 3 HAVING COUNT(*) = 8)
+         |, r_ip_short AS (SELECT query_id, cand_id, cell_id, approx FROM (
+         |    SELECT query_id, cand_id, cell_id, approx,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY approx DESC, cand_id) AS rn FROM r_ip_adc) x WHERE rn <= 20)
+         |SELECT query_id, cand_id, cell_id, approx, cosine, CAST(rn2 AS INT) AS rank
+         |FROM (
+         |  SELECT s.query_id, s.cand_id, s.cell_id,
+         |    CAST(s.approx AS DOUBLE) AS approx,
+         |    ${duckCos("q.ed", "c.ed")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${duckCos("q.ed", "c.ed")} DESC, s.cand_id) AS rn2
+         |  FROM r_ip_short s
+         |  JOIN r_ip_emb q ON q.vec_id = s.query_id
+         |  JOIN r_ip_emb c ON c.vec_id = s.cand_id) y
+         |WHERE rn2 <= 5 ORDER BY query_id, rank""".stripMargin),
     "label_centroids" -> e(
       ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
       """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,

@@ -452,4 +452,90 @@ object Similarity {
         dv(col("n_overlap"), col("n_exact")).as("recall_at_k"))
       .orderBy("query_id")
   }
+
+  /** The COMPOSED production ANN pipeline (FAISS IVFADC shape): coarse
+    * quantizer → ADC scan within probed cells → exact rerank.
+    *
+    *  1. IVF ([[annIvf]]'s pieces): every vector is assigned to its
+    *     nearest of 8 seed cells; each query probes its `nprobe` nearest
+    *     cells.
+    *  2. PQ-ADC ([[annPqRecall]]'s pieces): candidates INSIDE probed
+    *     cells are scored from their 8 codebook codes and the query's
+    *     broadcast 8×16 decimal similarity table — no candidate floats
+    *     touched, and the scan is |probed cells|/|cells| of the corpus,
+    *     not all of it.
+    *  3. Exact rerank: only the top-`shortlist` ADC survivors per query
+    *     pay a full-vector cosine; top `k` emitted with ranks.
+    *
+    * At 100 TB: stage 2's cost is the probed fraction × 8 lookups/row,
+    * stage 3 touches shortlist×Q vectors. Cross-engine exactness is the
+    * same verified rules as the two parents: deterministic tie-breaks
+    * everywhere, decimal-rounded ADC sums (order-free addition), the
+    * verified cosine fold. */
+  def annIvfPq(ctx: Ctx, k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 20): DataFrame = {
+    graft.functions.CosineSim.register(ctx.spark)
+    val e = ctx.tbl("embeddings")
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell_id"), cosine("embedding", "se").as("seed_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("seed_cos").desc, col("cell_id"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell_id")
+    val queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = queries.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("cell_id"), cosine("qe", "se").as("seed_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("seed_cos").desc, col("cell_id"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cell_id")
+    // PQ encode + query distance table, exactly as annPqRecall builds them
+    // ("code" here = codeword id, to keep it distinct from the IVF cell_id)
+    val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
+    val codes = sub.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("code"),
+        expr("cosine_sim(sv, cv)").as("subcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy(col("subcos").desc, col("code"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("s"), col("code"))
+    val qd = queries
+      .select(col("query_id"), explode(expr("sequence(0, 7)")).as("s"), col("qe"))
+      .select(col("query_id"), col("s"), expr("slice(qe, s * 8 + 1, 8)").as("qv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        round(expr("cosine_sim(qv, cv)"), 9).cast("decimal(12,9)").as("qdec"))
+    // ADC over candidates in probed cells only
+    val cands = probes
+      .join(assigned.select(col("cell_id"), col("vec_id").as("cand_id")), Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val adc = cands
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(qd), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("cand_id"), col("cell_id"))
+      .agg(sum(col("qdec")).as("approx"), count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === 8)
+    val short = adc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "cand_id", "cell_id", "approx")
+    // exact rerank of the shortlist only
+    short.join(queries, Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+        Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cell_id"),
+        col("approx").cast("double").as("approx"), cosine("qe", "ce").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+  }
 }
