@@ -630,23 +630,34 @@ object Text {
         .select("hi_a", "lo_a", "hi_b", "lo_b").distinct()
       def sigStr(hi: String, lo: String) =
         concat(lpad(bin(col(hi)), 32, "0"), lpad(bin(col(lo)), 32, "0"))
+      // exact Hamming on the long encoding (== bit_hamming over the bin
+      // strings, since those ARE the 64 bits); collisions are all <= 2,
+      // the filter is kept as the documented invariant
       val sigPairs = colliding
-        .select(sigStr("hi_a", "lo_a").as("sig_a"), sigStr("hi_b", "lo_b").as("sig_b"))
-        .withColumn("hamming", expr("bit_hamming(sig_a, sig_b)"))
-        .filter(col("hamming") <= maxDist) // collisions are all <= 2; kept as the documented invariant
-      // doc expansion: cross-sig pairs from each side's doc list …
+        .withColumn("hamming",
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("int"))
+        .filter(col("hamming") <= maxDist)
+      // doc expansion: cross-sig pairs from each side's doc list. The
+      // joins key on the (hi, lo) long pairs — 16 bytes of key through
+      // the expansion shuffles instead of a 64-char signature string;
+      // the output strings are rebuilt in the final projection, which
+      // runs in the same stage as the last join (no shuffle carries them)
+      val simL = sim.select(col("doc_id"),
+        expr("cast(conv(substring(simhash, 1, 32), 2, 10) as bigint)").as("hi"),
+        expr("cast(conv(substring(simhash, 33, 32), 2, 10) as bigint)").as("lo"))
       val cross = sigPairs
-        .join(sim.select(col("doc_id").as("da"), col("simhash").as("sig_a")),
-          Seq("sig_a"))
-        .join(sim.select(col("doc_id").as("db"), col("simhash").as("sig_b")),
-          Seq("sig_b"))
+        .join(simL.select(col("doc_id").as("da"),
+          col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("hi_a", "lo_a"))
+        .join(simL.select(col("doc_id").as("db"),
+          col("hi").as("hi_b"), col("lo").as("lo_b")), Seq("hi_b", "lo_b"))
         .select(
           least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"),
-          when(col("da") < col("db"), col("sig_a")).otherwise(col("sig_b"))
-            .as("simhash_a"),
-          when(col("da") < col("db"), col("sig_b")).otherwise(col("sig_a"))
-            .as("simhash_b"),
+          when(col("da") < col("db"), sigStr("hi_a", "lo_a"))
+            .otherwise(sigStr("hi_b", "lo_b")).as("simhash_a"),
+          when(col("da") < col("db"), sigStr("hi_b", "lo_b"))
+            .otherwise(sigStr("hi_a", "lo_a")).as("simhash_b"),
           col("hamming"))
       // … plus distance-0 pairs within each identical-signature group
       val d0 = sim.select(col("doc_id").as("doc_a"), col("simhash"))
