@@ -660,12 +660,13 @@ object Text {
             .otherwise(sigStr("hi_a", "lo_a")).as("simhash_b"),
           col("hamming"))
       // … plus distance-0 pairs within each identical-signature group
-      val d0 = sim.select(col("doc_id").as("doc_a"), col("simhash"))
-        .join(sim.select(col("doc_id").as("doc_b"), col("simhash")),
-          Seq("simhash"))
+      // (same long-keyed join + rebuild-at-output as the cross expansion)
+      val d0 = simL.select(col("doc_id").as("doc_a"), col("hi"), col("lo"))
+        .join(simL.select(col("doc_id").as("doc_b"), col("hi"), col("lo")),
+          Seq("hi", "lo"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("simhash").as("simhash_a"),
-          col("simhash").as("simhash_b"), lit(0).as("hamming"))
+        .select(col("doc_a"), col("doc_b"), sigStr("hi", "lo").as("simhash_a"),
+          sigStr("hi", "lo").as("simhash_b"), lit(0).as("hamming"))
       cross.unionByName(d0)
     } else chunkJoinPath // small mass, or a maxDist the flip path doesn't cover
   }
