@@ -17,20 +17,32 @@ object Scratch {
     * expected peak shuffle/spill footprint; tmpfs is only chosen when its
     * usable space clears it. */
   def resolve(minFreeBytes: Long): String = {
-    val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.getUsableSpace >= minFreeBytes)
-        "/dev/shm/graft-scratch"
-      else {
-        System.err.println(
-          s"[scratch] /dev/shm free ${if (shm.isDirectory) shm.getUsableSpace else 0L} " +
-            s"< required $minFreeBytes — spilling to disk temp instead")
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scratch"
-      }
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
+      case Some(dir) =>
+        // User-chosen dir may be shared (e.g. /tmp): never reap there.
+        new java.io.File(dir).mkdirs()
+        dir
+      case None =>
+        // Reap OUR stale tmpfs dir first — orphans there consume RAM and
+        // would otherwise both never be reclaimed and permanently fail
+        // the free-space check below (pinning every run to slow disk).
+        val shmScratch = new java.io.File("/dev/shm/graft-scratch")
+        if (shmScratch.isDirectory) reapOrphans(shmScratch)
+        val shm = new java.io.File("/dev/shm")
+        val dir =
+          if (shm.isDirectory && shm.getUsableSpace >= minFreeBytes)
+            shmScratch.getPath
+          else {
+            System.err.println(
+              s"[scratch] /dev/shm free ${if (shm.isDirectory) shm.getUsableSpace else 0L} " +
+                s"< required $minFreeBytes — spilling to disk temp instead")
+            sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-scratch"
+          }
+        val f = new java.io.File(dir)
+        f.mkdirs()
+        reapOrphans(f)
+        dir
     }
-    new java.io.File(dir).mkdirs()
-    reapOrphans(new java.io.File(dir))
-    dir
   }
 
   /** Reap scratch left by killed JVMs: tmpfs files count against RAM — a
@@ -39,9 +51,12 @@ object Scratch {
     * under it was touched for 2 hours (the NEWEST mtime in the subtree, so
     * a live run whose top-level blockmgr dir is old but whose shuffle
     * files are fresh is never touched). Fresh orphans are instead handled
-    * by the free-space fallback above. Best-effort: IO errors skip. */
+    * by the free-space fallback above. Only entries with Spark/graft
+    * scratch prefixes are touched — anything else in the dir is not ours
+    * to delete. Best-effort: IO errors skip. */
   private[graft] def reapOrphans(root: java.io.File): Unit = {
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val ours = Seq("blockmgr-", "spark-", "graft-")
     def newestMtime(f: java.io.File): Long = {
       val own = f.lastModified()
       val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -53,7 +68,7 @@ object Scratch {
     }
     try
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { e =>
-        if (newestMtime(e) < cutoff) {
+        if (ours.exists(e.getName.startsWith) && newestMtime(e) < cutoff) {
           System.err.println(s"[scratch] reaping orphaned ${e.getName}")
           rmTree(e)
         }

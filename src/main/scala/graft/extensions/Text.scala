@@ -593,9 +593,10 @@ object Text {
     }
     val maxChunkPairs = ctx.spark.conf
       .get("spark.graft.simhash.maxChunkPairs", "500000000").toLong
+    // coalesce: sum over zero groups is NULL (empty corpus) — default 0.
     lazy val mass = chunks.groupBy("chunk_idx", "chunk_val")
       .agg(count(lit(1)).as("o"))
-      .agg(sum(expr("o * (o - 1) div 2"))).head().getLong(0)
+      .agg(coalesce(sum(expr("o * (o - 1) div 2")), lit(0L))).head().getLong(0)
     if (maxDist == 2 && mass > maxChunkPairs) {
       // ---- signature-level meet-in-the-middle (exact for d <= 2) ----
       // Signatures travel as TWO 32-bit longs, not 64-char strings: the

@@ -67,4 +67,17 @@ class MinHashSigSpec extends SparkSpec {
     assert(r(1).isNullAt(1), "empty array must be null (array_min semantics)")
     assert(r(2).isNullAt(1), "null input must be null")
   }
+
+  test("minhash16_sig: non-array<string> argument is an analysis error, not a runtime cast") {
+    MinHashSig16.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(2.0))).toDF("doc_id", "vec")
+    for (bad <- Seq("minhash16_sig(doc_id)", "minhash16_sig(vec)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(bad)).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("array<string>"),
+        s"expected type-check message for $bad, got: ${e.getMessage}")
+    }
+  }
 }

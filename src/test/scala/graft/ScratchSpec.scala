@@ -38,4 +38,29 @@ class ScratchSpec extends AnyFunSuite {
     assert(live.exists() && fresh.exists() && stale.exists(),
       "tree with any fresh file must be spared whole")
   }
+
+  test("reapOrphans never touches entries without a Spark/graft prefix") {
+    val root = java.nio.file.Files.createTempDirectory("scratch_spec2").toFile
+    val old = 3L * 3600 * 1000
+
+    // stale but NOT ours: a user file in a shared dir pointed at by the
+    // SPARK_GRAFT_LOCAL_DIR override must survive
+    val userFile = new java.io.File(root, "important-notes.txt")
+    userFile.createNewFile()
+    userFile.setLastModified(System.currentTimeMillis() - old)
+    val userDir = new java.io.File(root, "project-data")
+    userDir.mkdirs()
+    userDir.setLastModified(System.currentTimeMillis() - old)
+
+    // stale AND ours: reaped
+    val ours = new java.io.File(root, "spark-abc123")
+    ours.mkdirs()
+    ours.setLastModified(System.currentTimeMillis() - old)
+
+    Scratch.reapOrphans(root)
+
+    assert(userFile.exists() && userDir.exists(),
+      "non-Spark-prefixed entries are not ours to delete")
+    assert(!ours.exists(), "stale spark-* entry must still be reaped")
+  }
 }

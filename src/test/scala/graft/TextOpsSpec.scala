@@ -93,4 +93,18 @@ class TextOpsSpec extends SparkSpec {
     val w0 = rows.filter(_.getString(2) == "w0")
     assert(w0.nonEmpty && w0.forall(_.getLong(4) == 2L))
   }
+
+  test("dedupSimhashNear: empty corpus returns empty, both cost paths") {
+    // sum over zero groups is NULL — the cost probe must coalesce to 0,
+    // not NPE, when maxDist == 2 forces the mass evaluation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_textops_empty").toString
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ectx = Ctx(spark, dir)
+    assert(Text.dedupSimhashNear(ectx, maxDist = 2).count() == 0L)
+    assert(Text.dedupSimhashNear(ectx, maxDist = 1).count() == 0L)
+  }
 }
