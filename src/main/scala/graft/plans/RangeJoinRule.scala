@@ -82,9 +82,10 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     *  1. DRIVER-SIDE parquet read: when both bounds resolve (through
     *     Project/Filter/SubqueryAlias) to root columns of a parquet
     *     [[HadoopFsRelation]], read ≤2001 rows of just those two columns
-    *     from the lexicographically-first file with parquet-mr — no Spark
-    *     job inside the optimizer, and deterministic (fixed file, fixed
-    *     row order). Footer min/max alone cannot estimate the span
+    *     striped across the first/middle/last lexicographic files with
+    *     parquet-mr — no Spark job inside the optimizer, and
+    *     deterministic (fixed files, fixed per-file cap, fixed row
+    *     order). Footer min/max alone cannot estimate the span
     *     distribution (column extremes say nothing about per-row hi−lo),
     *     so the bounded row read is the honest stats source.
     *  2. Fallback Spark sample (LIMIT 2001 collect) for non-parquet or
@@ -141,66 +142,87 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   /** Driver-side bounded parquet read of the two bound columns — the
-    * no-Spark-job width source. Returns None whenever the shape doesn't
-    * qualify, never throws. */
+    * no-Spark-job width source. The ≤2001-row budget is STRIPED across up
+    * to three files (first / middle / last, lexicographic): a file-sorted
+    * dataset whose first file is unrepresentative (e.g. date-partitioned
+    * data with monotone span growth) no longer collapses the width to the
+    * first partition's spans. Still fully deterministic — fixed file
+    * picks, fixed per-file row cap, file-order reads. Returns None
+    * whenever the shape doesn't qualify, never throws. */
   private def parquetSampleWidth(
       iSide: LogicalPlan, lo: Expression, hi: Expression): Option[Long] =
     try {
       resolveToParquetScan(iSide, Seq(lo, hi)).flatMap { case (fs, Seq(loName, hiName)) =>
         val files = fs.location.inputFiles.sorted
         if (files.isEmpty) return None
+        val picks = Seq(0, files.length / 2, files.length - 1).distinct.map(files)
+        val perFile = 2001 / picks.length // 2001 / 1000x2 / 667x3 rows
         val conf = fs.sparkSession.sessionState.newHadoopConf()
-        val path = new org.apache.hadoop.fs.Path(files.head)
-        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
-        val fileSchema = {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
-          try r.getFooter.getFileMetaData.getSchema finally r.close()
+        val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+        picks.foreach { f =>
+          // per-file try: a corrupt/short/schema-divergent stripe member
+          // degrades the sample, never the derivation
+          try spans ++= fileSpans(f, conf, loName, hiName, perFile)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
-        def rootPrim(n: String): Option[org.apache.parquet.schema.Type] =
-          if (fileSchema.containsField(n)) {
-            val t = fileSchema.getFields.get(fileSchema.getFieldIndex(n))
-            if (t.isPrimitive && {
-              val p = t.asPrimitiveType.getPrimitiveTypeName
-              p == INT32 || p == INT64
-            }) Some(t) else None
-          } else None
-        (rootPrim(loName), rootPrim(hiName)) match {
-          case (Some(loT), Some(hiT)) =>
-            val fields =
-              if (loName == hiName) Seq(loT) else Seq(loT, hiT)
-            val proj = new org.apache.parquet.schema.MessageType(
-              "graft_span_sample", fields: _*)
-            val readConf = new org.apache.hadoop.conf.Configuration(conf)
-            readConf.set(
-              org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-            val reader = org.apache.parquet.hadoop.ParquetReader
-              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
-              .withConf(readConf).build()
-            try {
-              def num(g: org.apache.parquet.example.data.Group,
-                  n: String, t: org.apache.parquet.schema.Type): Long =
-                if (t.asPrimitiveType.getPrimitiveTypeName == INT32)
-                  g.getInteger(n, 0).toLong
-                else g.getLong(n, 0)
-              val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
-              var read = 0
-              var g = reader.read()
-              while (g != null && read < 2001) {
-                if (g.getFieldRepetitionCount(loName) > 0 &&
-                    g.getFieldRepetitionCount(hiName) > 0) {
-                  val s = num(g, hiName, hiT) - num(g, loName, loT)
-                  if (s >= 0) spans += s
-                }
-                read += 1
-                g = reader.read()
-              }
-              medianWidth(spans.toSeq)
-            } finally reader.close()
-          case _ => None
-        }
+        medianWidth(spans.toSeq)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Read up to `limit` rows of the two bound columns from one parquet
+    * file; empty when the columns aren't plain INT32/INT64 roots there. */
+  private def fileSpans(file: String, conf: org.apache.hadoop.conf.Configuration,
+      loName: String, hiName: String, limit: Int): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val fileSchema = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    def rootPrim(n: String): Option[org.apache.parquet.schema.Type] =
+      if (fileSchema.containsField(n)) {
+        val t = fileSchema.getFields.get(fileSchema.getFieldIndex(n))
+        if (t.isPrimitive && {
+          val p = t.asPrimitiveType.getPrimitiveTypeName
+          p == INT32 || p == INT64
+        }) Some(t) else None
+      } else None
+    (rootPrim(loName), rootPrim(hiName)) match {
+      case (Some(loT), Some(hiT)) =>
+        val fields =
+          if (loName == hiName) Seq(loT) else Seq(loT, hiT)
+        val proj = new org.apache.parquet.schema.MessageType(
+          "graft_span_sample", fields: _*)
+        val readConf = new org.apache.hadoop.conf.Configuration(conf)
+        readConf.set(
+          org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+          .withConf(readConf).build()
+        try {
+          def num(g: org.apache.parquet.example.data.Group,
+              n: String, t: org.apache.parquet.schema.Type): Long =
+            if (t.asPrimitiveType.getPrimitiveTypeName == INT32)
+              g.getInteger(n, 0).toLong
+            else g.getLong(n, 0)
+          val spans = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var read = 0
+          var g = reader.read()
+          while (g != null && read < limit) {
+            if (g.getFieldRepetitionCount(loName) > 0 &&
+                g.getFieldRepetitionCount(hiName) > 0) {
+              val s = num(g, hiName, hiT) - num(g, loName, loT)
+              if (s >= 0) spans += s
+            }
+            read += 1
+            g = reader.read()
+          }
+          spans.toSeq
+        } finally reader.close()
+      case _ => Nil
+    }
+  }
 
   /** Fallback: bounded Spark sample (the one planning-time job). */
   private def sparkSampleWidth(

@@ -150,6 +150,46 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
   }
 
+  test("auto width stripes across files — a skewed first file cannot collapse the width") {
+    // three parquet files where the LEXICOGRAPHICALLY FIRST holds only
+    // zero-span intervals (a date-partitioned dataset with monotone span
+    // growth looks exactly like this): a first-file-only sample would
+    // derive width 1, while the global median span is 100 → width 101
+    val dir = java.nio.file.Files.createTempDirectory("rj_parq_skew").toFile.getAbsolutePath
+    def writeOne(name: String, span: Int, base: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("rj_parq_one").toFile.getAbsolutePath
+      spark.range(300).select(col("id").as("iid"),
+          ((col("id") * 41 + base) % 1000).as("a"))
+        .withColumn("b", col("a") + lit(span))
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name))
+    }
+    writeOne("f0.parquet", span = 0, base = 0)     // skewed first file
+    writeOne("f1.parquet", span = 100, base = 7)
+    writeOne("f2.parquet", span = 100, base = 13)
+    spark.read.parquet(dir).createOrReplaceTempView("rj_parq_skew_intervals")
+    val q =
+      """SELECT pid, iid FROM
+        |  (SELECT pid, pid * 7 % 500 AS x FROM rj_points) p JOIN rj_parq_skew_intervals i
+        |ON p.x >= i.a AND p.x <= i.b""".stripMargin
+    val stats0 = graft.plans.RewriteRangeJoin.statsPathHits.get()
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), plan)
+    assert(graft.plans.RewriteRangeJoin.statsPathHits.get() > stats0,
+      "skewed-file fixture did not take the driver-side stats path")
+    assert(plan.contains(" 101)") || plan.contains("div 101"),
+      s"width must be the global median span 100 + 1, not the first file's 1:\n$plan")
+    val got = rows(q)
+    spark.conf.set("spark.graft.rangejoin.enabled", "false")
+    val want = try rows(q) finally
+      spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(got == want && want.nonEmpty, s"got=${got.size} want=${want.size}")
+  }
+
   test("in-memory (non-parquet) interval side still derives via the bounded Spark sample") {
     // a distinct shape (projection renames) so the width memo can't serve it
     val q =
