@@ -201,7 +201,12 @@ object BenchScale {
     val legs = Seq(
       "dedup_exact",        // md5 groupBy, one shuffle
       "dedup_minhash_lsh",  // shingle -> minhash -> band bucket join -> verify
-      "dedup_simhash_near", // pigeonhole Hamming chunks
+      // the stats form of the simhash near-dup leg: same plan up to the
+      // final aggregate, but the bench action no longer hashes the ~96M
+      // materialized pairs (the r8 122-196 s same-code band was the
+      // harness's full-output hash, not the plan) — the full pair query
+      // stays on the correctness surface (dedup_simhash_near, sf0.01)
+      "dedup_simhash_stats",
       "text_quality",       // map-side scoring
       "corpus_vocab",       // global token ids via two-phase row_number
       "ann_lsh_buckets",    // bucketed cosine candidates (8-bit verification grid)

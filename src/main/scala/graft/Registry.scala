@@ -1437,6 +1437,27 @@ object Registry {
          |FROM r_hcand
          |WHERE len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_simhash_stats" -> e(
+      ctx => extensions.Text.dedupSimhashStats(ctx).orderBy("hamming"),
+      s"""$duckTokCtes
+         |$duckSimhashCtes
+         |, r_chunks AS (
+         |    SELECT doc_id, simhash, 0 AS chunk_idx, substr(simhash, 1, 22) AS chunk_val FROM r_simhash
+         |    UNION ALL SELECT doc_id, simhash, 1, substr(simhash, 23, 21) FROM r_simhash
+         |    UNION ALL SELECT doc_id, simhash, 2, substr(simhash, 44, 21) FROM r_simhash)
+         |, r_hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+         |    b.doc_id AS doc_b, b.simhash AS sim_b
+         |  FROM r_chunks a
+         |  JOIN r_chunks b ON a.chunk_idx = b.chunk_idx
+         |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         |, r_pairs AS (SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS INT) AS hamming
+         |  FROM r_hcand
+         |  WHERE len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2)
+         |, r_pdocs AS (SELECT hamming, unnest([doc_a, doc_b]) AS doc_id FROM r_pairs)
+         |SELECT hamming, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM r_pdocs GROUP BY 1 ORDER BY hamming""".stripMargin),
     "dedup_ngram_jaccard" -> e(
       ctx => extensions.Text.dedupNgramJaccard(ctx).orderBy("doc_a", "doc_b"),
       s"""$duckTokCtes

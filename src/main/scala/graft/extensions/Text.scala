@@ -672,6 +672,35 @@ object Text {
     } else chunkJoinPath // small mass, or a maxDist the flip path doesn't cover
   }
 
+  /** Output-mass-independent statistics over the simhash near-dup pair
+    * set: per Hamming distance, how many verified pairs and how many
+    * distinct documents are involved.
+    *
+    * Exists because the full [[dedupSimhashNear]] materializes every pair
+    * (~96M rows at synth SF100) — right for dedup itself, but any consumer
+    * that only needs the dedup PRESSURE (how much near-duplication is in
+    * the corpus, at which distances) pays an output-bound action whose
+    * cost is the pair mass, not the plan. Here the aggregation collapses
+    * to ≤ maxDist+1 rows inside the same job, and Catalyst's column
+    * pruning drops the rebuilt 64-char signature strings from the plan
+    * entirely — only (hamming, doc_id) longs reach the final shuffle.
+    * Pairs are counted via the doc explosion (each pair contributes its
+    * two endpoints, sum(cnt)/2 is exact: the sum is always even).
+    *
+    * Deliberately TWO-PHASE instead of `count + countDistinct` in one
+    * aggregate: a mixed distinct/non-distinct aggregate plans an Expand
+    * (2 projections per input row — ~384M rows at SF100), while
+    * groupBy(hamming, doc_id) map-side combines the exploded rows down to
+    * the distinct (distance, doc) pairs before the only wide shuffle. */
+  def dedupSimhashStats(ctx: Ctx, maxDist: Int = 2): DataFrame =
+    dedupSimhashNear(ctx, maxDist)
+      .select(col("hamming"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("hamming", "doc_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("hamming")
+      .agg(expr("sum(cnt) div 2").as("n_pairs"),
+        count(lit(1)).as("n_docs"))
+
   /** N-gram Jaccard near-dup with LSH blocking WITHIN the source key:
     * 8 single-hash MinHash bands (r=1) generate candidates per
     * (source, band, hash) bucket — never the full quadratic blow-up inside a
