@@ -157,9 +157,21 @@ object AnnScaleProbe {
         .withColumnRenamed("cvec", "gvec")
       val cells1g = regroup(cells1, groups1)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      System.err.println(s"[annprobe] stage=lloyd_refined cells=${cells1g.count()}")
       val asg = assign(groups1, cells1g).persist(StorageLevel.MEMORY_AND_DISK)
+      System.err.println(s"[annprobe] stage=assigned rows=${asg.count()}")
 
       // ---- 256-codeword PQ books over the cell RESIDUALS + full encode ---
+      // the encode's groupBy(vec_id, s) must keep its per-task hash map
+      // under execution memory: at n·subs groups over `cpus` tasks the map
+      // blows the per-task budget, HashAggregate falls back to sort-based
+      // aggregation, and the fallback sorts the REMAINING INPUT — an
+      // input-sized (n·subs·256-row) scratch spill that OOM-killed the
+      // first SF100 run at ~110 GB of tmpfs. Pre-partitioning to ≤100k
+      // groups per task keeps the map ~10 MB and the whole expansion
+      // streaming. rsub is persisted — three consumers (book seeds, book
+      // training, encode) would otherwise re-run the join+residual each.
+      val encParts = math.max(cpus.toInt, (n * subs / 100000L).toInt)
       val rsub = en.join(asg, Seq("vec_id"))
         .join(broadcast(cells1g.select("cell_id", "cvec")), Seq("cell_id"))
         .select(col("vec_id"),
@@ -167,6 +179,8 @@ object AnnScaleProbe {
         .select(col("vec_id"), explode(expr(s"sequence(0, ${subs - 1})")).as("s"), col("rvec"))
         .select(col("vec_id"), col("s"),
           expr(s"slice(rvec, s * $subDim + 1, $subDim)").as("sv"))
+        .repartition(encParts, col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val cb0 = rsub.filter(col("vec_id") <= 256)
         .select(col("s"), (col("vec_id") - 1).as("code"), col("sv").as("cv"))
       // k-means-lite book training on a ~5% deterministic sample; a few
@@ -193,11 +207,13 @@ object AnnScaleProbe {
         cb = next
       }
       train.unpersist()
+      System.err.println(s"[annprobe] stage=books_trained")
       val codes = rsub.join(broadcast(cb), Seq("s"))
         .select(col("vec_id"), col("s"), col("code"), fit("sv", "cv").as("c"))
         .groupBy("vec_id", "s").agg(best("code").as("code"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val (nAsg, nCodes) = (asg.count(), codes.count())
+      rsub.unpersist()
       require(nAsg == n && nCodes == n * subs, s"build incomplete: $nAsg/$nCodes")
       (cells1g, asg, cb, codes)
     }
