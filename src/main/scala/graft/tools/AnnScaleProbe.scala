@@ -45,9 +45,9 @@ import org.apache.spark.storage.StorageLevel
   *     are few — never the corpus), scan only probed cells via the
   *     broadcast per-query 8×256 inner-product table, exact-rerank the
   *     ADC top-`shortlist`, emit top-k.
-  *   - Ground truth: exact brute-force cosine top-k per query, two-phase
-  *     partition-local top-k (collect_list is bounded per (query,
-  *     partition) group — no global sort, no driver-size blowup).
+  *   - Ground truth: exact brute-force cosine top-k per query via a
+  *     window sort over the narrow (query, cand, score) projection —
+  *     spill-safe at any scale; only k rows per query reach the driver.
   *
   * Every multiplied relation here is BROADCAST-small (centroids, books,
   * query tables, shortlists); the only corpus-sized shuffles are the
@@ -66,10 +66,15 @@ object AnnScaleProbe {
     val sf = sys.env.getOrElse("SPARK_GRAFT_ANN_SF", "100")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "10").toInt
-    val shortlist = sys.env.getOrElse("SPARK_GRAFT_ANN_SHORTLIST", "400").toInt
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "100").toInt
-    val nprobes = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBES", "8,32")
-      .split(",").map(_.trim.toInt).toSeq
+    // curve points as nprobe:shortlist pairs - BOTH knobs move together in
+    // production tuning: more probed cells needs a deeper ADC shortlist or
+    // the extra candidates just dilute it (measured at SF100: nprobe 8->32
+    // at fixed shortlist 400 DROPPED recall 0.083->0.075 while cell_recall
+    // rose 0.32->0.70)
+    val curveSpec = sys.env.getOrElse("SPARK_GRAFT_ANN_CURVE",
+        "8:400,32:1600,128:6400")
+      .split(",").map { t => val Array(a, b) = t.split(":"); (a.trim.toInt, b.trim.toInt) }.toSeq
     // PQ shape: `subs` subspaces of 64/subs dims, 256 codewords each.
     // 16x4 (the default) quarters the per-dimension quantization step vs
     // 8x8 at 2x the code bytes - measured 2x recall on this corpus's
@@ -81,6 +86,10 @@ object AnnScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", Scratch.resolve(Scratch.SweepFootprint))
+      // single-JVM heartbeats share cores with 32 compute threads; a long
+      // GC or kernel-page stall must not shoot the context down mid-probe
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -233,22 +242,19 @@ object AnnScaleProbe {
       .select(col("vec_id").as("query_id"), col("nemb").as("qne"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     qn.count()
-    // descending sort_array over (cos, -cand_id): cos desc, then cand asc
-    val topStruct = "named_struct('c', c, 'ni', -cand_id)"
+    // GT top-k via a window sort over the narrow (query, cand, score)
+    // projection: the sort is spill-safe (UnsafeExternalSorter) where a
+    // collect_list two-phase top-k buffers millions of row OBJECTS per
+    // task and heap-OOMs at 32-way concurrency (measured at SF100)
     val (gt, gtSec) = timed {
-      val scored = e.crossJoin(broadcast(queries))
+      e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"),
           cos("embedding", "qe").as("c"))
-        .withColumn("pid", spark_partition_id())
-      scored
-        .groupBy("query_id", "pid")
-        .agg(expr(s"slice(sort_array(collect_list($topStruct), false), 1, $k)").as("top"))
-        .select(col("query_id"), explode(col("top")).as("t"))
-        .groupBy("query_id")
-        .agg(expr(s"slice(sort_array(collect_list(t), false), 1, $k)").as("top"))
-        .select(col("query_id"), explode(col("top")).as("t"))
-        .select(col("query_id"), (-col("t.ni")).as("cand_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))))
+        .filter(col("rn") <= k)
+        .select("query_id", "cand_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
 
@@ -263,7 +269,7 @@ object AnnScaleProbe {
           Window.partitionBy("query_id").orderBy(col("c").desc, col("cell_id"))))
         .filter(col("rn") <= nprobe)
         .select(col("query_id"), col("cell_id"), col("c").as("qcell"))
-    val curve = nprobes.map { nprobe =>
+    val curve = curveSpec.map { case (nprobe, shortlist) =>
       val ((got, cand), sec) = timed {
         val probes = probesFor(nprobe)
         val cands = asg.join(broadcast(probes), Seq("cell_id"))
@@ -311,12 +317,12 @@ object AnnScaleProbe {
         .join(asg.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
         .join(probesFor(nprobe), Seq("query_id", "cell_id"), "left_semi")
         .count().toDouble / gt.size
-      System.err.println(f"[annprobe] nprobe=$nprobe%-4d recall@$k=$recall%.3f " +
-        f"cell_recall=$cellRecall%.3f probe_frac=$frac%.4f sec=$sec%.1f")
-      s"""{"nprobe":$nprobe,"probe_frac":$frac,"recall_at_$k":$recall,"cell_recall":$cellRecall,"sec":$sec}"""
+      System.err.println(f"[annprobe] nprobe=$nprobe%-4d shortlist=$shortlist%-5d " +
+        f"recall@$k=$recall%.3f cell_recall=$cellRecall%.3f probe_frac=$frac%.4f sec=$sec%.1f")
+      s"""{"nprobe":$nprobe,"shortlist":$shortlist,"probe_frac":$frac,"recall_at_$k":$recall,"cell_recall":$cellRecall,"sec":$sec}"""
     }
 
-    println(s"""{"metric":"ann_ivfadc_probe","sf":$sf,"n_vectors":$n,"cells":$nCells,"live_cells":$liveCells,"codewords":256,"subspaces":$subs,"pq":"residual","queries":$nQueries,"k":$k,"shortlist":$shortlist,"build_sec":$buildSec,"ground_truth_sec":$gtSec,"curve":[${curve.mkString(",")}],"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+    println(s"""{"metric":"ann_ivfadc_probe","sf":$sf,"n_vectors":$n,"cells":$nCells,"live_cells":$liveCells,"codewords":256,"subspaces":$subs,"pq":"residual","queries":$nQueries,"k":$k,"build_sec":$buildSec,"ground_truth_sec":$gtSec,"curve":[${curve.mkString(",")}],"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 }
