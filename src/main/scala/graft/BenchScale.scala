@@ -101,9 +101,21 @@ object BenchScale {
     // Runner.buildAll scaladoc); SPARK_GRAFT_BUILD_CACHE=0 restores the
     // write-through re-read path
     val cacheParents = sys.env.get("SPARK_GRAFT_BUILD_CACHE").forall(_ != "0")
+    // Mid-run host-health series: end-of-run probes cannot certify mid-run
+    // health on this host's drag epochs (r9: two replica draws with healthy
+    // END probes but uniform mid-run slowdowns — BENCH_SF10_REPLICA.json).
+    // Sample every 30 s DURING the build; the series goes in the JSON line
+    // so every committed number carries its own epoch evidence.
+    val sampler = new HostProbe.Sampler(30).start()
     val t0 = System.nanoTime()
     val built = Runner.buildAll(srcCtx, buildDir, threads, cacheParents = cacheParents)
     val sec = (System.nanoTime() - t0) / 1e9
+    val series = sampler.stop()
+    val probeJson = sampler.json(series)
+    val midDiskMin = series.map(_.diskMBps).filter(_ > 0)
+      .reduceOption(_ min _).getOrElse(-1.0)
+    val midShmMin = series.map(_.shmMBps).filter(_ > 0)
+      .reduceOption(_ min _).getOrElse(-1.0)
     val rows = built.map(_.rows).sum
     built.sortBy(-_.seconds).take(10).foreach(b =>
       System.err.println(f"[benchscale] ${b.table}%-32s ${b.seconds}%8.1f s ${b.rows}%12d rows"))
@@ -118,7 +130,7 @@ object BenchScale {
     // on the old name keep matching — rename documented in SCALE.md
     val legacy = synthSf.map(_ => metric).getOrElse(
       if (copies == 10) "build_sf1" else metric)
-    println(s"""{"metric":"$metric","metric_legacy":"$legacy","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"threads":$threads,"cache_parents":$cacheParents,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()}}""")
+    println(s"""{"metric":"$metric","metric_legacy":"$legacy","value":$sec,"unit":"sec","tables":${built.size},"total_rows":$rows,"cpus":$cpus,"threads":$threads,"cache_parents":$cacheParents,"src":"$srcLabel","host_page_mbps":${HostProbe.pageMBps()},"probe_series":$probeJson,"probe_series_cols":["offset_sec","disk_mbps","shm_mbps"],"probe_mid_min_disk":$midDiskMin,"probe_mid_min_shm":$midShmMin}""")
     spark.stop()
   }
 
@@ -216,6 +228,9 @@ object BenchScale {
       "ann_ivf_pq",         // composed IVFADC: probe cells -> ADC -> exact rerank
       "events_sessionize",  // gap sessionization over 1M x SF events
       "events_sliding_rates",
+      // the custom as-of operator (LogicalPlan/Strategy/SparkPlan) under
+      // 10x data — the events family's second stateful at-scale leg
+      "events_asof_attribution",
       "text_heavy_hitters", // MG sketch pass + exact recount of candidates
       "price_percentiles_exact") // KLL certificate + exact slice, no global sort
       // SPARK_GRAFT_PIPE_SKIP=a,b drops legs — the 8-bit ann_lsh_buckets

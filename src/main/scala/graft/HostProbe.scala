@@ -16,9 +16,19 @@ package graft
   */
 object HostProbe {
 
-  def pageMBps(): Double = {
+  def pageMBps(): Double = pageMBps(None)
+
+  /** As [[pageMBps]]()], but writing into `dir` when given. A tmpfs dir
+    * (/dev/shm) measures the kernel page-allocation path WITHOUT the disk
+    * behind it — useful mid-run, when the disk probe is confounded by the
+    * workload's own write traffic. */
+  def pageMBps(dir: Option[String]): Double = {
     val mb = 256
-    val f = java.io.File.createTempFile("graft_probe", ".bin")
+    val f = dir match {
+      case Some(d) => java.io.File.createTempFile("graft_probe", ".bin",
+        new java.io.File(d))
+      case None => java.io.File.createTempFile("graft_probe", ".bin")
+    }
     try {
       val ch = java.nio.channels.FileChannel.open(f.toPath,
         java.nio.file.StandardOpenOption.WRITE)
@@ -33,5 +43,59 @@ object HostProbe {
         math.round(mb / sec * 10.0) / 10.0
       } finally ch.close()
     } finally { f.delete(); () }
+  }
+
+  /** One mid-run sample: seconds since sampler start, the disk probe (the
+    * ledger-comparable `host_page_mbps` path — java.io.tmpdir), and the
+    * tmpfs probe (kernel page path isolated from disk contention). */
+  final case class Sample(offsetSec: Double, diskMBps: Double, shmMBps: Double)
+
+  /** Background mid-run probe series for long benches (the SF10 replica
+    * build). End-of-run probes proved insufficient evidence for the host's
+    * drag epochs (BENCH_SF10_REPLICA.json r9 addendum: two draws with
+    * HEALTHY end probes but uniform mid-run slowdowns); this samples the
+    * probe every `intervalSec` ON the running build so a drag epoch leaves
+    * a witnessed series, not an inference.
+    *
+    * Mid-run disk values ARE load-confounded (the build's own writes share
+    * the device) — that is why each sample also carries the tmpfs probe,
+    * which exercises the same kernel first-touch page path with no device
+    * behind it. A drag epoch shows BOTH channels low; mere build write
+    * pressure shows disk low / shm healthy. One daemon thread; each sample
+    * costs ~0.2-2 s of one core against a 32-core multi-minute build. */
+  final class Sampler(intervalSec: Int = 30) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    @volatile private var running = true
+    private val t0 = System.nanoTime()
+    private def offset: Double = math.round((System.nanoTime() - t0) / 1e8) / 10.0
+    private val shmDir: Option[String] =
+      Some("/dev/shm").filter(d => new java.io.File(d).isDirectory)
+    private val th = new Thread(() => {
+      while (running) {
+        val s = try Sample(offset, pageMBps(None),
+          shmDir.map(d => pageMBps(Some(d))).getOrElse(-1.0))
+        catch { case _: Exception => Sample(offset, -1.0, -1.0) }
+        buf.synchronized { buf += s; () }
+        var slept = 0
+        while (running && slept < intervalSec * 10) { Thread.sleep(100); slept += 1 }
+      }
+    }, "graft-host-probe-sampler")
+    th.setDaemon(true)
+
+    def start(): this.type = { th.start(); this }
+
+    /** Stop sampling and return the series (includes one final sample). */
+    def stop(): Seq[Sample] = {
+      running = false
+      th.join(10000)
+      val fin = try Sample(offset, pageMBps(None),
+        shmDir.map(d => pageMBps(Some(d))).getOrElse(-1.0))
+      catch { case _: Exception => Sample(offset, -1.0, -1.0) }
+      buf.synchronized { (buf += fin).toSeq }
+    }
+
+    def json(samples: Seq[Sample]): String = samples
+      .map(s => s"[${s.offsetSec},${s.diskMBps},${s.shmMBps}]")
+      .mkString("[", ",", "]")
   }
 }

@@ -19,8 +19,14 @@ object Scratch {
   def resolve(minFreeBytes: Long): String = {
     sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
       case Some(dir) =>
-        // User-chosen dir may be shared (e.g. /tmp): never reap there.
-        new java.io.File(dir).mkdirs()
+        // User-chosen dir may be shared (e.g. /tmp) — but the reaper only
+        // ever touches OUR prefixes (blockmgr-/spark-/graft-) that have been
+        // cold for 2 h, which is safe anywhere and necessary here: an
+        // override pointing at tmpfs accumulates RAM-pinning orphans from
+        // killed JVMs exactly like the default tmpfs path does.
+        val f = new java.io.File(dir)
+        f.mkdirs()
+        reapOrphans(f)
         dir
       case None =>
         // Reap OUR stale tmpfs dir first — orphans there consume RAM and

@@ -43,7 +43,7 @@ object Text {
     * enough that the first aggregation shuffle already parallelizes the
     * heavy work. (Contrast ods_orders_items, where the compute sits in the
     * projection BEFORE any shuffle and a keyed repartition wins 2x.) */
-  private def docsTok(ctx: Ctx): DataFrame =
+  private[graft] def docsTok(ctx: Ctx): DataFrame =
     docs(ctx).withColumn("toks", expr(toksExpr))
 
   /** raw exploded (doc_id, shingle) pairs, duplicates included — the base

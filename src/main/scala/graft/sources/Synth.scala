@@ -79,6 +79,9 @@ object Synth {
     case "events"     => (1000000L * sf).toLong.max(1L)
     case "documents"  => (50000L * sf).toLong.max(1L)
     case "embeddings" => (20000L * sf).toLong.max(1L)
+    // same corpus size/schema as embeddings, different planted geometry —
+    // see the colValue comment
+    case "embeddings_manifold" => (20000L * sf).toLong.max(1L)
     case _ => throw new IllegalArgumentException(s"unknown synth table: $table")
   }
 
@@ -144,7 +147,7 @@ object Synth {
       StructField("lang", StringType, nullable = false),
       StructField("source", StringType, nullable = false),
       StructField("n_chars", LongType, nullable = false)))
-    case "embeddings" => StructType(Seq(
+    case "embeddings" | "embeddings_manifold" => StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false),
         nullable = false),
@@ -302,6 +305,39 @@ object Synth {
           val center = (mix(label * 64L + d, 61) % 2000L) / 1000.0f
           val noise = (mix(rowId, 200L + d) % 1000L) / 5000.0f
           arr(d) = center + noise
+          d += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+
+      case ("embeddings_manifold", "vec_id") => rowId + 1L
+      case ("embeddings_manifold", "label")  => u(rowId, 60, 10L).toInt
+      // cluster center + LOW-RANK local structure + small noise: x_d =
+      // center(label,d) + Σ_{j<4} t_j(row)·U(label,j,d) + ε_d. Real
+      // embedding models place points near a low-dimensional manifold
+      // inside each cluster; the plain `embeddings` corpus is center + iid
+      // noise, where intra-cluster rank is pure noise alignment and NO
+      // quantized index can learn it (BENCH_ANN r9: cell_recall 0.994,
+      // end recall 0.307 — all loss in the unlearnable ADC stage). Here
+      // the within-cluster variance is dominated by 4 per-cluster basis
+      // directions (|manifold| ~0.5 vs |ε| <0.05), so residual-PQ books
+      // CAN code it — the regime a production IVFADC actually serves.
+      case ("embeddings_manifold", "embedding") =>
+        val label = u(rowId, 60, 10L)
+        val arr = new Array[Any](64)
+        val t = new Array[Double](4)
+        var j = 0
+        while (j < 4) { t(j) = (mix(rowId, 300L + j) % 1000L) / 1000.0; j += 1 }
+        var d = 0
+        while (d < 64) {
+          val center = (mix(label * 64L + d, 61) % 2000L) / 1000.0
+          var manifold = 0.0
+          j = 0
+          while (j < 4) {
+            manifold += t(j) * ((mix(label * 256L + j * 64L + d, 62) % 1000L) / 2000.0)
+            j += 1
+          }
+          val noise = (mix(rowId, 400L + d) % 1000L) / 20000.0
+          arr(d) = (center + manifold + noise).toFloat
           d += 1
         }
         new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)

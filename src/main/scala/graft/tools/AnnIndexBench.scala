@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build-once / query-many measurement for the persisted IVFADC index
+  * (extensions.AnnIndex): the r9 probe rebuilt its index inside every run
+  * (564 s at SF100) — the production question is what a query batch costs
+  * AGAINST an index already on disk. This tool times the two halves
+  * separately on the synth corpus:
+  *
+  *   1. `build_sec`  — full index construction + Versioned publish of the
+  *      four index tables (paid once per corpus version);
+  *   2. `query_sec`  — a query batch served purely from the persisted
+  *      tables (two draws: `query_sec_2` re-runs it in the same session,
+  *      showing the steady-state serving cost with warm page cache).
+  *
+  * Env: SPARK_GRAFT_AIB_SF (default 10), SPARK_GRAFT_AIB_CELLS (default
+  * 512), SPARK_GRAFT_AIB_CODEWORDS (256), SPARK_GRAFT_AIB_QUERIES (100),
+  * SPARK_GRAFT_AIB_NPROBE (16), SPARK_GRAFT_AIB_SHORTLIST (400),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_AIB_DIR. */
+object AnnIndexBench {
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_AIB_SF", "10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCells = sys.env.getOrElse("SPARK_GRAFT_AIB_CELLS", "512").toInt
+    val nCodewords = sys.env.getOrElse("SPARK_GRAFT_AIB_CODEWORDS", "256").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_AIB_QUERIES", "100").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_AIB_NPROBE", "16").toInt
+    val shortlist = sys.env.getOrElse("SPARK_GRAFT_AIB_SHORTLIST", "400").toInt
+    val k = 10
+    val dir = sys.env.getOrElse("SPARK_GRAFT_AIB_DIR", "/tmp/graft_ann_index")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", Scratch.resolve(Scratch.SweepFootprint))
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ctx = Ctx(spark, s"synth:sf=$sf")
+
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(dir))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = ctx.tbl("embeddings").count()
+    val (_, buildSec) = timed {
+      extensions.AnnIndex.build(ctx, dir, nCells, nCodewords)
+    }
+    System.err.println(f"[annindex] built n=$n cells=$nCells cw=$nCodewords in $buildSec%.1f s")
+
+    val queries = ctx.tbl("embeddings")
+      .filter(col("vec_id") > n - nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def serve(): Long = {
+      val out = extensions.AnnIndex.query(spark, dir, queries, k, nprobe, shortlist)
+      out.select(xxhash64(out.columns.map(col): _*).as("__h"))
+        .agg(count(lit(1)), expr("bit_xor(__h)")).head().getLong(0)
+    }
+    val (rows1, q1) = timed(serve())
+    val (rows2, q2) = timed(serve())
+    require(rows1 == rows2 && rows1 > 0, s"serving drift: $rows1 vs $rows2")
+    System.err.println(f"[annindex] query x2: $q1%.1f / $q2%.1f s ($rows1 result rows)")
+
+    println(s"""{"metric":"ann_index_persisted","sf":$sf,"n_vectors":$n,"cells":$nCells,"codewords":$nCodewords,"queries":$nQueries,"nprobe":$nprobe,"shortlist":$shortlist,"k":$k,"build_sec":$buildSec,"query_sec":$q1,"query_sec_2":$q2,"result_rows":$rows1,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+    spark.stop()
+  }
+}

@@ -67,6 +67,10 @@ object AnnScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "10").toInt
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "100").toInt
+    // corpus: `embeddings` (center + iid noise — the adversarial floor) or
+    // `embeddings_manifold` (center + low-rank local structure — the
+    // geometry real embedding models produce; see sources/Synth.scala)
+    val tableName = sys.env.getOrElse("SPARK_GRAFT_ANN_TABLE", "embeddings")
     // curve points as nprobe:shortlist pairs - BOTH knobs move together in
     // production tuning: more probed cells needs a deeper ADC shortlist or
     // the extra candidates just dilute it (measured at SF100: nprobe 8->32
@@ -96,9 +100,15 @@ object AnnScaleProbe {
     graft.functions.CosineSim.register(spark)
     val ctx = Ctx(spark, s"synth:sf=$sf")
 
-    val e = ctx.tbl("embeddings").select(col("vec_id"), col("embedding"))
+    val e = ctx.tbl(tableName).select(col("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count()
+    // seed/codebook/query selection below slices BY ID (vec_id <= nCells,
+    // <= 256, > n - nQueries): fail fast if ids aren't dense 1..n, instead
+    // of silently under-seeding or producing an empty query set
+    val idr = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    require(idr.getLong(0) == 1L && idr.getLong(1) == n,
+      s"probe requires dense 1..n vec_ids; got [${idr.getLong(0)}, ${idr.getLong(1)}] over $n rows")
     val g = math.ceil(math.pow(n.toDouble, 0.25)).toInt
     val nCells = g * g
 
@@ -261,53 +271,58 @@ object AnnScaleProbe {
     // ---- query path per nprobe -------------------------------------------
     import spark.implicits._
     val gtDf = gt.toSeq.toDF("query_id", "cand_id")
-    // probed cells per query, each with its EXACT coarse term dot(q̂, c)
-    def probesFor(nprobe: Int): DataFrame =
-      qn.crossJoin(broadcast(cells))
+    // probed cells per query set, each with its EXACT coarse term dot(q̂, c)
+    def probesFor(qset: DataFrame, nprobe: Int): DataFrame =
+      qset.crossJoin(broadcast(cells))
         .select(col("query_id"), col("cell_id"), dot("qne", "cvec").as("c"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(col("c").desc, col("cell_id"))))
         .filter(col("rn") <= nprobe)
         .select(col("query_id"), col("cell_id"), col("c").as("qcell"))
+    /** The full IVFADC serving path from the built index for one query
+      * batch: probe → ADC → shortlist → exact rerank. Returns the top-k id
+      * set and the candidate count (probe fraction). */
+    def ivfadcTopK(qsRaw: DataFrame, qset: DataFrame, nprobe: Int,
+        shortlist: Int): (Set[(Long, Long)], Long) = {
+      val probes = probesFor(qset, nprobe)
+      val cands = asg.join(broadcast(probes), Seq("cell_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("qcell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nCand = cands.count()
+      // per-query 8×256 inner-product table over the normalized query:
+      // ADC score = dot(q̂, centroid) + Σ_s dot(q̂_s, residual codeword)
+      val qtab = qset
+        .select(col("query_id"), explode(expr(s"sequence(0, ${subs - 1})")).as("s"), col("qne"))
+        .select(col("query_id"), col("s"),
+          expr(s"slice(qne, s * $subDim + 1, $subDim)").as("qv"))
+        .join(broadcast(cb), Seq("s"))
+        .select(col("query_id"), col("s"), col("code"), dot("qv", "cv").as("qc"))
+      val adc = cands
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+        .join(broadcast(qtab), Seq("query_id", "s", "code"))
+        .groupBy("query_id", "cand_id")
+        .agg((first("qcell") + sum("qc")).as("approx"))
+      val short = adc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
+        .filter(col("rn") <= shortlist)
+        .select("query_id", "cand_id")
+      val topk = broadcast(short)
+        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+          Seq("cand_id"))
+        .join(broadcast(qsRaw), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"), cos("ce", "qe").as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))))
+        .filter(col("rn") <= k)
+        .select("query_id", "cand_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      cands.unpersist()
+      (topk, nCand)
+    }
     val curve = curveSpec.map { case (nprobe, shortlist) =>
-      val ((got, cand), sec) = timed {
-        val probes = probesFor(nprobe)
-        val cands = asg.join(broadcast(probes), Seq("cell_id"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand_id"), col("qcell"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nCand = cands.count()
-        // per-query 8×256 inner-product table over the normalized query:
-        // ADC score = dot(q̂, centroid) + Σ_s dot(q̂_s, residual codeword)
-        val qtab = qn
-          .select(col("query_id"), explode(expr(s"sequence(0, ${subs - 1})")).as("s"), col("qne"))
-          .select(col("query_id"), col("s"),
-            expr(s"slice(qne, s * $subDim + 1, $subDim)").as("qv"))
-          .join(broadcast(cb), Seq("s"))
-          .select(col("query_id"), col("s"), col("code"), dot("qv", "cv").as("qc"))
-        val adc = cands
-          .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
-          .join(broadcast(qtab), Seq("query_id", "s", "code"))
-          .groupBy("query_id", "cand_id")
-          .agg((first("qcell") + sum("qc")).as("approx"))
-        val short = adc
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
-          .filter(col("rn") <= shortlist)
-          .select("query_id", "cand_id")
-        val topk = broadcast(short)
-          .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
-            Seq("cand_id"))
-          .join(broadcast(queries), Seq("query_id"))
-          .select(col("query_id"), col("cand_id"), cos("ce", "qe").as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))))
-          .filter(col("rn") <= k)
-          .select("query_id", "cand_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        cands.unpersist()
-        (topk, nCand)
-      }
+      val ((got, cand), sec) = timed(ivfadcTopK(queries, qn, nprobe, shortlist))
       val recall = got.intersect(gt).size.toDouble / gt.size
       val frac = cand.toDouble / (nQueries.toDouble * n)
       // diagnostic (untimed): fraction of TRUE top-k neighbors whose cell
@@ -315,14 +330,57 @@ object AnnScaleProbe {
       // ADC/shortlist loss (raise shortlist or codebook quality)
       val cellRecall = gtDf
         .join(asg.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
-        .join(probesFor(nprobe), Seq("query_id", "cell_id"), "left_semi")
+        .join(probesFor(qn, nprobe), Seq("query_id", "cell_id"), "left_semi")
         .count().toDouble / gt.size
       System.err.println(f"[annprobe] nprobe=$nprobe%-4d shortlist=$shortlist%-5d " +
         f"recall@$k=$recall%.3f cell_recall=$cellRecall%.3f probe_frac=$frac%.4f sec=$sec%.1f")
       s"""{"nprobe":$nprobe,"shortlist":$shortlist,"probe_frac":$frac,"recall_at_$k":$recall,"cell_recall":$cellRecall,"sec":$sec}"""
     }
 
-    println(s"""{"metric":"ann_ivfadc_probe","sf":$sf,"n_vectors":$n,"cells":$nCells,"live_cells":$liveCells,"codewords":256,"subspaces":$subs,"pq":"residual","queries":$nQueries,"k":$k,"build_sec":$buildSec,"ground_truth_sec":$gtSec,"curve":[${curve.mkString(",")}],"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+    // ---- query-count crossover (SPARK_GRAFT_ANN_QCROSS="100,1000,...") ----
+    // The r9 curve honestly recorded brute-force GT beating the ADC path at
+    // Q=100: a 3-stage distributed pipeline has fixed per-job cost that a
+    // single fused scan doesn't, and at tiny Q the scan wins. Brute-force
+    // cost grows with Q×N (every query pays the full corpus); the index
+    // path's per-query work is the probed fraction + shortlist rerank.
+    // This section measures BOTH on the SAME built index at increasing Q —
+    // the committed artifact shows where the index starts paying for its
+    // build. ADC recall vs the brute-force result comes free (brute IS
+    // exact ground truth).
+    val qcross = sys.env.get("SPARK_GRAFT_ANN_QCROSS").map { spec =>
+      val (np, sl) = curveSpec.head
+      spec.split(",").map(_.trim.toInt).toSeq.map { q =>
+        require(q < n, s"qcross Q=$q must be < corpus size $n")
+        val qs = e.filter(col("vec_id") > n - q)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        qs.count()
+        val qsn = en.filter(col("vec_id") > n - q)
+          .select(col("vec_id").as("query_id"), col("nemb").as("qne"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        qsn.count()
+        val (bruteTop, bruteSec) = timed {
+          e.crossJoin(broadcast(qs))
+            .filter(col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("cand_id"),
+              cos("embedding", "qe").as("c"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("c").desc, col("cand_id"))))
+            .filter(col("rn") <= k)
+            .select("query_id", "cand_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val ((adcTop, _), adcSec) = timed(ivfadcTopK(qs, qsn, np, sl))
+        val recall = adcTop.intersect(bruteTop).size.toDouble / bruteTop.size
+        qs.unpersist(); qsn.unpersist()
+        System.err.println(f"[annprobe] qcross Q=$q%-6d brute=$bruteSec%8.1f s " +
+          f"ivfadc=$adcSec%8.1f s (nprobe=$np shortlist=$sl) recall@$k=$recall%.3f")
+        s"""{"q":$q,"brute_sec":$bruteSec,"ivfadc_sec":$adcSec,"nprobe":$np,"shortlist":$sl,"recall_at_$k":$recall}"""
+      }
+    }
+    val qcrossJson = qcross.map(rows => s""","qcross":[${rows.mkString(",")}]""").getOrElse("")
+
+    println(s"""{"metric":"ann_ivfadc_probe","sf":$sf,"table":"$tableName","n_vectors":$n,"cells":$nCells,"live_cells":$liveCells,"codewords":256,"subspaces":$subs,"pq":"residual","queries":$nQueries,"k":$k,"build_sec":$buildSec,"ground_truth_sec":$gtSec,"curve":[${curve.mkString(",")}]$qcrossJson,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 }

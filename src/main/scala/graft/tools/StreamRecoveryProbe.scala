@@ -32,13 +32,18 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Emits one JSON line per run (the committed artifact is
   * `BENCH_STREAM_RECOVERY.json`). Env: SPARK_GRAFT_RECOVERY_SFS ("2,10"),
-  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RECOVERY_DIR. */
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RECOVERY_DIR, SPARK_GRAFT_RECOVERY_USERS_X
+  * (state-size multiplier: remaps each event's user_id into X distinct ids
+  * — `user_id * X + event_id mod X` — so STATE ROWS scale X× without
+  * scaling the event volume X×; restore cost is a function of state size,
+  * and this decouples the two axes for the multi-million-row question). */
 object StreamRecoveryProbe {
 
   def main(args: Array[String]): Unit = {
     val sfs = sys.env.getOrElse("SPARK_GRAFT_RECOVERY_SFS", "2,10")
       .split(",").map(_.trim).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val usersX = sys.env.getOrElse("SPARK_GRAFT_RECOVERY_USERS_X", "1").toLong
     val base = sys.env.getOrElse("SPARK_GRAFT_RECOVERY_DIR", "/tmp/graft_stream_recovery")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,7 +72,9 @@ object StreamRecoveryProbe {
         .option("partitions", cpus)
         .load()
         .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-          col("user_id"), col("event_type"), col("value"))
+          (col("user_id") * usersX + pmod(col("event_id"), lit(usersX)))
+            .as("user_id"),
+          col("event_type"), col("value"))
         .repartition(32)
         .write.mode("overwrite").parquet(staging)
       val parts = new java.io.File(staging).listFiles()
@@ -147,7 +154,7 @@ object StreamRecoveryProbe {
         s""""sessions_emitted":$gotN,"exactly_once":true}"""
     }
 
-    println(s"""{"metric":"stream_recovery","provider":"rocksdb","cpus":$cpus,"runs":[${entries.mkString(",")}],"host_page_mbps":${graft.HostProbe.pageMBps()}}""")
+    println(s"""{"metric":"stream_recovery","provider":"rocksdb","cpus":$cpus,"users_x":$usersX,"runs":[${entries.mkString(",")}],"host_page_mbps":${graft.HostProbe.pageMBps()}}""")
     spark.stop()
   }
 }

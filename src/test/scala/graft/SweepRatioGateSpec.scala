@@ -12,7 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * gate checks the recorded evidence, it does not re-run the sweeps.
   * Host-epoch variance (PERF_NOTES_r6) swings totals ±80% BETWEEN runs,
   * but both artifacts carry their host_page_mbps probe; the 8× bar leaves
-  * room for one healthy + one degraded epoch before it trips. */
+  * room for one healthy + one degraded epoch before it trips.
+  *
+  * Protocol symmetry (r10): BOTH artifacts must be the same statistic —
+  * per-leg minimum over 3 same-code draws, stated in each artifact's
+  * `protocol` field. r9 compared a 3-draw SF100 minimum against a
+  * single SF10 draw, which biases ratios downward (the r9 advice
+  * finding); a refresh that regresses one side's protocol shows up here
+  * as an unexplained ratio shift. */
 class SweepRatioGateSpec extends AnyFunSuite {
 
   private val MaxRatio = 8.0
