@@ -130,7 +130,13 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
-      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      // bind the projection against the NULL-EXTENDED right schema (the
+      // join's output contract), not the child's: a right child that
+      // declares non-null columns (the synth DSv2 source does; parquet
+      // never does) would otherwise codegen null-check-free reads and NPE
+      // on the first null-extended row
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

@@ -138,4 +138,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOf.joinAsOf(intTimes, intRight, "k", "rk", "t", "rt", tolerance = Some(5L))
     }
   }
+
+  test("non-nullable right schema: unmatched left rows null-extend, no NPE") {
+    // r10 regression: the output projection used to bind against the right
+    // CHILD's nullability — parquet children are always nullable so it
+    // never surfaced, but the synth DSv2 source declares nullable=false
+    // columns, and the projection then codegen'd null-check-free reads
+    // that NPE'd on the first null-extended row (SF10 sweep, the
+    // events_asof_attribution leg)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val lSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("t", LongType, nullable = false)))
+    val rSchema = StructType(Seq(
+      StructField("rk", LongType, nullable = false),
+      StructField("rt", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 50L), Row(2L, 50L))), lSchema)
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 10L, "hit"))), rSchema)
+    val out = AsOf.joinAsOf(l, r, "k", "rk", "t", "rt")
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(out(0).fieldIndex("tag")) == "hit")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag")))
+  }
 }
