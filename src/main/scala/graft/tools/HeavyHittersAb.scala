@@ -101,6 +101,12 @@ object HeavyHittersAb {
       } finally { tk.unpersist(); () }
     }
 
+    // matched-token mass: how many of the corpus's token rows hit a
+    // candidate (the recount's agg input size)
+    val matched = toks.join(broadcast(candDf.select("tok")), Seq("tok")).count()
+    System.err.println(f"[hh-ab] matched=$matched (${matched * 100.0 / nTotal}%.1f%% of tokens)")
+    val candList = candRows.map(_.getString(0)).toSeq
+
     val legs = (1 to rounds).flatMap { r =>
       Seq(
         timed(s"scan r$r") {
@@ -114,6 +120,32 @@ object HeavyHittersAb {
           toks.join(broadcast(candDf), Seq("tok"))
             .groupBy(col("tok"), col("n"))
             .agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") * denom > col("n"))
+            .collect(); ()
+        },
+        // decomposition: the join probe alone (no string-keyed agg)
+        timed(s"join_count r$r") {
+          toks.join(broadcast(candDf.select("tok")), Seq("tok"))
+            .agg(count(lit(1))).collect(); ()
+        },
+        // InSet filter + string-keyed agg (no join operator at all)
+        timed(s"filter_group r$r") {
+          toks.filter(col("tok").isInCollection(candList))
+            .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+            .collect(); ()
+        },
+        // semi-join probe (no build-side row concat) + agg
+        timed(s"semi_count r$r") {
+          toks.join(broadcast(candDf.select("tok")), Seq("tok"), "left_semi")
+            .agg(count(lit(1))).collect(); ()
+        },
+        // the in-plan scale-safe candidate: SEMI join filters the stream,
+        // groupBy over matched rows outputs <=cap groups, and a second
+        // (trivially small) join re-attaches n for the exact threshold
+        timed(s"recount_semi r$r") {
+          toks.join(broadcast(candDf.select("tok")), Seq("tok"), "left_semi")
+            .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+            .join(broadcast(candDf), Seq("tok"))
             .filter(col("cnt") * denom > col("n"))
             .collect(); ()
         },
