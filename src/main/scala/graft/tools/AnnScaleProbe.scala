@@ -243,6 +243,20 @@ object AnnScaleProbe {
     val codesUsed = codes.select("s", "code").distinct().count()
     System.err.println(s"[annprobe] cells=$liveCells/$nCells codes_used=$codesUsed/${subs * 256}")
 
+    // packed encoding: ONE row per vector, its `subs` codes in subspace
+    // order — the production 8/16-byte PQ code. The row-per-(vector,
+    // subspace) relation above is the right shape for TRAINING joins, but
+    // serving ADC through it costs `subs` join rows + a (query, cand)
+    // re-aggregation PER CANDIDATE; measured at Q=10k/SF10 that row
+    // machinery made the whole IVFADC path LOSE to brute force at every
+    // query count (qcross r10, first run). Packed, the ADC sum is a single
+    // codegen'd-expression fold of `subs` array lookups per candidate.
+    val codesPacked = codes.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+        .as("codes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(codesPacked.count() == n, "packed encode incomplete")
+
     // ---- queries + exact ground truth ------------------------------------
     val queries = e.filter(col("vec_id") > n - nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -290,19 +304,40 @@ object AnnScaleProbe {
         .select(col("query_id"), col("vec_id").as("cand_id"), col("qcell"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nCand = cands.count()
-      // per-query 8×256 inner-product table over the normalized query:
-      // ADC score = dot(q̂, centroid) + Σ_s dot(q̂_s, residual codeword)
+      // per-query distance table over the normalized query, PACKED as one
+      // (subs × 256)-slot array in (s, code) order: ADC score =
+      // dot(q̂, centroid) + Σ_s qarr[s*256 + code_s]. The table is built on
+      // a FULL generated (s, code) grid (missing = never-referenced
+      // codewords, padded 0) so slot arithmetic stays valid even when book
+      // training drops a codeword on some corpus.
       val qtab = qset
         .select(col("query_id"), explode(expr(s"sequence(0, ${subs - 1})")).as("s"), col("qne"))
         .select(col("query_id"), col("s"),
           expr(s"slice(qne, s * $subDim + 1, $subDim)").as("qv"))
         .join(broadcast(cb), Seq("s"))
         .select(col("query_id"), col("s"), col("code"), dot("qv", "cv").as("qc"))
+      val grid = qset.select(col("query_id"),
+          explode(expr(s"sequence(0, ${subs - 1})")).as("s"))
+        .select(col("query_id"), col("s"),
+          explode(expr("sequence(0, 255)")).as("code"))
+      val qtabPacked = grid
+        .join(qtab, Seq("query_id", "s", "code"), "left_outer")
+        .select(col("query_id"), col("s"), col("code"),
+          coalesce(col("qc"), lit(0.0)).as("qc"))
+        .groupBy("query_id")
+        .agg(expr("transform(array_sort(collect_list(struct(s, code, qc))), x -> x.qc)")
+          .as("qarr"))
+      // one row per candidate: join its packed codes + the query's packed
+      // table, fold `subs` array lookups — no per-subspace rows, no
+      // (query, cand) re-aggregation
       val adc = cands
-        .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
-        .join(broadcast(qtab), Seq("query_id", "s", "code"))
-        .groupBy("query_id", "cand_id")
-        .agg((first("qcell") + sum("qc")).as("approx"))
+        .join(codesPacked.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+        .join(broadcast(qtabPacked), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          (col("qcell") + expr(s"""aggregate(sequence(0, ${subs - 1}), 0D,
+             (acc, s) -> acc + element_at(qarr,
+               CAST(s * 256 + element_at(codes, s + 1) + 1 AS INT)))"""))
+            .as("approx"))
       val short = adc
         .withColumn("rn", row_number().over(
           Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
