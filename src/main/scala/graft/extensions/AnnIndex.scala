@@ -95,7 +95,17 @@ object AnnIndex {
   /** Serve IVFADC top-k from the persisted index: `queries` is
     * (query_id, qe: array<float>). Output schema and every tie-break are
     * identical to [[Similarity.annIvfPq]]'s:
-    * (query_id, cand_id, cell_id, approx: double, cosine, rank). */
+    * (query_id, cand_id, cell_id, approx: double, cosine, rank).
+    *
+    * This plan keeps the oracle-parity decimal ADC shape (per-subspace
+    * rows joined against the query's distance rows — AnnIndexSpec pins
+    * bit-identity with the unpersisted composition). At scale the
+    * serving-optimal form is the packed-expression ADC measured in
+    * [[graft.tools.AnnScaleProbe]] (score = one fold of `subs` array
+    * lookups per candidate — the row-per-subspace join machinery made
+    * the ADC path lose to brute force, PERF_NOTES_r10.md §3); the
+    * `coded` table already stores codes packed for exactly that
+    * consumer. */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 2, shortlist: Int = 20): DataFrame = {
     graft.functions.CosineSim.register(spark)
