@@ -493,36 +493,66 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("seed_cos").desc, col("cell_id"))))
       .filter(col("rn") <= nprobe)
       .select("query_id", "cell_id")
-    // PQ encode + query distance table, exactly as annPqRecall builds them
-    // ("code" here = codeword id, to keep it distinct from the IVF cell_id)
+    // PQ encode + query distance table, the same construction as
+    // annPqRecall ("code" = codeword id, distinct from the IVF cell_id) —
+    // but codes are REINDEXED densely per subspace (row_number over the
+    // tiny codebook; rank is monotone in the original id, so every
+    // tie-break is unchanged) and the serving join is PACKED: one codes
+    // array per candidate, one (8 × 16)-slot decimal array per query,
+    // ADC score = a single fold of 8 array lookups. The previous
+    // row-per-subspace shape paid 8 join rows + a (query, cand)
+    // re-aggregation per candidate — measured 3-6× the packed form's
+    // cost at scale (PERF_NOTES_r10.md §3: the row-machinery tax made
+    // the whole ADC path lose to brute force). The fold accumulates the
+    // SAME eight decimal(12,9) values Spark's sum() added — decimal
+    // addition is exact and order-free, so the output is bit-identical
+    // (the DuckDB oracle and AnnIndexSpec both pin this).
     val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
     val cb = sub.filter(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
-    val codes = sub.join(broadcast(cb), Seq("s"))
+      .withColumn("code", row_number().over(
+        Window.partitionBy("s").orderBy("code")) - 1)
+    val codesPacked = sub.join(broadcast(cb), Seq("s"))
       .select(col("vec_id"), col("s"), col("code"),
         expr("cosine_sim(sv, cv)").as("subcos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id", "s").orderBy(col("subcos").desc, col("code"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id").as("cand_id"), col("s"), col("code"))
-    val qd = queries
+      .groupBy(col("vec_id").as("cand_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
+        .as("codes"))
+    // full (s, code) grid so slot arithmetic s*16 + code stays valid even
+    // if the codebook were ever sparse; unreferenced slots pad 0
+    val qarr = queries
       .select(col("query_id"), explode(expr("sequence(0, 7)")).as("s"), col("qe"))
       .select(col("query_id"), col("s"), expr("slice(qe, s * 8 + 1, 8)").as("qv"))
       .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         round(expr("cosine_sim(qv, cv)"), 9).cast("decimal(12,9)").as("qdec"))
-    // ADC over candidates in probed cells only
+      .select(col("query_id"), col("s"),
+        explode(expr("sequence(0, 15)")).as("slot"), col("code"), col("qdec"))
+      .select(col("query_id"), col("s"), col("slot"),
+        when(col("slot") === col("code"), col("qdec"))
+          .otherwise(lit(0).cast("decimal(12,9)")).as("qdec"))
+      .groupBy("query_id", "s", "slot")
+      .agg(sum(col("qdec")).cast("decimal(12,9)").as("qdec"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(s, slot, qdec))), x -> x.qdec)")
+        .as("qarr"))
+    // ADC over candidates in probed cells only — one row per candidate
     val cands = probes
       .join(assigned.select(col("cell_id"), col("vec_id").as("cand_id")), Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
     val adc = cands
-      .join(codes, Seq("cand_id"))
-      .join(broadcast(qd), Seq("query_id", "s", "code"))
-      .groupBy(col("query_id"), col("cand_id"), col("cell_id"))
-      .agg(sum(col("qdec")).as("approx"), count(lit(1)).as("n_sub"))
-      .filter(col("n_sub") === 8)
+      .join(codesPacked, Seq("cand_id"))
+      .join(broadcast(qarr), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("cell_id"),
+        expr("""aggregate(sequence(0, 7), CAST(0 AS DECIMAL(22,9)),
+           (acc, s) -> CAST(acc + element_at(qarr,
+             CAST(s * 16 + element_at(codes, s + 1) + 1 AS INT)) AS DECIMAL(22,9)))""")
+          .as("approx"))
     val short = adc
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
