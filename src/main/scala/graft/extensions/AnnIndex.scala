@@ -19,16 +19,22 @@ import org.apache.spark.sql.functions._
   *     assignment and its 8 PQ codes packed in subspace order (the 8-byte
   *     production encoding, kept as array<int> for plan inspectability)
   *   - `vectors`    (vec_id, embedding)      — full floats, rerank-only
+  *   - `meta`       (generation, seeds_v, codebooks_v, coded_v, vectors_v)
+  *     — ONE row naming the four table versions that form this index
+  *     generation, committed LAST
   *
   * Versioned (not bare parquet) is what makes this production-shaped: an
   * index REBUILD publishes all four relations as new snapshots readable
   * only when complete (readers of the old index are never disturbed
   * mid-rebuild — snapshot isolation), and a crashed rebuild leaves the
-  * prior version fully servable. The four tables commit independently;
-  * [[query]] pins one version per table at entry, so a serving call is
-  * internally consistent once builds are serialized (one writer at a time
-  * — the operational norm for index rebuilds; cross-table atomicity would
-  * need a wrapping meta-manifest, out of scope here).
+  * prior version fully servable. The four data tables commit
+  * independently; CROSS-TABLE atomicity comes from the meta-manifest:
+  * [[query]] resolves the latest `meta` snapshot once at entry and pins
+  * every table read to the versions that row names, so a serving call can
+  * never observe a mixed generation — an in-flight rebuild that has
+  * committed some tables but not yet its meta row is invisible, and a
+  * crashed rebuild leaves readers on the previous generation entirely
+  * (AnnIndexSpec pins this with an interleaved-rebuild test).
   *
   * [[query]] serves the composed IVFADC pipeline FROM the persisted tables
   * — probe nprobe cells, ADC-score only coded vectors in probed cells (no
@@ -36,6 +42,18 @@ import org.apache.spark.sql.functions._
   * deterministic tie-breaks and decimal-rounded ADC sums as
   * [[Similarity.annIvfPq]]; AnnIndexSpec proves the served results are
   * row-identical to the unpersisted composition.
+  *
+  * The ADC is the PACKED fold, the shape [[Similarity.annIvfPq]] ships and
+  * PERF_NOTES_r10.md §3 measured: one row per candidate, score = one
+  * `aggregate(sequence…element_at)` fold over the candidate's packed codes
+  * against the query's broadcast slot array. The previous row-per-subspace
+  * form (posexplode the codes, BroadcastHashJoin the query's distance
+  * rows, re-aggregate) paid 8 join rows + a (query, cand) exchange per
+  * candidate — pure row machinery measured 3-6× the fold's cost, enough to
+  * make the whole ADC path lose to codegen'd brute force. The fold adds
+  * the SAME eight decimal(12,9) values the old sum() added — decimal
+  * addition is exact and order-free, so the output is bit-identical
+  * (AnnIndexSpec pins row-identity with annIvfPq either way).
   *
   * At 100 TB: the build is the linear encode pass (broadcast seeds +
   * codebooks) paid once; a query batch reads manifest-listed parquet of
@@ -45,14 +63,22 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  private val Tables = Seq("seeds", "codebooks", "coded", "vectors")
+
   /** Build the index from `ctx`'s `embeddings` table and publish under
     * `dir`. `nCells`/`nCodewords` set the coarse/PQ shape (defaults = the
     * [[Similarity.annIvfPq]] verification shape, giving exact parity; a
     * production build passes ~sqrt(N) cells and 256 codewords). Fixed
-    * deterministic quantizers: seeds = the nCells lowest vec_ids,
-    * codebooks = per-subspace slices of the nCodewords lowest vec_ids —
-    * the same rule both engines derive identically (annIvf/annPqRecall).
-    * Returns table -> committed version. */
+    * deterministic quantizers: seeds = the vec_ids strictly below `nCells`,
+    * codebooks = per-subspace slices of the vec_ids strictly below
+    * `nCodewords`. NOTE vec_id is 1-based, so that rule yields nCells-1
+    * seeds and nCodewords-1 codewords — kept as-is because it is the SAME
+    * rule [[Similarity.annIvfPq]]/annIvf apply (`vec_id < 8`, `< 16` on
+    * 1-based ids), which is what gives exact cross-engine parity; callers
+    * reporting index shape should count the published tables
+    * (AnnIndexBench emits `cells_actual`/`codewords_actual`).
+    * Returns table -> committed version, including the `meta` generation
+    * commit that makes the five publishes one atomic index version. */
   def build(ctx: Ctx, dir: String, nCells: Int = 8,
       nCodewords: Int = 16): Map[String, Long] = {
     graft.functions.CosineSim.register(ctx.spark)
@@ -84,35 +110,60 @@ object AnnIndex {
         .as("codes"))
     val coded = assigned.join(codes, Seq("vec_id"))
       .select("vec_id", "cell_id", "codes")
-    Map(
+    val versions = Map(
       "seeds" -> Versioned.write(seeds, s"$dir/seeds"),
       "codebooks" -> Versioned.write(cb, s"$dir/codebooks"),
       "coded" -> Versioned.write(coded, s"$dir/coded"),
       "vectors" -> Versioned.write(
         e.select("vec_id", "embedding"), s"$dir/vectors"))
+    // the generation commit: one row naming the four versions just
+    // published. Readers pin on THIS row; until it lands, the new tables
+    // are invisible (a crashed rebuild leaves the old generation serving).
+    val spark = ctx.spark
+    val metaDf = spark.range(1).select(
+      lit(versions("seeds")).as("seeds_v"),
+      lit(versions("codebooks")).as("codebooks_v"),
+      lit(versions("coded")).as("coded_v"),
+      lit(versions("vectors")).as("vectors_v"))
+    versions + ("meta" -> Versioned.write(metaDf, s"$dir/meta"))
   }
+
+  /** Resolve the generation to serve: the latest meta row's pinned
+    * versions (one-row collect — bounded by construction). Indexes built
+    * before the meta-manifest existed (no `meta` table) fall back to
+    * latest-per-table, which is only consistent under serialized builds —
+    * the documented pre-r11 behavior. */
+  private def pinnedVersions(spark: SparkSession, dir: String): Map[String, Option[Long]] =
+    if (Versioned.latestVersion(spark, s"$dir/meta").isEmpty)
+      Tables.map(_ -> (None: Option[Long])).toMap
+    else {
+      val row = Versioned.read(spark, s"$dir/meta").head()
+      Tables.zipWithIndex.map { case (t, i) => t -> Some(row.getLong(i)) }.toMap
+    }
 
   /** Serve IVFADC top-k from the persisted index: `queries` is
     * (query_id, qe: array<float>). Output schema and every tie-break are
     * identical to [[Similarity.annIvfPq]]'s:
     * (query_id, cand_id, cell_id, approx: double, cosine, rank).
     *
-    * This plan keeps the oracle-parity decimal ADC shape (per-subspace
-    * rows joined against the query's distance rows — AnnIndexSpec pins
-    * bit-identity with the unpersisted composition). At scale the
-    * serving-optimal form is the packed-expression ADC measured in
-    * [[graft.tools.AnnScaleProbe]] (score = one fold of `subs` array
-    * lookups per candidate — the row-per-subspace join machinery made
-    * the ADC path lose to brute force, PERF_NOTES_r10.md §3); the
-    * `coded` table already stores codes packed for exactly that
-    * consumer. */
+    * Table reads are pinned to one meta generation (see object scaladoc);
+    * scoring is the packed ADC fold — one slot-array lookup per subspace
+    * per candidate, no per-subspace rows, no re-aggregation. */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nprobe: Int = 2, shortlist: Int = 20): DataFrame = {
     graft.functions.CosineSim.register(spark)
-    val seeds = Versioned.read(spark, s"$dir/seeds")
-    val cb = Versioned.read(spark, s"$dir/codebooks")
-    val coded = Versioned.read(spark, s"$dir/coded")
-    val vectors = Versioned.read(spark, s"$dir/vectors")
+    val pin = pinnedVersions(spark, dir)
+    val seeds = Versioned.read(spark, s"$dir/seeds", pin("seeds"))
+    val cb = Versioned.read(spark, s"$dir/codebooks", pin("codebooks"))
+    val coded = Versioned.read(spark, s"$dir/coded", pin("coded"))
+    val vectors = Versioned.read(spark, s"$dir/vectors", pin("vectors"))
+    // slot-array width: codes are the RAW codebook ids persisted at build
+    // time (vec_ids — NOT densely reindexed, so remapping candidates is
+    // never needed at serve time); the query array simply spans
+    // [0, max code] with decimal-0 padding in unreferenced slots. The
+    // codebook is the broadcast-tiny relation, so this is a bounded
+    // metadata action, not a data-scaled collect.
+    val nSlots = cb.agg(max(col("code"))).head().getLong(0).toInt + 1
     val probes = queries.crossJoin(broadcast(seeds))
       .select(col("query_id"), col("cell_id"),
         expr("cosine_sim(qe, se)").as("seed_cos"))
@@ -120,25 +171,38 @@ object AnnIndex {
         Window.partitionBy("query_id").orderBy(col("seed_cos").desc, col("cell_id"))))
       .filter(col("rn") <= nprobe)
       .select("query_id", "cell_id")
-    val qd = queries
+    // per-query ADC table, packed: one decimal(12,9) slot array of length
+    // 8 * nSlots per query (subspace-major, slot = s * nSlots + code)
+    val qarr = queries
       .select(col("query_id"), explode(expr("sequence(0, 7)")).as("s"), col("qe"))
       .select(col("query_id"), col("s"), expr("slice(qe, s * 8 + 1, 8)").as("qv"))
       .join(broadcast(cb), Seq("s"))
-      .select(col("query_id"), col("s"), col("code"),
+      .select(col("query_id"), col("s"),
+        col("code").cast("int").as("code"),
         round(expr("cosine_sim(qv, cv)"), 9).cast("decimal(12,9)").as("qdec"))
-    // candidates = coded vectors in probed cells; their packed codes unpack
-    // back to (s, code) rows for the ADC lookup join
-    val cands = probes
+      .groupBy(col("query_id"), col("s"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("qdec")))).as("m"))
+      .select(col("query_id"), col("s"),
+        expr(s"""transform(sequence(0, ${nSlots - 1}),
+           c -> coalesce(element_at(m, c), CAST(0 AS DECIMAL(12,9))))""").as("sarr"))
+      .groupBy("query_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, sarr))), x -> x.sarr))")
+        .as("qarr"))
+    // candidates = coded vectors in probed cells, ONE row per candidate —
+    // the packed codes array never unpacks; the score is a single fold of
+    // 8 slot lookups, accumulating the same decimal(12,9) values the old
+    // per-subspace sum() added (decimal addition is exact and order-free,
+    // so the result is bit-identical)
+    val adc = probes
       .join(coded.select(col("cell_id"), col("vec_id").as("cand_id"),
         col("codes")), Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qarr), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), col("cell_id"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-    val adc = cands
-      .join(broadcast(qd), Seq("query_id", "s", "code"))
-      .groupBy(col("query_id"), col("cand_id"), col("cell_id"))
-      .agg(sum(col("qdec")).as("approx"), count(lit(1)).as("n_sub"))
-      .filter(col("n_sub") === 8)
+        expr(s"""aggregate(sequence(0, 7), CAST(0 AS DECIMAL(22,9)),
+           (acc, s) -> CAST(acc + element_at(qarr,
+             CAST(s * $nSlots + element_at(codes, s + 1) + 1 AS INT)) AS DECIMAL(22,9)))""")
+          .as("approx"))
     val short = adc
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))

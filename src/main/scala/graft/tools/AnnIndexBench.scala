@@ -57,7 +57,14 @@ object AnnIndexBench {
     val (_, buildSec) = timed {
       extensions.AnnIndex.build(ctx, dir, nCells, nCodewords)
     }
-    System.err.println(f"[annindex] built n=$n cells=$nCells cw=$nCodewords in $buildSec%.1f s")
+    // report the PUBLISHED shape, not the parameters: vec_id is 1-based so
+    // the `vec_id < nCells` quantizer rule yields nCells-1 seeds (and
+    // nCodewords-1 codewords) — the r10 artifact overstated both by one
+    val cellsActual = Versioned.read(spark, s"$dir/seeds").count()
+    val cwActual = Versioned.read(spark, s"$dir/codebooks")
+      .select("code").distinct().count()
+    System.err.println(
+      f"[annindex] built n=$n cells=$cellsActual cw=$cwActual in $buildSec%.1f s")
 
     val queries = ctx.tbl("embeddings")
       .filter(col("vec_id") > n - nQueries)
@@ -72,7 +79,7 @@ object AnnIndexBench {
     require(rows1 == rows2 && rows1 > 0, s"serving drift: $rows1 vs $rows2")
     System.err.println(f"[annindex] query x2: $q1%.1f / $q2%.1f s ($rows1 result rows)")
 
-    println(s"""{"metric":"ann_index_persisted","sf":$sf,"n_vectors":$n,"cells":$nCells,"codewords":$nCodewords,"queries":$nQueries,"nprobe":$nprobe,"shortlist":$shortlist,"k":$k,"build_sec":$buildSec,"query_sec":$q1,"query_sec_2":$q2,"result_rows":$rows1,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+    println(s"""{"metric":"ann_index_persisted","sf":$sf,"n_vectors":$n,"cells_param":$nCells,"codewords_param":$nCodewords,"cells_actual":$cellsActual,"codewords_actual":$cwActual,"queries":$nQueries,"nprobe":$nprobe,"shortlist":$shortlist,"k":$k,"build_sec":$buildSec,"query_sec":$q1,"query_sec_2":$q2,"result_rows":$rows1,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 }

@@ -4,25 +4,29 @@ import org.apache.spark.sql.functions._
 
 /** The persisted IVFADC index (extensions.AnnIndex) must serve results
   * row-identical to the unpersisted composition (Similarity.annIvfPq) —
-  * the build-once/query-many production shape cannot change answers. Also
-  * pins the index lifecycle: a rebuild publishes new Versioned snapshots
-  * while the prior version stays readable (time travel). */
+  * the build-once/query-many production shape cannot change answers, and
+  * r11's packed-ADC serving fold must stay bit-identical to the
+  * row-per-subspace sum it replaced. Also pins the index lifecycle: a
+  * rebuild publishes new Versioned snapshots while the prior version stays
+  * readable (time travel), and the meta-manifest makes the five-table
+  * publish atomic — a reader can never observe a mixed generation. */
 class AnnIndexSpec extends SparkSpec {
 
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
   }
 
+  private def queriesDf = ctx.tbl("embeddings")
+    .filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
   test("persisted-index query is row-identical to annIvfPq") {
     val dir = "/tmp/graft-ann-index-spec"
     rm(new java.io.File(dir))
     val versions = extensions.AnnIndex.build(ctx, dir)
-    assert(versions.keySet == Set("seeds", "codebooks", "coded", "vectors"))
+    assert(versions.keySet == Set("seeds", "codebooks", "coded", "vectors", "meta"))
 
-    val queries = ctx.tbl("embeddings")
-      .filter(col("vec_id") >= 10 && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val served = extensions.AnnIndex.query(spark, dir, queries)
+    val served = extensions.AnnIndex.query(spark, dir, queriesDf)
     val direct = extensions.Similarity.annIvfPq(ctx)
 
     assert(served.columns.toSeq == direct.columns.toSeq,
@@ -43,5 +47,35 @@ class AnnIndexSpec extends SparkSpec {
     val oldCoded = Versioned.read(spark, s"$dir/coded", Some(v0))
     val newCoded = Versioned.read(spark, s"$dir/coded", Some(v1))
     assert(oldCoded.count() == newCoded.count())
+  }
+
+  test("meta-manifest pins one generation: a mid-rebuild commit is invisible") {
+    val dir = "/tmp/graft-ann-index-atomic"
+    rm(new java.io.File(dir))
+    extensions.AnnIndex.build(ctx, dir)
+    val before = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+
+    // simulate a rebuild in flight: some data tables have committed new
+    // snapshots, but the meta row has not landed. Here the seeds tip moves
+    // to a DIFFERENT quantizer (one cell), which unpinned reads would see.
+    val junkSeeds = ctx.tbl("embeddings").filter(col("vec_id") === 1)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
+    Versioned.write(junkSeeds, s"$dir/seeds")
+    assert(Versioned.read(spark, s"$dir/seeds").count() == 1,
+      "test setup: the seeds tip should have moved to the junk snapshot")
+
+    // a serving call still reads the pinned generation — not the new tip
+    val during = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(during == before,
+      "mixed-generation read: query() consumed a table tip that has no meta row")
+
+    // completing the rebuild (meta row lands) switches generations
+    // atomically; same corpus -> same answers
+    extensions.AnnIndex.build(ctx, dir)
+    val after = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
   }
 }
