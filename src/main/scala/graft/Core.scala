@@ -18,9 +18,25 @@ import scala.collection.concurrent.TrieMap
 final case class Ctx(spark: SparkSession, dir: String) {
   def tbl(name: String): DataFrame =
     if (dir.startsWith("synth:sf=")) {
+      // scheme options after the SF, comma-separated: `synth:sf=100,docs=zipf`
+      // swaps the documents corpus for the high-cardinality Zipf-vocabulary
+      // variant (sources/Synth `documents_zipf`) — same schema, production
+      // token distribution, for bench legs whose cost depends on vocabulary
+      // shape. Every consumer keeps asking for "documents"; the remap
+      // happens here so plans are corpus-agnostic.
+      val spec = dir.stripPrefix("synth:sf=").split(",")
+      val opts = spec.tail.map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed synth option '$kv' in $dir")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+      val table =
+        if (name == "documents" && opts.get("docs").contains("zipf"))
+          "documents_zipf"
+        else name
       spark.read.format("graft-synth")
-        .option("table", name)
-        .option("sf", dir.stripPrefix("synth:sf=").toDouble)
+        .option("table", table)
+        .option("sf", spec.head.toDouble)
         .option("partitions", spark.sparkContext.defaultParallelism)
         .load()
     } else if (name == "events") Ctx.normalizedEvents(spark, s"$dir/$name.parquet")

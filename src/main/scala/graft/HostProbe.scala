@@ -72,10 +72,18 @@ object HostProbe {
       Some("/dev/shm").filter(d => new java.io.File(d).isDirectory)
     private val th = new Thread(() => {
       while (running) {
-        val s = try Sample(offset, pageMBps(None),
-          shmDir.map(d => pageMBps(Some(d))).getOrElse(-1.0))
-        catch { case _: Exception => Sample(offset, -1.0, -1.0) }
-        buf.synchronized { buf += s; () }
+        // re-check `running` immediately before the probe write: a single
+        // sample moves 512 MB (256 disk + 256 tmpfs) and can take >10 s on
+        // exactly the degraded epochs this sampler exists to witness — a
+        // stop() racing into a just-started probe would otherwise leave a
+        // background write competing with whatever runs after the build
+        val s = try {
+          if (!running) Sample(offset, -1.0, -1.0)
+          else Sample(offset, pageMBps(None),
+            shmDir.map(d => if (running) pageMBps(Some(d)) else -1.0)
+              .getOrElse(-1.0))
+        } catch { case _: Exception => Sample(offset, -1.0, -1.0) }
+        if (running) buf.synchronized { buf += s; () }
         var slept = 0
         while (running && slept < intervalSec * 10) { Thread.sleep(100); slept += 1 }
       }
@@ -84,10 +92,17 @@ object HostProbe {
 
     def start(): this.type = { th.start(); this }
 
-    /** Stop sampling and return the series (includes one final sample). */
+    /** Stop sampling and return the series (includes one final sample).
+      * Waits out an in-flight probe (up to 90 s — one degraded-epoch probe
+      * can exceed the old 10 s grace) so no background 256 MB write is
+      * left competing with whatever runs next; if the thread still hasn't
+      * parked by then, that is itself logged as epoch evidence. */
     def stop(): Seq[Sample] = {
       running = false
-      th.join(10000)
+      th.join(90000)
+      if (th.isAlive)
+        System.err.println("[hostprobe] sampler thread still mid-probe " +
+          "after 90 s grace — in-flight sample dropped (severely degraded epoch)")
       val fin = try Sample(offset, pageMBps(None),
         shmDir.map(d => pageMBps(Some(d))).getOrElse(-1.0))
       catch { case _: Exception => Sample(offset, -1.0, -1.0) }

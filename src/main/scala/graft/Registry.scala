@@ -2395,6 +2395,15 @@ object Registry {
          |SELECT doc_id, source, n_emails, n_phones, n_ips, redacted_chars,
          |  (n_emails + n_phones + n_ips = 0) AS is_clean
          |FROM r_piic ORDER BY doc_id""".stripMargin),
+    // CONTRACT NOTE (driver/bench consumers): this builder is EAGER —
+    // constructing the DataFrame already executes pass 1 (the full-corpus
+    // Misra-Gries sketch scan, a scalar action) so that pass 2 can filter
+    // with the collected candidates as an InSet predicate (measured 3.5-4x
+    // cheaper per row than the lazy broadcast-join form, PERF_NOTES_r10 §2).
+    // A consumer that constructs plans OUTSIDE its timed window must treat
+    // this entry as "construction = pass 1, action = pass 2" — start the
+    // timer before calling the builder (the in-repo bench paths and the
+    // driver, which times fn(spark, dir) inclusively, already do).
     "text_heavy_hitters" -> e(
       ctx => extensions.Text.heavyHitters(ctx),
       s"""$duckTokCtes

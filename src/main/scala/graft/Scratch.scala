@@ -19,14 +19,18 @@ object Scratch {
   def resolve(minFreeBytes: Long): String = {
     sys.env.get("SPARK_GRAFT_LOCAL_DIR") match {
       case Some(dir) =>
-        // User-chosen dir may be shared (e.g. /tmp) — but the reaper only
-        // ever touches OUR prefixes (blockmgr-/spark-/graft-) that have been
-        // cold for 2 h, which is safe anywhere and necessary here: an
-        // override pointing at tmpfs accumulates RAM-pinning orphans from
-        // killed JVMs exactly like the default tmpfs path does.
+        // User-chosen dir may be SHARED (e.g. /tmp): `blockmgr-`/`spark-`
+        // prefixes are generic to every Spark process on the host, and
+        // mtime is not updated by reads — so reaping them here could
+        // delete a live foreign app's block-manager dirs (its shuffle
+        // blocks written >2 h ago but still being READ), causing
+        // FetchFailed storms in another process. In an override dir the
+        // reaper therefore touches only the `graft-` prefix, which is
+        // ours by construction; the broader prefixes are reaped only in
+        // the default dirs this module itself owns and names.
         val f = new java.io.File(dir)
         f.mkdirs()
-        reapOrphans(f)
+        reapOrphans(f, prefixes = Seq("graft-"))
         dir
       case None =>
         // Reap OUR stale tmpfs dir first — orphans there consume RAM and
@@ -57,12 +61,14 @@ object Scratch {
     * under it was touched for 2 hours (the NEWEST mtime in the subtree, so
     * a live run whose top-level blockmgr dir is old but whose shuffle
     * files are fresh is never touched). Fresh orphans are instead handled
-    * by the free-space fallback above. Only entries with Spark/graft
+    * by the free-space fallback above. Only entries with the given
     * scratch prefixes are touched — anything else in the dir is not ours
-    * to delete. Best-effort: IO errors skip. */
-  private[graft] def reapOrphans(root: java.io.File): Unit = {
+    * to delete (and in user-override dirs only `graft-` is, see resolve).
+    * Best-effort: IO errors skip. */
+  private[graft] def reapOrphans(root: java.io.File,
+      prefixes: Seq[String] = Seq("blockmgr-", "spark-", "graft-")): Unit = {
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
-    val ours = Seq("blockmgr-", "spark-", "graft-")
+    val ours = prefixes
     def newestMtime(f: java.io.File): Long = {
       val own = f.lastModified()
       val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])

@@ -78,6 +78,9 @@ object Synth {
     // path for the LLM-pipeline operators (dedup, ANN, sessionize)
     case "events"     => (1000000L * sf).toLong.max(1L)
     case "documents"  => (50000L * sf).toLong.max(1L)
+    // same corpus size/schema as documents, production-shaped vocabulary —
+    // see the colValue comment
+    case "documents_zipf" => (50000L * sf).toLong.max(1L)
     case "embeddings" => (20000L * sf).toLong.max(1L)
     // same corpus size/schema as embeddings, different planted geometry —
     // see the colValue comment
@@ -141,7 +144,7 @@ object Synth {
       StructField("event_type", StringType, nullable = false),
       StructField("value", DoubleType, nullable = false),
       StructField("props", StringType, nullable = false)))
-    case "documents" => StructType(Seq(
+    case "documents" | "documents_zipf" => StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("text", StringType, nullable = false),
       StructField("lang", StringType, nullable = false),
@@ -293,6 +296,24 @@ object Synth {
         UTF8String.fromString(s"src${u(rowId, 51, 20L)}")
       case ("documents", "n_chars") => docText(rowId).length.toLong
 
+      // documents_zipf: the PRODUCTION-vocabulary text corpus. The plain
+      // `documents` table draws from a ~66-word fixed vocabulary, which is
+      // right for langid/dedup semantics but degenerate for frequency
+      // operators: every token is a heavy hitter, so a candidate filter
+      // prunes nothing (PERF_NOTES_r10.md §2 finding 1 — the committed
+      // heavy-hitters ratio characterized exactly that corpus). Here each
+      // word is drawn Zipf(s≈1) from a 1M-token vocabulary (inverse-CDF of
+      // the continuous approximation: rank = exp(u·ln(V+1)) - 1), the
+      // shape real corpora have: ~36 tokens clear the 0.2% heavy-hitter
+      // threshold, a cap-8192 sketch's candidates cover ~65% of token
+      // mass, and the long tail is genuinely high-cardinality.
+      case ("documents_zipf", "doc_id")  => rowId + 1L
+      case ("documents_zipf", "text")    => UTF8String.fromString(zipfText(rowId))
+      case ("documents_zipf", "lang")    => docLangs(0)
+      case ("documents_zipf", "source") =>
+        UTF8String.fromString(s"src${u(rowId, 51, 20L)}")
+      case ("documents_zipf", "n_chars") => zipfText(rowId).length.toLong
+
       case ("embeddings", "vec_id") => rowId + 1L
       case ("embeddings", "label")  => u(rowId, 60, 10L).toInt
       // label-centered cluster + per-row noise: gives IVF/LSH/kNN benches
@@ -377,6 +398,32 @@ object Synth {
     rowId % 10L != 0L && u(rowId, 53, 10L) < 2L
   private def docSeed(rowId: Long): Long =
     if (docIsDup(rowId)) rowId - (rowId % 10L) else rowId
+
+  private val ZipfVocab = 1000000L
+  private val zipfLogV = math.log(ZipfVocab.toDouble + 1.0)
+
+  /** Zipf(s≈1) rank draw over [0, ZipfVocab): u uniform in [0,1) from the
+    * splitmix stream, rank = ⌊exp(u·ln(V+1))⌋ - 1 — the inverse CDF of the
+    * continuous Zipf approximation (P(rank k) ∝ 1/(k+1)). Deterministic
+    * per (rowId, salt) like every other synth column. */
+  private def zipfRank(rowId: Long, salt: Long): Long = {
+    val uu = (mix(rowId, salt) >>> 11).toDouble / (1L << 53).toDouble
+    val k = math.exp(uu * zipfLogV).toLong - 1L
+    if (k < 0L) 0L else if (k >= ZipfVocab) ZipfVocab - 1L else k
+  }
+
+  private def zipfText(rowId: Long): String = {
+    val nWords = 30 + u(rowId, 152, 40L).toInt
+    val sb = new java.lang.StringBuilder(nWords * 8)
+    var j = 0
+    while (j < nWords) {
+      if (j > 0) sb.append(' ')
+      sb.append('w')
+      sb.append(zipfRank(rowId, 500L + j))
+      j += 1
+    }
+    sb.toString
+  }
 
   private def docText(rowId: Long): String = {
     val isDup = docIsDup(rowId)

@@ -92,8 +92,13 @@ object StreamRecoveryProbe {
       }
 
       /** Run the sessionization stream over `dir` from `ckpt` into `sink`;
-        * returns (wall sec, first-batch ms, state rows after last batch). */
-      def run(dir: String, ckpt: String, sink: String): (Double, Long, Long) = {
+        * returns (wall sec, first-batch ms, state rows after last batch,
+        * per-batch (input rows, trigger ms)). The per-batch series is what
+        * prices CATCH-UP: at production backlogs the RTO term is not the
+        * restore itself but how fast the resumed query drains to current,
+        * so the artifact needs throughput, not just the first batch. */
+      def run(dir: String, ckpt: String, sink: String)
+          : (Double, Long, Long, Seq[(Long, Long)]) = {
         val schema = spark.read.parquet(staging).schema
         val src = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "4")
@@ -115,7 +120,9 @@ object StreamRecoveryProbe {
         val stateRows = progress.reverse
           .flatMap(p => Option(p.stateOperators).toSeq.flatten)
           .headOption.map(_.numRowsTotal).getOrElse(-1L)
-        (sec, firstBatchMs, stateRows)
+        val batches = progress.map(p => (p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(Long2long).getOrElse(-1L)))
+        (sec, firstBatchMs, stateRows, batches)
       }
 
       val now = System.currentTimeMillis() - 3600 * 1000L
@@ -124,15 +131,32 @@ object StreamRecoveryProbe {
       val sink = s"$work/sink"
       // phase A: first half, cold state
       place(inDir, parts.take(16).toSeq, now)
-      val (aSec, aFirstMs, aRows) = run(inDir, ckpt, sink)
+      val (aSec, aFirstMs, aRows, aBatches) = run(inDir, ckpt, sink)
       // phase B: backlog lands, NEW query resumes from the checkpoint
       place(inDir, parts.drop(16).toSeq, now + 16 * 1000L)
-      val (bSec, bFirstMs, bRows) = run(inDir, ckpt, sink)
+      val (bSec, bFirstMs, bRows, bBatches) = run(inDir, ckpt, sink)
 
       // reference: same 32 files, same mtime order, fresh checkpoint+sink
       val refDir = s"$work/ref_in"
       place(refDir, parts.toSeq, now)
-      val (_, _, refRows) = run(refDir, s"$work/ref_ckpt", s"$work/ref_sink")
+      val (_, _, refRows, _) = run(refDir, s"$work/ref_ckpt", s"$work/ref_sink")
+
+      // catch-up profile: ev/s over the resumed query's whole backlog
+      // drain (wall — the operational time-to-current) and over its
+      // POST-restore batches only (the sustained drain rate once state is
+      // back); steady-state baseline = phase A's post-warmup batches (same
+      // per-batch work, no backlog, no restore). The ratio of drain rate
+      // to steady rate is the number that extrapolates to production
+      // backlogs: catch-up is the RTO term, restore is a constant.
+      def rate(batches: Seq[(Long, Long)]): Double = {
+        val ok = batches.filter(_._2 > 0)
+        val ms = ok.map(_._2).sum
+        if (ms <= 0) -1.0 else ok.map(_._1).sum.toDouble * 1000.0 / ms
+      }
+      val catchupEvents = bBatches.map(_._1).sum
+      val catchupWallRate = if (bSec > 0) catchupEvents / bSec else -1.0
+      val catchupDrainRate = rate(bBatches.drop(1))
+      val steadyRate = rate(aBatches.drop(1))
 
       def digest(path: String): (Long, Long) = {
         val df = spark.read.parquet(path)
@@ -147,10 +171,13 @@ object StreamRecoveryProbe {
       require(bRows == refRows,
         s"state-row mismatch after catch-up: restarted=$bRows reference=$refRows")
       System.err.println(f"[recovery] sf=$sf events=$nEvents state_rows=$bRows " +
-        f"restoreA_ms=$aFirstMs restartB_ms=$bFirstMs catchup=$bSec%.1fs exactly_once=OK")
+        f"restoreA_ms=$aFirstMs restartB_ms=$bFirstMs catchup=$bSec%.1fs " +
+        f"catchup_ev_s=$catchupDrainRate%.0f steady_ev_s=$steadyRate%.0f exactly_once=OK")
       s"""{"sf":$sf,"events":$nEvents,"state_rows_at_restart":$aRows,"state_rows_final":$bRows,""" +
         s""""phase_a_sec":$aSec,"first_batch_cold_ms":$aFirstMs,""" +
         s""""restart_catchup_sec":$bSec,"first_batch_restored_ms":$bFirstMs,""" +
+        s""""catchup_events":$catchupEvents,"catchup_ev_per_sec_wall":$catchupWallRate,""" +
+        s""""catchup_ev_per_sec_drain":$catchupDrainRate,"steady_ev_per_sec":$steadyRate,""" +
         s""""sessions_emitted":$gotN,"exactly_once":true}"""
     }
 

@@ -63,4 +63,31 @@ class ScratchSpec extends AnyFunSuite {
       "non-Spark-prefixed entries are not ours to delete")
     assert(!ours.exists(), "stale spark-* entry must still be reaped")
   }
+
+  test("override-dir prefix set spares foreign Spark processes' scratch") {
+    val root = java.nio.file.Files.createTempDirectory("scratch_spec3").toFile
+    val old = 3L * 3600 * 1000
+
+    // a FOREIGN Spark app's block-manager dir in a shared override dir
+    // (e.g. /tmp): written >2 h ago but possibly still being READ (reads
+    // don't update mtime) — the override-mode reap must not touch it
+    val foreign = new java.io.File(root, "blockmgr-foreign")
+    foreign.mkdirs()
+    foreign.setLastModified(System.currentTimeMillis() - old)
+    val foreignSpark = new java.io.File(root, "spark-foreign")
+    foreignSpark.mkdirs()
+    foreignSpark.setLastModified(System.currentTimeMillis() - old)
+
+    // our own stale scratch: still reaped in override mode
+    val ours = new java.io.File(root, "graft-scratch-old")
+    ours.mkdirs()
+    ours.setLastModified(System.currentTimeMillis() - old)
+
+    Scratch.reapOrphans(root, prefixes = Seq("graft-"))
+
+    assert(foreign.exists() && foreignSpark.exists(),
+      "blockmgr-/spark- entries in a shared override dir may belong to a " +
+        "live foreign process — only graft- is ours there")
+    assert(!ours.exists(), "stale graft-* entry must still be reaped")
+  }
 }

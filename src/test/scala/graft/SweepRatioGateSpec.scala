@@ -24,11 +24,14 @@ class SweepRatioGateSpec extends AnyFunSuite {
 
   private val MaxRatio = 8.0
 
-  private def legSeconds(path: String): Map[String, Double] = {
+  private def readArtifact(path: String): String = {
     val f = new java.io.File(path)
     assert(f.isFile, s"sweep artifact missing: $path — rerun BenchScale " +
       "with SPARK_GRAFT_PIPE_SF and commit the JSON line")
-    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  }
+
+  private def legSeconds(txt: String, path: String): Map[String, Double] = {
     // our own single-line format: "queries" is a flat name->seconds object
     val qObj = """"queries"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(txt).map(_.group(1))
@@ -37,9 +40,37 @@ class SweepRatioGateSpec extends AnyFunSuite {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The artifact's per-draw host probes — the epoch evidence. Every draw
+    * MUST carry one: the gate compares two single-epoch snapshots, the
+    * documented epoch swing (±80%, PERF_NOTES_r6) exceeds the worst leg's
+    * headroom, and a probe-less refresh would make a drag-epoch artifact
+    * indistinguishable from an engine regression. */
+  private def drawProbes(txt: String, path: String): Seq[Double] = {
+    val draws = """"draws"\s*:\s*\[(.*?)\]""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(fail(s"no draws array in $path — refresh with the 3-draw " +
+        "protocol (BenchScale pipeSweep x3 or tools/DrawSweep) and keep " +
+        "per-draw host_page_mbps"))
+    val entries = """\{[^}]*\}""".r.findAllIn(draws).toSeq
+    assert(entries.nonEmpty, s"empty draws array in $path")
+    entries.map { e =>
+      """"host_page_mbps"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(e)
+        .map(_.group(1).toDouble)
+        .getOrElse(fail(s"a draw in $path lacks host_page_mbps — every " +
+          "draw must carry its epoch probe"))
+    }
+  }
+
   test("every shared pipe leg scales < 8x from SF10 to SF100 (10x data)") {
-    val sf10 = legSeconds("BENCH_PIPE_SF10.json")
-    val sf100 = legSeconds("BENCH_PIPE_SF100.json")
+    val txt10 = readArtifact("BENCH_PIPE_SF10.json")
+    val txt100 = readArtifact("BENCH_PIPE_SF100.json")
+    val sf10 = legSeconds(txt10, "BENCH_PIPE_SF10.json")
+    val sf100 = legSeconds(txt100, "BENCH_PIPE_SF100.json")
+    val p10 = drawProbes(txt10, "BENCH_PIPE_SF10.json")
+    val p100 = drawProbes(txt100, "BENCH_PIPE_SF100.json")
+    val probePair = s"probes sf10=[${p10.mkString(",")}] " +
+      s"sf100=[${p100.mkString(",")}] MB/s"
+    info(probePair)
     val shared = sf10.keySet.intersect(sf100.keySet)
     assert(shared.size >= 10,
       s"suspiciously few shared legs (${shared.size}): " +
@@ -52,6 +83,11 @@ class SweepRatioGateSpec extends AnyFunSuite {
     val bad = ratios.filter(_._2 >= MaxRatio)
     assert(bad.isEmpty,
       s"super-linear legs (>= ${MaxRatio}x on 10x data): " +
-        bad.map { case (l, r) => f"$l=$r%.1fx" }.mkString(", "))
+        bad.map { case (l, r) => f"$l=$r%.1fx" }.mkString(", ") +
+        s" — BEFORE reading this as an engine regression, compare the " +
+        s"epochs: $probePair (epoch-first rule, PERF_NOTES_r6; a " +
+        s"drag-epoch SF100 refresh against a healthy SF10 artifact " +
+        s"inflates every ratio — refresh the degraded side on a " +
+        s"like-for-like epoch and re-run)")
   }
 }
