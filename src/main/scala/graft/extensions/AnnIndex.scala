@@ -43,17 +43,19 @@ import org.apache.spark.sql.functions._
   * [[Similarity.annIvfPq]]; AnnIndexSpec proves the served results are
   * row-identical to the unpersisted composition.
   *
-  * The ADC is the PACKED fold, the shape [[Similarity.annIvfPq]] ships and
-  * PERF_NOTES_r10.md §3 measured: one row per candidate, score = one
-  * `aggregate(sequence…element_at)` fold over the candidate's packed codes
-  * against the query's broadcast slot array. The previous row-per-subspace
-  * form (posexplode the codes, BroadcastHashJoin the query's distance
-  * rows, re-aggregate) paid 8 join rows + a (query, cand) exchange per
-  * candidate — pure row machinery measured 3-6× the fold's cost, enough to
-  * make the whole ADC path lose to codegen'd brute force. The fold adds
-  * the SAME eight decimal(12,9) values the old sum() added — decimal
-  * addition is exact and order-free, so the output is bit-identical
-  * (AnnIndexSpec pins row-identity with annIvfPq either way).
+  * The ADC is PACKED and UNROLLED, the shape [[Similarity.annIvfPq]]
+  * ships: one row per candidate, score = eight explicit `element_at` slot
+  * lookups over the candidate's packed codes against the query's
+  * broadcast slot array, summed in one whole-stage-codegen'd expression.
+  * Two row-machinery taxes were measured out of this path: the
+  * row-per-subspace form (posexplode + BroadcastHashJoin + re-aggregate,
+  * 3-6× the packed cost — PERF_NOTES_r10.md §3) and the `aggregate()`
+  * higher-order fold (CodegenFallback: interpreted per-row eval, 2.6-3×
+  * the unrolled sum at 900k candidates regardless of element type —
+  * tools/AnnServeProbe, PERF_NOTES_r11.md). The unrolled sum adds the
+  * SAME eight decimal(12,9) values the original per-subspace sum() added
+  * — decimal addition is exact and order-free, so the output is
+  * bit-identical (AnnIndexSpec pins row-identity with annIvfPq).
   *
   * At 100 TB: the build is the linear encode pass (broadcast seeds +
   * codebooks) paid once; a query batch reads manifest-listed parquet of
@@ -189,20 +191,27 @@ object AnnIndex {
       .agg(expr("flatten(transform(array_sort(collect_list(struct(s, sarr))), x -> x.sarr))")
         .as("qarr"))
     // candidates = coded vectors in probed cells, ONE row per candidate —
-    // the packed codes array never unpacks; the score is a single fold of
-    // 8 slot lookups, accumulating the same decimal(12,9) values the old
-    // per-subspace sum() added (decimal addition is exact and order-free,
-    // so the result is bit-identical)
+    // the packed codes array never unpacks; the score is 8 slot lookups
+    // UNROLLED into one flat expression, accumulating the same
+    // decimal(12,9) values the old per-subspace sum() added (decimal
+    // addition is exact and order-free, so the result is bit-identical).
+    // Unrolled, not an aggregate() fold: higher-order functions are
+    // CodegenFallback, and the interpreted per-row eval measured 2.6-3x
+    // the cost of this whole-stage-codegen'd sum at 900k candidates
+    // (tools/AnnServeProbe: 8.2 s HOF-decimal vs 2.8-3.6 s unrolled; a
+    // double-typed fold read 7.8 s, proving the tax is the HOF fallback,
+    // not decimal arithmetic — PERF_NOTES_r11.md)
+    val adcSum = (0 until 8)
+      .map(s => s"element_at(qarr, CAST($s * $nSlots + " +
+        s"element_at(codes, ${s + 1}) + 1 AS INT))")
+      .mkString(" + ")
     val adc = probes
       .join(coded.select(col("cell_id"), col("vec_id").as("cand_id"),
         col("codes")), Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .join(broadcast(qarr), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), col("cell_id"),
-        expr(s"""aggregate(sequence(0, 7), CAST(0 AS DECIMAL(22,9)),
-           (acc, s) -> CAST(acc + element_at(qarr,
-             CAST(s * $nSlots + element_at(codes, s + 1) + 1 AS INT)) AS DECIMAL(22,9)))""")
-          .as("approx"))
+        expr(s"CAST($adcSum AS DECIMAL(22,9))").as("approx"))
     val short = adc
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))

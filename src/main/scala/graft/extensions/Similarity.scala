@@ -541,18 +541,27 @@ object Similarity {
       .groupBy("query_id")
       .agg(expr("transform(array_sort(collect_list(struct(s, slot, qdec))), x -> x.qdec)")
         .as("qarr"))
-    // ADC over candidates in probed cells only — one row per candidate
+    // ADC over candidates in probed cells only — one row per candidate.
+    // The 8 slot lookups are UNROLLED into one flat sum rather than an
+    // aggregate() fold: higher-order functions are CodegenFallback, and
+    // the interpreted per-row eval measured 2.6-3x the cost of the
+    // whole-stage-codegen'd unrolled expression on 900k candidates
+    // (tools/AnnServeProbe, PERF_NOTES_r11.md — element type is not the
+    // tax, the HOF is: a double fold was just as slow). Decimal addition
+    // is exact and order-free, so the value is bit-identical to the fold
+    // and to the original per-subspace sum() (the DuckDB oracle pins it).
     val cands = probes
       .join(assigned.select(col("cell_id"), col("vec_id").as("cand_id")), Seq("cell_id"))
       .filter(col("query_id") =!= col("cand_id"))
+    val adcSum = (0 until 8)
+      .map(s => s"element_at(qarr, CAST($s * 16 + " +
+        s"element_at(codes, ${s + 1}) + 1 AS INT))")
+      .mkString(" + ")
     val adc = cands
       .join(codesPacked, Seq("cand_id"))
       .join(broadcast(qarr), Seq("query_id"))
       .select(col("query_id"), col("cand_id"), col("cell_id"),
-        expr("""aggregate(sequence(0, 7), CAST(0 AS DECIMAL(22,9)),
-           (acc, s) -> CAST(acc + element_at(qarr,
-             CAST(s * 16 + element_at(codes, s + 1) + 1 AS INT)) AS DECIMAL(22,9)))""")
-          .as("approx"))
+        expr(s"CAST($adcSum AS DECIMAL(22,9))").as("approx"))
     val short = adc
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
