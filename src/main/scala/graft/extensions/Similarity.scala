@@ -419,12 +419,37 @@ object Similarity {
     val qd = queries.join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("cell"),
         round(expr("cosine_sim(qv, cv)"), 9).cast("decimal(12,9)").as("qdec"))
-    // ADC: candidate score = sum of the query's similarities to its codes
-    val adc = codes.join(broadcast(qd), Seq("s", "cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
-      .agg(sum(col("qdec")).as("approx"), count(lit(1)).as("n_sub"))
-      .filter(col("n_sub") === 8) // every subspace matched (always true)
+    // ADC: candidate score = sum of the query's similarities to its codes —
+    // packed + unrolled like annIvfPq (r11): one codes array per candidate,
+    // one flat 8×16 decimal slot array per query, score = eight unrolled
+    // element_at lookups in a single whole-stage-codegen'd sum. The
+    // previous shape joined 8 code rows per candidate against the
+    // broadcast qd relation and re-aggregated (query, cand) groups — at
+    // SF100 that is 160M joined rows and a 20M-group exchange for a
+    // FULL-SCAN ADC (no IVF restriction here). Same exact decimal values
+    // (order-free addition), oracle-pinned.
+    val codesPacked = codes
+      .groupBy(col("vec_id").as("cand_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, cell))), x -> x.cell)")
+        .as("codes"))
+    val qarr = qd
+      .groupBy(col("query_id"), col("s"))
+      .agg(map_from_entries(collect_list(
+        struct(col("cell").cast("int").as("k"), col("qdec").as("v")))).as("m"))
+      .select(col("query_id"), col("s"),
+        expr("""transform(sequence(0, 15),
+           c -> coalesce(element_at(m, c), CAST(0 AS DECIMAL(12,9))))""").as("sarr"))
+      .groupBy("query_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(s, sarr))), x -> x.sarr))")
+        .as("qarr"))
+    val adcSum = (0 until 8)
+      .map(s => s"element_at(qarr, CAST($s * 16 + " +
+        s"element_at(codes, ${s + 1}) + 1 AS INT))")
+      .mkString(" + ")
+    val adc = codesPacked.crossJoin(broadcast(qarr))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        expr(s"CAST($adcSum AS DECIMAL(22,9))").as("approx"))
     val pqTop = adc
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("cand_id"))))
