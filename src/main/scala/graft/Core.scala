@@ -30,6 +30,15 @@ final case class Ctx(spark: SparkSession, dir: String) {
         require(i > 0, s"malformed synth option '$kv' in $dir")
         kv.substring(0, i) -> kv.substring(i + 1)
       }.toMap
+      // unknown keys/values fail LOUDLY: a typo like `doc=zipf` or
+      // `docs=zpif` silently served the degenerate 66-word corpus before,
+      // mislabeling any bench artifact built on it (r11 advice)
+      val unknownKeys = opts.keySet.diff(Set("docs"))
+      require(unknownKeys.isEmpty,
+        s"unrecognized synth option(s) ${unknownKeys.mkString(",")} in $dir " +
+          "(known: docs=zipf)")
+      opts.get("docs").foreach(v => require(v == "zipf",
+        s"unrecognized docs corpus '$v' in $dir (known: zipf)"))
       val table =
         if (name == "documents" && opts.get("docs").contains("zipf"))
           "documents_zipf"

@@ -63,8 +63,9 @@ object Lake {
     * skips nothing). Dims are scaled to 0..2^16-1 by a broadcast min/max
     * (one tiny stats row, no global window, no extra big-side shuffle
     * beyond the range partitioning the write needs anyway); heavily skewed
-    * dims would starve code bits under linear scaling — there, swap the
-    * scaling for sampled quantile cut points, same interleave. */
+    * dims starve code bits under linear scaling — there, use
+    * [[writeZOrderedQuantile]] (sampled quantile cut points, same
+    * interleave; ZOrderSpec measures the degeneration and the fix). */
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
       partitions: Int = 16): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
@@ -80,6 +81,61 @@ object Lake {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z", "__a0", "__a1", "__b0", "__b1")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** [[writeZOrdered]] with SAMPLED-QUANTILE cut points instead of linear
+    * min/max scaling — the variant for HEAVILY SKEWED dimensions (the gap
+    * the linear scaling note above documents): under linear scaling a
+    * long-tailed dim packs almost every row into a handful of the 2^16
+    * grid values (the tail stretches the [min,max] span), so the Morton
+    * code's bits for that dim carry ~no information and files stop being
+    * compact quads. Quantile bucketing assigns ~equal ROW COUNTS per grid
+    * value — by construction immune to the value distribution — which is
+    * exactly what Delta's OPTIMIZE ZORDER does (range_partition_id per
+    * column before interleaving).
+    *
+    * Cuts come from ONE `approxQuantile` pass over both dims (sampled
+    * Greenwald-Khanna sketch, driver gets `buckets-1` doubles per dim —
+    * bounded metadata, never data); each row's bucket is found by a
+    * BALANCED comparison tree (depth log2(buckets), plain nested CASE —
+    * stays inside whole-stage codegen; an array binary-search UDF would
+    * fall out of codegen and a 255-deep linear CASE chain would blow the
+    * generated-method size). Nulls route to bucket 0. Duplicate cut
+    * values (a single value holding >1/buckets of the rows) merge into
+    * one bucket — the skew is then IN one grid value, which no layout can
+    * split further without breaking stat tightness. ZOrderSpec proves the
+    * property on a log-normal-style skewed distribution where the linear
+    * variant degenerates. */
+  def writeZOrderedQuantile(df: DataFrame, path: String, dimA: String,
+      dimB: String, partitions: Int = 16, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{call_function, col, lit, when}
+    graft.functions.MortonCode.register(df.sparkSession)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cast = df
+      .withColumn("__qa", col(dimA).cast("double"))
+      .withColumn("__qb", col(dimB).cast("double"))
+    val Array(rawA, rawB) =
+      cast.stat.approxQuantile(Array("__qa", "__qb"), probs, 0.001)
+    def bucketOf(c: Column, cutsRaw: Array[Double]): Column = {
+      val cuts = cutsRaw.distinct.sorted
+      // bucket = |{cut : cut <= c}| via a balanced tree over [0, cuts.len]
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo.toLong)
+        else {
+          val mid = (lo + hi + 1) / 2
+          when(c >= cuts(mid - 1), tree(mid, hi)).otherwise(tree(lo, mid - 1))
+        }
+      if (cuts.isEmpty) lit(0L) else tree(0, cuts.length)
+    }
+    cast
+      .withColumn("__z", call_function("zorder2",
+        bucketOf(col("__qa"), rawA), bucketOf(col("__qb"), rawB)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__qa", "__qb")
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
   }

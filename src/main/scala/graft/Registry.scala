@@ -1,8 +1,6 @@
 package graft
 
-import graft.layers._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
 /** Model registry: every declared operator/query, its Spark plan builder, and
@@ -17,2573 +15,33 @@ import scala.collection.immutable.ListMap
   *    engines emit bit-identical values under any hash normalization.
   */
 object Registry {
-  import Oracle.{avgE, d, dump, dv, q, rnd, rndDec, stddevE, sumD}
-  import Macros.outD
+  import OracleModel.tagged
 
-  /** Materialization tag — the dbt_project.yml twin (reference
-    * dbt_project.yml:31-36: ods/wh tables, intermediate views, metrics/
-    * reports tables). Runner.buildAll filters on this instead of name
-    * prefixes, so model naming can never silently change what gets built. */
-  sealed abstract class Mat
-  object Mat {
-    /** ods-layer table (first build phase, no housekeeping). */
-    case object OdsTable extends Mat
-    /** wh-layer table (second build phase, housekeeping columns). */
-    case object WhTable extends Mat
-    /** dbt view model — re-derived per consumer, never materialized. */
-    case object View extends Mat
-    /** metrics/reports table (generic third build phase). */
-    case object Table extends Mat
-    /** extension operator — not a dbt model, not part of the build. */
-    case object Extension extends Mat
-  }
-
-  final case class Entry(fn: Ctx => DataFrame, sql: Option[String],
-      mat: Mat = Mat.Table)
-
-  private def e(fn: Ctx => DataFrame, sql: String): Entry = Entry(fn, Some(q(sql)))
-
-  private def tagged(m: ListMap[String, Entry], mat: String => Mat): ListMap[String, Entry] =
-    m.map { case (n, en) => n -> en.copy(mat = mat(n)) }
-
-  private val T = true  // decimal column in a dump
-  private val F = false
-
-  // column lists for full-table dumps (decimal-marked), kept in lockstep
-  // with the layer functions and Oracle.CTES
-  private val oiCols = Seq(
-    "order_item_key" -> F, "order_key" -> F, "order_date" -> F,
-    "customer_key" -> F, "order_status_code" -> F, "part_key" -> F,
-    "supplier_key" -> F, "return_status_code" -> F, "order_line_number" -> F,
-    "order_line_status_code" -> F, "ship_date" -> F, "commit_date" -> F,
-    "receipt_date" -> F, "ship_mode_name" -> F, "quantity" -> T,
-    "base_price" -> T, "discount_percentage" -> T, "discounted_price" -> T,
-    "gross_item_sales_amount" -> T, "discounted_item_sales_amount" -> T,
-    "item_discount_amount" -> T, "tax_rate" -> T, "item_tax_amount" -> T,
-    "net_item_sales_amount" -> T)
-
-  private val foiCols = Seq(
-    "order_item_key" -> F, "order_key" -> F, "order_date" -> F,
-    "customer_key" -> F, "order_status_code" -> F, "part_key" -> F,
-    "supplier_key" -> F, "return_status_code" -> F, "order_line_number" -> F,
-    "order_line_status_code" -> F, "ship_date" -> F, "commit_date" -> F,
-    "receipt_date" -> F, "ship_mode_name" -> F,
-    "supplier_cost_amount" -> T, "base_price" -> T, "discount_percentage" -> T,
-    "discounted_price" -> T, "tax_rate" -> T, "order_item_count" -> F,
-    "quantity" -> T, "gross_item_sales_amount" -> T,
-    "discounted_item_sales_amount" -> T, "item_discount_amount" -> T,
-    "item_tax_amount" -> T, "net_item_sales_amount" -> T)
-
-  val models: ListMap[String, Entry] = ListMap(
-    // ---- ods layer ---------------------------------------------------
-    "ods_customers" -> e(
-      ctx => outD(Ods.customers(ctx)).orderBy("customer_key"),
-      dump("base_customer", Seq("customer_key" -> F, "customer_name" -> F,
-        "nation_key" -> F, "customer_account_balance" -> T,
-        "customer_market_segment_name" -> F), "customer_key")),
-    "ods_nations" -> e(
-      ctx => Ods.nations(ctx).orderBy("nation_key"),
-      "SELECT * FROM base_nation ORDER BY nation_key"),
-    "ods_regions" -> e(
-      ctx => Ods.regions(ctx).orderBy("region_key"),
-      "SELECT * FROM base_region ORDER BY region_key"),
-    "ods_parts" -> e(
-      ctx => outD(Ods.parts(ctx)).orderBy("part_key"),
-      dump("base_part", Seq("part_key" -> F, "part_name" -> F,
-        "part_brand_name" -> F, "part_type_name" -> F, "part_size" -> F,
-        "retail_price" -> T), "part_key")),
-    "ods_suppliers" -> e(
-      ctx => outD(Ods.suppliers(ctx)).orderBy("supplier_key"),
-      dump("base_supplier", Seq("supplier_key" -> F, "supplier_name" -> F,
-        "nation_key" -> F, "supplier_account_balance" -> T), "supplier_key")),
-    "ods_orders" -> e(
-      ctx => outD(Ods.orders(ctx)).orderBy("order_key"),
-      dump("base_orders", Seq("order_key" -> F, "order_date" -> F,
-        "customer_key" -> F, "order_status_code" -> F,
-        "order_priority_code" -> F, "order_amount" -> T), "order_key")),
-    "ods_orders_items" -> e(
-      ctx => outD(Ods.ordersItems(ctx)).orderBy("order_item_key"),
-      dump("o_oi", oiCols, "order_item_key")),
-    "ods_parts_suppliers" -> e(
-      ctx => outD(Ods.partsSuppliers(ctx)).orderBy("part_supplier_key"),
-      dump("o_ps", Seq("part_supplier_key" -> F, "part_key" -> F,
-        "part_name" -> F, "part_brand_name" -> F, "part_type_name" -> F,
-        "part_size" -> F, "retail_price" -> T, "supplier_key" -> F,
-        "supplier_name" -> F, "nation_key" -> F,
-        "supplier_availabe_quantity" -> F, "supplier_cost_amount" -> T),
-        "part_supplier_key")),
-
-    // ---- wh layer ----------------------------------------------------
-    "dim_customer" -> e(
-      ctx => outD(Wh.dimCustomer(ctx)).orderBy("customer_key"),
-      dump("w_dim_customer", Seq("customer_key" -> F, "customer_name" -> F,
-        "customer_nation_key" -> F, "customer_nation_name" -> F,
-        "customer_region_key" -> F, "customer_region_name" -> F,
-        "customer_account_balance" -> T, "customer_market_segment_name" -> F),
-        "customer_key")),
-    "dim_supplier" -> e(
-      ctx => outD(Wh.dimSupplier(ctx)).orderBy("supplier_key"),
-      dump("w_dim_supplier", Seq("supplier_key" -> F, "supplier_name" -> F,
-        "supplier_nation_key" -> F, "supplier_nation_name" -> F,
-        "supplier_region_key" -> F, "supplier_region_name" -> F,
-        "supplier_account_balance" -> T), "supplier_key")),
-    "dim_part" -> e(
-      ctx => outD(Wh.dimPart(ctx)).orderBy("part_key"),
-      dump("w_dim_part", Seq("part_key" -> F, "part_name" -> F,
-        "part_brand_name" -> F, "part_type_name" -> F, "part_size" -> F,
-        "retail_price" -> T), "part_key")),
-    "fct_orders" -> e(
-      ctx => outD(Wh.fctOrders(ctx)).orderBy("order_key"),
-      dump("w_fct_orders", Seq("order_key" -> F, "order_date" -> F,
-        "customer_key" -> F, "order_status_code" -> F,
-        "order_priority_code" -> F, "order_count" -> F,
-        "gross_item_sales_amount" -> T, "item_discount_amount" -> T,
-        "item_tax_amount" -> T, "net_item_sales_amount" -> T), "order_key")),
-    "fct_orders_items" -> e(
-      ctx => outD(Wh.fctOrdersItems(ctx)).orderBy("order_item_key"),
-      dump("w_fct_orders_items", foiCols, "order_item_key")),
-    "rpt_pricing_summary" -> e(
-      ctx => outD(Wh.rptPricingSummary(ctx))
-        .orderBy("return_status_code", "order_line_status_code"),
-      s"""SELECT f.return_status_code, f.order_line_status_code,
-         |  ${sumD("f.quantity")} AS quantity,
-         |  ${sumD("f.gross_item_sales_amount")} AS gross_item_sales_amount,
-         |  ${sumD("f.discounted_item_sales_amount")} AS discounted_item_sales_amount,
-         |  ${sumD("f.net_item_sales_amount")} AS net_item_sales_amount,
-         |  ${avgE("f.quantity")} AS avg_quantity,
-         |  ${avgE("f.base_price")} AS avg_base_price,
-         |  ${avgE("f.discount_percentage")} AS avg_discount_percentage,
-         |  CAST(SUM(f.order_item_count) AS BIGINT) AS order_item_count
-         |FROM w_fct_orders_items f
-         |WHERE f.ship_date <= DATE '1998-09-02'
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-
-    // ---- metrics layer ----------------------------------------------
-    "metrics_daily_revenue" -> e(
-      ctx => Metrics.dailyRevenue(ctx).orderBy("order_date"),
-      s"""SELECT o.order_date,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS net_revenue,
-         |  ${sumD("o.item_discount_amount")} AS total_discounts,
-         |  ${sumD("o.item_tax_amount")} AS total_tax
-         |FROM w_fct_orders o GROUP BY 1 ORDER BY 1""".stripMargin),
-    "metrics_monthly_orders" -> e(
-      ctx => Metrics.monthlyOrders(ctx).orderBy("order_month"),
-      s"""SELECT CAST(date_trunc('month', o.order_date) AS DATE) AS order_month,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS net_revenue,
-         |  ${avgE("o.gross_item_sales_amount")} AS avg_order_value,
-         |  ${sumD("o.item_discount_amount")} AS total_discounts,
-         |  COUNT(DISTINCT o.customer_key) AS unique_customers
-         |FROM w_fct_orders o GROUP BY 1 ORDER BY 1""".stripMargin),
-    "metrics_regional_revenue" -> e(
-      ctx => Metrics.regionalRevenue(ctx)
-        .orderBy("order_month", "region_name", "nation_name"),
-      s"""SELECT CAST(date_trunc('month', o.order_date) AS DATE) AS order_month,
-         |  c.customer_region_name AS region_name,
-         |  c.customer_nation_name AS nation_name,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  COUNT(DISTINCT o.customer_key) AS customer_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS net_revenue
-         |FROM w_fct_orders o JOIN w_dim_customer c ON o.customer_key = c.customer_key
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
-    "metrics_customer_retention" -> e(
-      ctx => Metrics.customerRetention(ctx).orderBy("cohort_month", "order_month"),
-      s"""SELECT cfo.cohort_month, mo.order_month,
-         |  CAST((EXTRACT(YEAR FROM mo.order_month) - EXTRACT(YEAR FROM cfo.cohort_month)) * 12
-         |     + (EXTRACT(MONTH FROM mo.order_month) - EXTRACT(MONTH FROM cfo.cohort_month)) AS INT) AS months_since_first,
-         |  COUNT(DISTINCT mo.customer_key) AS active_customers,
-         |  CAST(SUM(mo.orders_in_month) AS BIGINT) AS total_orders
-         |FROM (SELECT customer_key, CAST(date_trunc('month', MIN(order_date)) AS DATE) AS cohort_month
-         |      FROM w_fct_orders GROUP BY 1) cfo
-         |JOIN (SELECT o.customer_key, CAST(date_trunc('month', o.order_date) AS DATE) AS order_month,
-         |             COUNT(DISTINCT o.order_key) AS orders_in_month
-         |      FROM w_fct_orders o GROUP BY 1, 2) mo
-         |  ON cfo.customer_key = mo.customer_key
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
-    "metrics_discount_utilization" -> e(
-      ctx => Metrics.discountUtilization(ctx).orderBy("ship_month"),
-      s"""SELECT CAST(date_trunc('month', i.ship_date) AS DATE) AS ship_month,
-         |  COUNT(*) AS total_line_items,
-         |  CAST(SUM(CASE WHEN i.discount_percentage > 0 THEN 1 ELSE 0 END) AS BIGINT) AS discounted_items,
-         |  CAST(SUM(CASE WHEN i.discount_percentage = 0 THEN 1 ELSE 0 END) AS BIGINT) AS full_price_items,
-         |  ${rnd(dv("SUM(CASE WHEN i.discount_percentage > 0 THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS discount_usage_pct,
-         |  ${avgE("CASE WHEN i.discount_percentage > 0 THEN i.discount_percentage END")} AS avg_discount_when_used,
-         |  ${sumD("i.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("ABS(i.item_discount_amount)")} AS total_discount_given,
-         |  ${rnd(dv("SUM(ABS(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS discount_as_pct_of_revenue
-         |FROM w_fct_orders_items i GROUP BY 1 ORDER BY 1""".stripMargin),
-    "metrics_top_parts_trending" -> e(
-      ctx => Metrics.topPartsTrending(ctx).orderBy("order_month", "part_key"),
-      s"""SELECT order_month, part_key, part_name, part_type_name,
-         |  ${d("total_quantity_d")} AS total_quantity,
-         |  ${d("total_revenue_d")} AS total_revenue,
-         |  order_count,
-         |  CAST(revenue_rank AS INT) AS revenue_rank,
-         |  ${d("prev_month_revenue_d")} AS prev_month_revenue,
-         |  ${rnd(dv("(total_revenue_d - COALESCE(prev_month_revenue_d, 0))", "NULLIF(COALESCE(prev_month_revenue_d, 0), 0)") + " * 100", 2)} AS revenue_growth_pct
-         |FROM (
-         |  SELECT *,
-         |    RANK() OVER (PARTITION BY order_month ORDER BY total_revenue_d DESC) AS revenue_rank,
-         |    LAG(total_revenue_d) OVER (PARTITION BY part_key ORDER BY order_month) AS prev_month_revenue_d
-         |  FROM (SELECT CAST(date_trunc('month', i.order_date) AS DATE) AS order_month,
-         |          i.part_key, p.part_name, p.part_type_name,
-         |          SUM(i.quantity) AS total_quantity_d,
-         |          SUM(i.gross_item_sales_amount) AS total_revenue_d,
-         |          COUNT(DISTINCT i.order_key) AS order_count
-         |        FROM w_fct_orders_items i
-         |        JOIN w_dim_part p ON i.part_key = p.part_key
-         |        GROUP BY 1, 2, 3, 4) m) r
-         |WHERE revenue_rank <= 50
-         |ORDER BY order_month, part_key""".stripMargin),
-  )
-
-  /** intermediate-layer queries (reference models/intermediate/). */
-  private val intermediateModels: ListMap[String, Entry] = ListMap(
-    "int_customer_lifetime_value" -> e(
-      ctx => outD(Intermediate.customerLifetimeValue(ctx)).orderBy("customer_key"),
-      s"""SELECT c.customer_key, c.customer_name, c.customer_nation_name,
-         |  c.customer_region_name, c.customer_market_segment_name,
-         |  ${d("c.customer_account_balance")} AS customer_account_balance,
-         |  COUNT(DISTINCT o.order_key) AS lifetime_orders,
-         |  ${sumD("o.gross_item_sales_amount")} AS lifetime_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS lifetime_net_revenue,
-         |  MIN(o.order_date) AS first_order_date,
-         |  MAX(o.order_date) AS last_order_date,
-         |  CAST(MAX(o.order_date) - MIN(o.order_date) AS INT) AS customer_tenure_days,
-         |  ${rnd(dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT o.order_key), 0)"), 2)} AS avg_order_value
-         |FROM w_dim_customer c LEFT JOIN w_fct_orders o ON c.customer_key = o.customer_key
-         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin),
-    "int_customer_orders_summary" -> e(
-      ctx => outD(Intermediate.customerOrdersSummary(ctx)).orderBy("customer_key"),
-      s"""SELECT c.customer_key, c.customer_name, c.customer_nation_name,
-         |  c.customer_region_name, c.customer_market_segment_name,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS total_net_revenue,
-         |  ${avgE("o.gross_item_sales_amount")} AS avg_order_value,
-         |  MIN(o.order_date) AS first_order_date,
-         |  MAX(o.order_date) AS last_order_date,
-         |  COUNT(DISTINCT CASE WHEN o.order_status_code = 'F' THEN o.order_key END) AS fulfilled_orders,
-         |  COUNT(DISTINCT CASE WHEN o.order_status_code = 'O' THEN o.order_key END) AS open_orders,
-         |  COUNT(DISTINCT CASE WHEN o.order_status_code = 'P' THEN o.order_key END) AS partial_orders
-         |FROM w_dim_customer c LEFT JOIN w_fct_orders o ON c.customer_key = o.customer_key
-         |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin),
-    "int_discount_impact" -> e(
-      ctx => outD(Intermediate.discountImpact(ctx)).orderBy("order_key"),
-      s"""SELECT i.order_key, i.order_date, i.customer_key,
-         |  COUNT(*) AS line_item_count,
-         |  ${sumD("i.quantity")} AS total_quantity,
-         |  ${sumD("i.gross_item_sales_amount")} AS revenue_before_discount,
-         |  ${sumD("i.discounted_item_sales_amount")} AS revenue_after_discount,
-         |  ${sumD("i.item_discount_amount")} AS total_discount_amount,
-         |  ${sumD("i.net_item_sales_amount")} AS net_revenue,
-         |  ${rnd(dv("ABS(SUM(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS effective_discount_pct,
-         |  ${avgE("i.discount_percentage")} AS avg_line_discount_pct,
-         |  CAST(SUM(CASE WHEN i.discount_percentage > 0 THEN 1 ELSE 0 END) AS BIGINT) AS discounted_line_items,
-         |  CAST(SUM(CASE WHEN i.discount_percentage = 0 THEN 1 ELSE 0 END) AS BIGINT) AS full_price_line_items
-         |FROM w_fct_orders_items i GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
-    "int_market_basket" -> e(
-      ctx => outD(Intermediate.marketBasket(ctx)).orderBy("part_a", "part_b"),
-      s""", r_op AS (SELECT DISTINCT order_key, part_key FROM w_fct_orders_items)
-         |SELECT pp.part_a, pp.part_b, pp.co_occurrence_count,
-         |  pa.order_count AS part_a_orders, pb.order_count AS part_b_orders,
-         |  ${rnd(dv("pp.co_occurrence_count", "NULLIF(pa.order_count, 0)") + " * 100", 2)} AS pct_of_part_a_orders,
-         |  ${rnd(dv("pp.co_occurrence_count", "NULLIF(pb.order_count, 0)") + " * 100", 2)} AS pct_of_part_b_orders
-         |FROM (SELECT a.part_key AS part_a, b.part_key AS part_b,
-         |        COUNT(DISTINCT a.order_key) AS co_occurrence_count
-         |      FROM r_op a JOIN r_op b
-         |        ON a.order_key = b.order_key AND a.part_key < b.part_key
-         |      GROUP BY 1, 2) pp
-         |JOIN (SELECT part_key, COUNT(DISTINCT order_key) AS order_count FROM r_op GROUP BY 1) pa
-         |  ON pp.part_a = pa.part_key
-         |JOIN (SELECT part_key, COUNT(DISTINCT order_key) AS order_count FROM r_op GROUP BY 1) pb
-         |  ON pp.part_b = pb.part_key
-         |WHERE pp.co_occurrence_count >= 5
-         |ORDER BY 1, 2""".stripMargin),
-    "int_nation_economics" -> e(
-      ctx => outD(Intermediate.nationEconomics(ctx)).orderBy("nation_name"),
-      s""", r_cs AS (SELECT c.customer_nation_name AS nation_name,
-         |    c.customer_region_name AS region_name,
-         |    COUNT(DISTINCT c.customer_key) AS customer_count,
-         |    SUM(c.customer_account_balance) AS total_customer_balance_d,
-         |    ${avgE("c.customer_account_balance")} AS avg_customer_balance
-         |  FROM w_dim_customer c GROUP BY 1, 2)
-         |, r_ss AS (SELECT s.supplier_nation_name AS nation_name,
-         |    COUNT(DISTINCT s.supplier_key) AS supplier_count,
-         |    SUM(s.supplier_account_balance) AS total_supplier_balance_d,
-         |    ${avgE("s.supplier_account_balance")} AS avg_supplier_balance_d
-         |  FROM w_dim_supplier s GROUP BY 1)
-         |, r_os AS (SELECT c.customer_nation_name AS nation_name,
-         |    SUM(o.gross_item_sales_amount) AS total_order_revenue_d,
-         |    SUM(o.net_item_sales_amount) AS total_net_revenue_d,
-         |    COUNT(DISTINCT o.order_key) AS total_orders_d
-         |  FROM w_fct_orders o JOIN w_dim_customer c ON o.customer_key = c.customer_key
-         |  GROUP BY 1)
-         |SELECT cs.nation_name, cs.region_name, cs.customer_count,
-         |  COALESCE(ss.supplier_count, 0) AS supplier_count,
-         |  ${d("cs.total_customer_balance_d")} AS total_customer_balance,
-         |  cs.avg_customer_balance,
-         |  COALESCE(${d("ss.total_supplier_balance_d")}, 0) AS total_supplier_balance,
-         |  COALESCE(ss.avg_supplier_balance_d, 0) AS avg_supplier_balance,
-         |  COALESCE(${d("os.total_order_revenue_d")}, 0) AS total_order_revenue,
-         |  COALESCE(${d("os.total_net_revenue_d")}, 0) AS total_net_revenue,
-         |  COALESCE(os.total_orders_d, 0) AS total_orders,
-         |  ${rnd(dv("COALESCE(os.total_order_revenue_d, 0)", "NULLIF(cs.customer_count, 0)"), 2)} AS revenue_per_customer
-         |FROM r_cs cs
-         |LEFT JOIN r_ss ss ON cs.nation_name = ss.nation_name
-         |LEFT JOIN r_os os ON cs.nation_name = os.nation_name
-         |ORDER BY 1""".stripMargin),
-    "int_regional_trade_flows" -> e(
-      ctx => outD(Intermediate.regionalTradeFlows(ctx))
-        .orderBy("supplier_nation", "customer_nation", "ship_year"),
-      s"""SELECT s.supplier_nation_name AS supplier_nation,
-         |  s.supplier_region_name AS supplier_region,
-         |  c.customer_nation_name AS customer_nation,
-         |  c.customer_region_name AS customer_region,
-         |  CAST(EXTRACT(YEAR FROM i.ship_date) AS INT) AS ship_year,
-         |  CASE WHEN s.supplier_nation_name = c.customer_nation_name THEN 'domestic'
-         |       WHEN s.supplier_region_name = c.customer_region_name THEN 'intra_regional'
-         |       ELSE 'inter_regional' END AS trade_type,
-         |  COUNT(*) AS total_shipments,
-         |  ${sumD("i.quantity")} AS total_quantity,
-         |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("i.net_item_sales_amount")} AS total_net_revenue
-         |FROM w_fct_orders_items i
-         |JOIN w_dim_customer c ON i.customer_key = c.customer_key
-         |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 3, 5""".stripMargin),
-    "int_seasonal_demand" -> e(
-      ctx => outD(Intermediate.seasonalDemand(ctx))
-        .orderBy("order_year", "order_quarter", "order_month"),
-      s"""SELECT CAST(EXTRACT(YEAR FROM o.order_date) AS INT) AS order_year,
-         |  CAST(EXTRACT(QUARTER FROM o.order_date) AS INT) AS order_quarter,
-         |  CAST(EXTRACT(MONTH FROM o.order_date) AS INT) AS order_month,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS total_net_revenue,
-         |  ${avgE("o.gross_item_sales_amount")} AS avg_order_value,
-         |  ${sumD("o.item_discount_amount")} AS total_discounts
-         |FROM w_fct_orders o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
-  )
-
-  /** reports-layer queries (reference models/reports/). */
-  private val reportsModels: ListMap[String, Entry] = ListMap(
-    "customer_concentration_risk" -> e(
-      ctx => outD(Reports.customerConcentrationRisk(ctx)).orderBy("revenue_rank"),
-      s""", r_crev AS (SELECT o.customer_key, c.customer_name, c.customer_nation_name,
-         |    c.customer_market_segment_name,
-         |    SUM(o.gross_item_sales_amount) AS total_revenue_d,
-         |    COUNT(DISTINCT o.order_key) AS order_count
-         |  FROM w_fct_orders o JOIN w_dim_customer c ON o.customer_key = c.customer_key
-         |  GROUP BY 1, 2, 3, 4)
-         |, r_cranked AS (SELECT *,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY total_revenue_d DESC, customer_key) AS INT) AS revenue_rank,
-         |    COUNT(*) OVER () AS total_customers,
-         |    SUM(total_revenue_d) OVER () AS grand_total_revenue_d,
-         |    SUM(total_revenue_d) OVER (ORDER BY total_revenue_d DESC) AS cumulative_revenue_d
-         |  FROM r_crev)
-         |SELECT revenue_rank, customer_key, customer_name, customer_nation_name,
-         |  customer_market_segment_name, order_count,
-         |  ${d("total_revenue_d")} AS total_revenue,
-         |  ${d("cumulative_revenue_d")} AS cumulative_revenue,
-         |  ${d("grand_total_revenue_d")} AS grand_total_revenue,
-         |  ${rnd(dv("total_revenue_d", "grand_total_revenue_d") + " * 100", 4)} AS pct_of_total_revenue,
-         |  ${rnd(dv("cumulative_revenue_d", "grand_total_revenue_d") + " * 100", 2)} AS cumulative_pct,
-         |  ${rnd(dv("revenue_rank", "total_customers") + " * 100", 2)} AS customer_percentile,
-         |  CASE WHEN ${dv("cumulative_revenue_d", "grand_total_revenue_d")} <= 0.80 THEN 'top_80_pct'
-         |       WHEN ${dv("cumulative_revenue_d", "grand_total_revenue_d")} <= 0.95 THEN 'middle_15_pct'
-         |       ELSE 'bottom_5_pct' END AS pareto_tier
-         |FROM r_cranked ORDER BY revenue_rank""".stripMargin),
-    "customer_cohort_retention" -> e(
-      ctx => outD(Reports.customerCohortRetention(ctx))
-        .orderBy("cohort_month", "activity_month"),
-      s""", r_cohort AS (SELECT customer_key,
-         |    CAST(date_trunc('month', MIN(order_date)) AS DATE) AS cohort_month
-         |  FROM w_fct_orders GROUP BY 1)
-         |, r_activity AS (SELECT DISTINCT customer_key,
-         |    CAST(date_trunc('month', order_date) AS DATE) AS activity_month
-         |  FROM w_fct_orders)
-         |, r_ca AS (SELECT cc.cohort_month, ca.activity_month,
-         |    CAST((EXTRACT(YEAR FROM ca.activity_month) - EXTRACT(YEAR FROM cc.cohort_month)) * 12
-         |       + EXTRACT(MONTH FROM ca.activity_month) - EXTRACT(MONTH FROM cc.cohort_month) AS INT) AS period_number,
-         |    COUNT(DISTINCT ca.customer_key) AS active_customers
-         |  FROM r_cohort cc JOIN r_activity ca ON cc.customer_key = ca.customer_key
-         |  GROUP BY 1, 2, 3)
-         |, r_sizes AS (SELECT cohort_month, COUNT(DISTINCT customer_key) AS cohort_size
-         |  FROM r_cohort GROUP BY 1)
-         |SELECT ca.cohort_month, ca.activity_month, ca.period_number, cs.cohort_size,
-         |  ca.active_customers,
-         |  ${rnd(dv("ca.active_customers", "cs.cohort_size") + " * 100", 2)} AS retention_pct
-         |FROM r_ca ca JOIN r_sizes cs ON ca.cohort_month = cs.cohort_month
-         |ORDER BY 1, 2""".stripMargin),
-    "customer_churn_risk" -> e(
-      ctx => outD(Reports.customerChurnRisk(ctx)).orderBy("customer_key"),
-      s""", r_gaps AS (SELECT customer_key, order_date,
-         |    CAST(order_date - LAG(order_date) OVER (PARTITION BY customer_key ORDER BY order_date, order_key) AS INT) AS days_between_orders
-         |  FROM w_fct_orders)
-         |, r_cadence AS (SELECT customer_key, COUNT(*) AS total_orders,
-         |    ${avgE("days_between_orders")} AS avg_days_between_orders,
-         |    MAX(order_date) AS last_order_date
-         |  FROM r_gaps GROUP BY 1)
-         |, r_ref AS (SELECT MAX(order_date) AS reference_date FROM w_fct_orders)
-         |SELECT cc.customer_key, c.customer_name, c.customer_nation_name,
-         |  c.customer_market_segment_name, cc.total_orders, cc.last_order_date,
-         |  CAST(r.reference_date - cc.last_order_date AS INT) AS days_since_last_order,
-         |  ${rnd("cc.avg_days_between_orders", 1)} AS avg_days_between_orders,
-         |  CASE WHEN cc.total_orders <= 1 THEN NULL
-         |       ELSE ${rnd(dv("(r.reference_date - cc.last_order_date)", "NULLIF(cc.avg_days_between_orders, 0)"), 2)} END AS recency_ratio,
-         |  CASE WHEN cc.total_orders <= 1 THEN 'insufficient_data'
-         |       WHEN (r.reference_date - cc.last_order_date) <= cc.avg_days_between_orders THEN 'active'
-         |       WHEN (r.reference_date - cc.last_order_date) <= cc.avg_days_between_orders * 2 THEN 'at_risk'
-         |       ELSE 'churned' END AS churn_status
-         |FROM r_cadence cc CROSS JOIN r_ref r
-         |JOIN w_dim_customer c ON cc.customer_key = c.customer_key
-         |ORDER BY 1""".stripMargin),
-    "customer_geographic_summary" -> e(
-      ctx => outD(Reports.customerGeographicSummary(ctx))
-        .orderBy("region_name", "nation_name"),
-      s"""SELECT c.customer_region_name AS region_name,
-         |  c.customer_nation_name AS nation_name,
-         |  COUNT(DISTINCT c.customer_key) AS customer_count,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS total_net_revenue,
-         |  ${rnd(avgE("o.gross_item_sales_amount"), 2)} AS avg_order_value,
-         |  ${rnd(dv("SUM(o.gross_item_sales_amount)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)"), 2)} AS revenue_per_customer,
-         |  ${rnd(dv("COUNT(DISTINCT o.order_key)", "NULLIF(COUNT(DISTINCT c.customer_key), 0)"), 2)} AS orders_per_customer,
-         |  ${sumD("c.customer_account_balance")} AS total_account_balance
-         |FROM w_dim_customer c LEFT JOIN w_fct_orders o ON c.customer_key = o.customer_key
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "customer_purchase_frequency_bands" -> e(
-      ctx => outD(Reports.customerPurchaseFrequencyBands(ctx)).orderBy("frequency_band"),
-      s""", r_bands AS (SELECT customer_key, order_count, total_revenue_d,
-         |    CASE WHEN order_count = 1 THEN 'one_time'
-         |         WHEN order_count BETWEEN 2 AND 5 THEN 'occasional'
-         |         WHEN order_count BETWEEN 6 AND 15 THEN 'regular'
-         |         WHEN order_count > 15 THEN 'power_buyer' END AS frequency_band
-         |  FROM (SELECT customer_key, COUNT(DISTINCT order_key) AS order_count,
-         |          SUM(gross_item_sales_amount) AS total_revenue_d
-         |        FROM w_fct_orders GROUP BY 1) x)
-         |, r_bagg AS (SELECT frequency_band, COUNT(*) AS customer_count,
-         |    SUM(total_revenue_d) AS band_total_revenue_d,
-         |    ${avgE("total_revenue_d")} AS avg_revenue_per_customer,
-         |    ${avgE("order_count")} AS avg_orders_per_customer,
-         |    MIN(order_count) AS min_orders, MAX(order_count) AS max_orders
-         |  FROM r_bands GROUP BY 1)
-         |SELECT frequency_band, customer_count,
-         |  ${rnd(dv("customer_count", "SUM(customer_count) OVER ()") + " * 100", 2)} AS pct_of_customers,
-         |  ${d("band_total_revenue_d")} AS band_total_revenue,
-         |  ${rnd(dv("band_total_revenue_d", "SUM(band_total_revenue_d) OVER ()") + " * 100", 2)} AS pct_of_revenue,
-         |  ${rnd("avg_revenue_per_customer", 2)} AS avg_revenue_per_customer,
-         |  avg_orders_per_customer, min_orders, max_orders
-         |FROM r_bagg ORDER BY 1""".stripMargin),
-    "customer_rfm_segments" -> e(
-      ctx => outD(Reports.customerRfmSegments(ctx)).orderBy("customer_key"),
-      s""", r_om AS (SELECT customer_key, MAX(order_date) AS last_order_date,
-         |    COUNT(DISTINCT order_key) AS frequency,
-         |    SUM(gross_item_sales_amount) AS monetary_d
-         |  FROM w_fct_orders GROUP BY 1)
-         |, r_ref2 AS (SELECT MAX(order_date) AS reference_date FROM w_fct_orders)
-         |, r_scores AS (SELECT om.customer_key, om.last_order_date,
-         |    CAST(md.reference_date - om.last_order_date AS INT) AS recency_days,
-         |    om.frequency, om.monetary_d,
-         |    CAST(NTILE(5) OVER (ORDER BY (md.reference_date - om.last_order_date) DESC, om.customer_key) AS INT) AS r_score,
-         |    CAST(NTILE(5) OVER (ORDER BY om.frequency, om.customer_key) AS INT) AS f_score,
-         |    CAST(NTILE(5) OVER (ORDER BY om.monetary_d, om.customer_key) AS INT) AS m_score
-         |  FROM r_om om CROSS JOIN r_ref2 md)
-         |SELECT r.customer_key, c.customer_name, c.customer_nation_name,
-         |  c.customer_market_segment_name, r.last_order_date, r.recency_days,
-         |  r.frequency, ${d("r.monetary_d")} AS monetary,
-         |  r.r_score, r.f_score, r.m_score,
-         |  CAST(r.r_score + r.f_score + r.m_score AS INT) AS rfm_total,
-         |  CASE WHEN r.r_score >= 4 AND r.f_score >= 4 AND r.m_score >= 4 THEN 'champion'
-         |       WHEN r.r_score >= 3 AND r.f_score >= 3 AND r.m_score >= 3 THEN 'loyal'
-         |       WHEN r.r_score >= 4 AND r.f_score <= 2 THEN 'new_customer'
-         |       WHEN r.r_score >= 3 AND r.f_score >= 3 AND r.m_score <= 2 THEN 'potential_loyalist'
-         |       WHEN r.r_score <= 2 AND r.f_score >= 3 AND r.m_score >= 3 THEN 'at_risk'
-         |       WHEN r.r_score <= 2 AND r.f_score >= 4 AND r.m_score >= 4 THEN 'cant_lose_them'
-         |       WHEN r.r_score <= 2 AND r.f_score <= 2 THEN 'hibernating'
-         |       ELSE 'need_attention' END AS rfm_segment
-         |FROM r_scores r JOIN w_dim_customer c ON r.customer_key = c.customer_key
-         |ORDER BY 1""".stripMargin),
-    "discount_depth_analysis" -> e(
-      ctx => outD(Reports.discountDepthAnalysis(ctx)).orderBy("discount_band"),
-      s""", r_dd AS (SELECT *,
-         |    CASE WHEN discount_percentage = 0 THEN '0_no_discount'
-         |         WHEN discount_percentage <= 0.03 THEN '1_low_1_3pct'
-         |         WHEN discount_percentage <= 0.06 THEN '2_medium_4_6pct'
-         |         WHEN discount_percentage <= 0.08 THEN '3_high_7_8pct'
-         |         ELSE '4_deep_9pct_plus' END AS discount_band
-         |  FROM w_fct_orders_items)
-         |, r_dagg AS (SELECT discount_band, COUNT(*) AS line_item_count,
-         |    ${sumD("quantity")} AS total_quantity,
-         |    ${sumD("gross_item_sales_amount")} AS gross_revenue,
-         |    ${sumD("discounted_item_sales_amount")} AS discounted_revenue,
-         |    ${sumD("ABS(item_discount_amount)")} AS total_discount_given,
-         |    ${rnd(avgE("quantity"), 2)} AS avg_quantity_per_item,
-         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_item_revenue,
-         |    COUNT(DISTINCT order_key) AS distinct_orders,
-         |    COUNT(DISTINCT customer_key) AS distinct_customers
-         |  FROM r_dd GROUP BY 1)
-         |SELECT discount_band, line_item_count, total_quantity, gross_revenue,
-         |  discounted_revenue, total_discount_given, avg_quantity_per_item,
-         |  avg_item_revenue, distinct_orders, distinct_customers,
-         |  ${rnd(dv("line_item_count", "SUM(line_item_count) OVER ()") + " * 100", 2)} AS pct_of_items
-         |FROM r_dagg ORDER BY 1""".stripMargin),
-    "discount_effectiveness" -> e(
-      ctx => outD(Reports.discountEffectiveness(ctx)).orderBy("order_discount_type"),
-      s""", r_ol AS (SELECT order_key, customer_key, order_date,
-         |    SUM(CASE WHEN discount_percentage > 0 THEN 1 ELSE 0 END) AS discounted_lines,
-         |    SUM(CASE WHEN NOT (discount_percentage > 0) THEN 1 ELSE 0 END) AS full_price_lines,
-         |    SUM(quantity) AS total_quantity_d,
-         |    SUM(gross_item_sales_amount) AS gross_revenue_d,
-         |    SUM(ABS(item_discount_amount)) AS discount_amount_d
-         |  FROM w_fct_orders_items GROUP BY 1, 2, 3)
-         |SELECT CASE WHEN discounted_lines = 0 THEN 'all_full_price'
-         |            WHEN full_price_lines = 0 THEN 'all_discounted'
-         |            ELSE 'mixed' END AS order_discount_type,
-         |  COUNT(DISTINCT order_key) AS order_count,
-         |  COUNT(DISTINCT customer_key) AS customer_count,
-         |  ${rnd(avgE("total_quantity_d"), 2)} AS avg_items_per_order,
-         |  ${rnd(avgE("gross_revenue_d"), 2)} AS avg_order_value,
-         |  ${sumD("gross_revenue_d")} AS total_revenue,
-         |  ${sumD("discount_amount_d")} AS total_discount_given,
-         |  ${rnd(dv("SUM(discount_amount_d)", "NULLIF(SUM(gross_revenue_d), 0)") + " * 100", 2)} AS effective_discount_rate
-         |FROM r_ol GROUP BY 1 ORDER BY 1""".stripMargin),
-    "fulfillment_priority_analysis" -> e(
-      ctx => outD(Reports.fulfillmentPriorityAnalysis(ctx))
-        .orderBy("order_priority_code", "ship_mode_name"),
-      s""", r_fp AS (SELECT i.order_key, i.customer_key, i.quantity,
-         |    i.gross_item_sales_amount, o.order_priority_code, i.ship_mode_name,
-         |    CAST(i.ship_date - i.order_date AS INT) AS fulfillment_days
-         |  FROM w_fct_orders_items i JOIN w_fct_orders o ON i.order_key = o.order_key)
-         |SELECT order_priority_code, ship_mode_name,
-         |  COUNT(*) AS line_item_count,
-         |  COUNT(DISTINCT order_key) AS order_count,
-         |  COUNT(DISTINCT customer_key) AS customer_count,
-         |  ${sumD("gross_item_sales_amount")} AS total_revenue,
-         |  ${rnd(avgE("fulfillment_days"), 1)} AS avg_fulfillment_days,
-         |  MIN(fulfillment_days) AS min_fulfillment_days,
-         |  MAX(fulfillment_days) AS max_fulfillment_days,
-         |  ${rnd(avgE("quantity"), 1)} AS avg_quantity_per_line,
-         |  CAST(SUM(CASE WHEN fulfillment_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_within_7d,
-         |  CAST(SUM(CASE WHEN fulfillment_days <= 14 THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_within_14d,
-         |  ${rnd(dv("SUM(CASE WHEN fulfillment_days <= 7 THEN 1 ELSE 0 END) * 100", "COUNT(*)"), 2)} AS pct_within_7d,
-         |  ${rnd(dv("SUM(CASE WHEN fulfillment_days <= 14 THEN 1 ELSE 0 END) * 100", "COUNT(*)"), 2)} AS pct_within_14d
-         |FROM r_fp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "monthly_order_trends" -> e(
-      ctx => outD(Reports.monthlyOrderTrends(ctx)).orderBy("order_month"),
-      s""", r_mot AS (SELECT CAST(date_trunc('month', o.order_date) AS DATE) AS order_month,
-         |    COUNT(DISTINCT o.order_key) AS total_orders,
-         |    COUNT(DISTINCT o.customer_key) AS unique_customers,
-         |    COUNT(DISTINCT CASE WHEN date_trunc('month', o.order_date) = date_trunc('month', cf.first_order_date)
-         |      THEN o.customer_key END) AS new_customers,
-         |    COUNT(DISTINCT CASE WHEN NOT (date_trunc('month', o.order_date) = date_trunc('month', cf.first_order_date))
-         |      THEN o.customer_key END) AS returning_customers,
-         |    SUM(o.gross_item_sales_amount) AS total_revenue_d,
-         |    SUM(CASE WHEN date_trunc('month', o.order_date) = date_trunc('month', cf.first_order_date)
-         |      THEN o.gross_item_sales_amount ELSE 0 END) AS new_customer_revenue_d,
-         |    SUM(CASE WHEN NOT (date_trunc('month', o.order_date) = date_trunc('month', cf.first_order_date))
-         |      THEN o.gross_item_sales_amount ELSE 0 END) AS returning_customer_revenue_d,
-         |    ${rnd(avgE("o.gross_item_sales_amount"), 2)} AS avg_order_value
-         |  FROM w_fct_orders o
-         |  JOIN (SELECT customer_key, MIN(order_date) AS first_order_date
-         |        FROM w_fct_orders GROUP BY 1) cf
-         |    ON o.customer_key = cf.customer_key
-         |  GROUP BY 1)
-         |SELECT order_month, total_orders, unique_customers, new_customers,
-         |  returning_customers,
-         |  ${d("total_revenue_d")} AS total_revenue,
-         |  ${d("new_customer_revenue_d")} AS new_customer_revenue,
-         |  ${d("returning_customer_revenue_d")} AS returning_customer_revenue,
-         |  avg_order_value,
-         |  ${d("LAG(total_revenue_d) OVER (ORDER BY order_month)")} AS prev_month_revenue,
-         |  ${rnd(dv("(total_revenue_d - LAG(total_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(total_revenue_d) OVER (ORDER BY order_month), 0)") + " * 100", 2)} AS revenue_mom_growth_pct
-         |FROM r_mot ORDER BY 1""".stripMargin),
-    "monthly_revenue_kpis" -> e(
-      ctx => outD(Reports.monthlyRevenueKpis(ctx)).orderBy("order_month"),
-      s""", r_mk AS (SELECT CAST(date_trunc('month', order_date) AS DATE) AS order_month,
-         |    COUNT(DISTINCT order_key) AS order_count,
-         |    COUNT(DISTINCT customer_key) AS unique_customers,
-         |    SUM(gross_item_sales_amount) AS gross_revenue_d,
-         |    ${sumD("net_item_sales_amount")} AS net_revenue,
-         |    ${sumD("item_discount_amount")} AS total_discounts,
-         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value
-         |  FROM w_fct_orders GROUP BY 1)
-         |SELECT order_month, order_count, unique_customers,
-         |  ${d("gross_revenue_d")} AS gross_revenue,
-         |  net_revenue, total_discounts, avg_order_value,
-         |  ${d("LAG(gross_revenue_d) OVER (ORDER BY order_month)")} AS prev_month_revenue,
-         |  ${rnd(dv("(gross_revenue_d - LAG(gross_revenue_d) OVER (ORDER BY order_month))", "NULLIF(LAG(gross_revenue_d) OVER (ORDER BY order_month), 0)") + " * 100", 2)} AS revenue_mom_growth_pct,
-         |  ${rnd(dv("SUM(gross_revenue_d) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", "COUNT(*) OVER (ORDER BY order_month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"), 2)} AS rolling_3m_avg_revenue,
-         |  ${d("SUM(gross_revenue_d) OVER (ORDER BY order_month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cumulative_revenue
-         |FROM r_mk ORDER BY 1""".stripMargin),
-    "order_status_funnel" -> e(
-      ctx => outD(Reports.orderStatusFunnel(ctx)).orderBy("order_status_code"),
-      s""", r_osf AS (SELECT order_status_code,
-         |    COUNT(DISTINCT order_key) AS order_count,
-         |    SUM(gross_item_sales_amount) AS total_revenue_d,
-         |    ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value,
-         |    COUNT(DISTINCT customer_key) AS unique_customers
-         |  FROM w_fct_orders GROUP BY 1)
-         |SELECT order_status_code, order_count,
-         |  ${rnd(dv("order_count", "SUM(order_count) OVER ()") + " * 100", 2)} AS pct_of_orders,
-         |  ${d("total_revenue_d")} AS total_revenue,
-         |  ${rnd(dv("total_revenue_d", "SUM(total_revenue_d) OVER ()") + " * 100", 2)} AS pct_of_revenue,
-         |  avg_order_value, unique_customers
-         |FROM r_osf ORDER BY 1""".stripMargin),
-    "part_abc_classification" -> e(
-      ctx => outD(Reports.partAbcClassification(ctx)).orderBy("revenue_rank"),
-      s""", r_prev AS (SELECT i.part_key, p.part_name, p.part_type_name, p.part_brand_name,
-         |    SUM(i.gross_item_sales_amount) AS total_revenue_d,
-         |    SUM(i.quantity) AS total_quantity_d,
-         |    COUNT(DISTINCT i.order_key) AS order_count
-         |  FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
-         |  GROUP BY 1, 2, 3, 4)
-         |, r_pranked AS (SELECT *,
-         |    SUM(total_revenue_d) OVER () AS grand_total_d,
-         |    SUM(total_revenue_d) OVER (ORDER BY total_revenue_d DESC) AS running_total_d,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY total_revenue_d DESC, part_key) AS INT) AS revenue_rank
-         |  FROM r_prev)
-         |SELECT revenue_rank, part_key, part_name, part_type_name, part_brand_name,
-         |  ${d("total_revenue_d")} AS total_revenue,
-         |  ${d("total_quantity_d")} AS total_quantity,
-         |  order_count,
-         |  ${rnd(dv("total_revenue_d", "grand_total_d") + " * 100", 4)} AS pct_of_revenue,
-         |  ${rnd(dv("running_total_d", "grand_total_d") + " * 100", 2)} AS cumulative_pct,
-         |  CASE WHEN ${dv("running_total_d", "grand_total_d")} <= 0.80 THEN 'A'
-         |       WHEN ${dv("running_total_d", "grand_total_d")} <= 0.95 THEN 'B'
-         |       ELSE 'C' END AS abc_class
-         |FROM r_pranked ORDER BY revenue_rank""".stripMargin),
-    "part_sales_velocity" -> e(
-      ctx => outD(Reports.partSalesVelocity(ctx)).orderBy("part_key"),
-      s""", r_pm AS (SELECT part_key, CAST(date_trunc('month', order_date) AS DATE) AS order_month,
-         |    SUM(quantity) AS monthly_units_d,
-         |    SUM(gross_item_sales_amount) AS monthly_revenue_d
-         |  FROM w_fct_orders_items GROUP BY 1, 2)
-         |, r_pstats AS (SELECT part_key,
-         |    COUNT(DISTINCT order_month) AS active_months,
-         |    SUM(monthly_units_d) AS total_units_d,
-         |    SUM(monthly_revenue_d) AS total_revenue_d,
-         |    ${avgE("monthly_units_d")} AS avg_monthly_units,
-         |    ${avgE("monthly_revenue_d")} AS avg_monthly_revenue
-         |  FROM r_pm GROUP BY 1)
-         |SELECT part_key, part_name, part_type_name, part_brand_name, active_months,
-         |  total_units, total_revenue, avg_monthly_units, avg_monthly_revenue,
-         |  velocity_quartile,
-         |  CASE WHEN velocity_quartile = 4 THEN 'fast_mover'
-         |       WHEN velocity_quartile = 3 THEN 'moderate'
-         |       WHEN velocity_quartile = 2 THEN 'slow_mover'
-         |       ELSE 'very_slow' END AS velocity_category
-         |FROM (SELECT ps.part_key, p.part_name, p.part_type_name, p.part_brand_name,
-         |        ps.active_months,
-         |        ${d("ps.total_units_d")} AS total_units,
-         |        ${d("ps.total_revenue_d")} AS total_revenue,
-         |        ${rnd("ps.avg_monthly_units", 2)} AS avg_monthly_units,
-         |        ${rnd("ps.avg_monthly_revenue", 2)} AS avg_monthly_revenue,
-         |        CAST(NTILE(4) OVER (ORDER BY ps.avg_monthly_units, ps.part_key) AS INT) AS velocity_quartile
-         |      FROM r_pstats ps JOIN w_dim_part p ON ps.part_key = p.part_key) v
-         |ORDER BY part_key""".stripMargin),
-    "regional_trade_balance" -> e(
-      ctx => outD(Reports.regionalTradeBalance(ctx)).orderBy("nation"),
-      s""", r_flows AS (SELECT s.supplier_nation_name AS exporter_nation,
-         |    s.supplier_region_name AS exporter_region,
-         |    c.customer_nation_name AS importer_nation,
-         |    c.customer_region_name AS importer_region,
-         |    SUM(i.gross_item_sales_amount) AS trade_value,
-         |    SUM(i.quantity) AS trade_volume
-         |  FROM w_fct_orders_items i
-         |  JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |  JOIN w_dim_customer c ON i.customer_key = c.customer_key
-         |  GROUP BY 1, 2, 3, 4)
-         |, r_exp AS (SELECT exporter_nation AS nation, exporter_region AS region,
-         |    SUM(trade_value) AS export_value_d, SUM(trade_volume) AS export_volume_d
-         |  FROM r_flows WHERE exporter_nation != importer_nation GROUP BY 1, 2)
-         |, r_imp AS (SELECT importer_nation AS nation, importer_region AS region,
-         |    SUM(trade_value) AS import_value_d, SUM(trade_volume) AS import_volume_d
-         |  FROM r_flows WHERE exporter_nation != importer_nation GROUP BY 1, 2)
-         |, r_dom AS (SELECT exporter_nation AS nation, exporter_region AS region,
-         |    SUM(trade_value) AS domestic_value_d, SUM(trade_volume) AS domestic_volume_d
-         |  FROM r_flows WHERE exporter_nation = importer_nation GROUP BY 1, 2)
-         |SELECT COALESCE(e.nation, i.nation, d.nation) AS nation,
-         |  COALESCE(e.region, i.region, d.region) AS region,
-         |  COALESCE(${d("e.export_value_d")}, 0) AS export_value,
-         |  COALESCE(${d("i.import_value_d")}, 0) AS import_value,
-         |  COALESCE(${d("d.domestic_value_d")}, 0) AS domestic_value,
-         |  ${d("COALESCE(e.export_value_d, 0) - COALESCE(i.import_value_d, 0)")} AS trade_balance,
-         |  COALESCE(${d("e.export_volume_d")}, 0) AS export_volume,
-         |  COALESCE(${d("i.import_volume_d")}, 0) AS import_volume,
-         |  COALESCE(${d("d.domestic_volume_d")}, 0) AS domestic_volume,
-         |  ${rnd(dv("COALESCE(d.domestic_value_d, 0) * 100", "NULLIF(COALESCE(e.export_value_d, 0) + COALESCE(i.import_value_d, 0) + COALESCE(d.domestic_value_d, 0), 0)"), 2)} AS domestic_share_pct,
-         |  CASE WHEN COALESCE(e.export_value_d, 0) > COALESCE(i.import_value_d, 0) THEN 'surplus'
-         |       WHEN COALESCE(e.export_value_d, 0) < COALESCE(i.import_value_d, 0) THEN 'deficit'
-         |       ELSE 'balanced' END AS trade_position
-         |FROM r_exp e
-         |FULL OUTER JOIN r_imp i ON e.nation = i.nation
-         |FULL OUTER JOIN r_dom d ON COALESCE(e.nation, i.nation) = d.nation
-         |ORDER BY nation""".stripMargin),
-    "repeat_purchase_analysis" -> e(
-      ctx => outD(Reports.repeatPurchaseAnalysis(ctx)).orderBy("order_sequence"),
-      s""", r_seq AS (SELECT customer_key, order_key, order_date, gross_item_sales_amount,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY customer_key ORDER BY order_date, order_key) AS INT) AS order_sequence,
-         |    LAG(order_date) OVER (PARTITION BY customer_key ORDER BY order_date, order_key) AS prev_order_date
-         |  FROM w_fct_orders)
-         |, r_gaps2 AS (SELECT *, CAST(order_date - prev_order_date AS INT) AS days_since_prev_order
-         |  FROM r_seq)
-         |SELECT order_sequence, COUNT(*) AS order_count,
-         |  COUNT(DISTINCT customer_key) AS customer_count,
-         |  ${rnd(avgE("gross_item_sales_amount"), 2)} AS avg_order_value,
-         |  ${rnd(avgE("days_since_prev_order"), 1)} AS avg_days_since_prev,
-         |  CAST(SUM(CASE WHEN days_since_prev_order <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_30d,
-         |  CAST(SUM(CASE WHEN days_since_prev_order <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_60d,
-         |  CAST(SUM(CASE WHEN days_since_prev_order <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS repeat_within_90d
-         |FROM r_gaps2 GROUP BY 1 ORDER BY 1""".stripMargin),
-    "supplier_revenue_ranking" -> e(
-      ctx => outD(Reports.supplierRevenueRanking(ctx)).orderBy("supplier_key"),
-      s""", r_sr AS (SELECT i.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |    s.supplier_region_name,
-         |    SUM(i.gross_item_sales_amount) AS total_revenue_d,
-         |    COUNT(DISTINCT i.order_key) AS order_count,
-         |    COUNT(DISTINCT i.part_key) AS parts_sold
-         |  FROM w_fct_orders_items i JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |  GROUP BY 1, 2, 3, 4)
-         |, r_nt AS (SELECT supplier_nation_name, SUM(total_revenue_d) AS nation_total_revenue_d
-         |  FROM r_sr GROUP BY 1)
-         |SELECT sr.supplier_key, sr.supplier_name, sr.supplier_nation_name,
-         |  sr.supplier_region_name,
-         |  ${d("sr.total_revenue_d")} AS total_revenue,
-         |  sr.order_count, sr.parts_sold,
-         |  CAST(RANK() OVER (ORDER BY sr.total_revenue_d DESC) AS INT) AS global_rank,
-         |  CAST(RANK() OVER (PARTITION BY sr.supplier_nation_name ORDER BY sr.total_revenue_d DESC) AS INT) AS nation_rank,
-         |  ${d("nt.nation_total_revenue_d")} AS nation_total_revenue,
-         |  ${rnd(dv("sr.total_revenue_d", "nt.nation_total_revenue_d") + " * 100", 2)} AS nation_market_share_pct,
-         |  ${rnd(dv("sr.total_revenue_d", "SUM(sr.total_revenue_d) OVER ()") + " * 100", 4)} AS global_market_share_pct
-         |FROM r_sr sr JOIN r_nt nt ON sr.supplier_nation_name = nt.supplier_nation_name
-         |ORDER BY sr.supplier_key""".stripMargin),
-    "supply_chain_network" -> e(
-      ctx => outD(Reports.supplyChainNetwork(ctx))
-        .orderBy("supplier_key", "part_key", "customer_key"),
-      s""", r_edges AS (SELECT supplier_key, part_key, customer_key,
-         |    COUNT(*) AS shipment_count,
-         |    SUM(quantity) AS total_quantity_d,
-         |    SUM(gross_item_sales_amount) AS total_revenue_d
-         |  FROM w_fct_orders_items GROUP BY 1, 2, 3)
-         |SELECT e.supplier_key, s.supplier_name,
-         |  s.supplier_nation_name AS supplier_nation,
-         |  e.part_key, p.part_name, p.part_type_name,
-         |  e.customer_key, c.customer_name,
-         |  c.customer_nation_name AS customer_nation,
-         |  e.shipment_count,
-         |  ${d("e.total_quantity_d")} AS total_quantity,
-         |  ${d("e.total_revenue_d")} AS total_revenue,
-         |  CASE WHEN s.supplier_nation_name = c.customer_nation_name THEN 'domestic'
-         |       WHEN s.supplier_region_name = c.customer_region_name THEN 'intra_regional'
-         |       ELSE 'inter_regional' END AS trade_type
-         |FROM r_edges e
-         |JOIN w_dim_supplier s ON e.supplier_key = s.supplier_key
-         |JOIN w_dim_part p ON e.part_key = p.part_key
-         |JOIN w_dim_customer c ON e.customer_key = c.customer_key
-         |ORDER BY 1, 4, 7""".stripMargin),
-    "tax_and_discount_leakage" -> e(
-      ctx => outD(Reports.taxAndDiscountLeakage(ctx)).orderBy("region_name", "nation_name"),
-      s"""SELECT c.customer_region_name AS region_name,
-         |  c.customer_nation_name AS nation_name,
-         |  COUNT(*) AS line_item_count,
-         |  ${sumD("i.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("ABS(i.item_discount_amount)")} AS total_discounts,
-         |  ${sumD("i.item_tax_amount")} AS total_tax,
-         |  ${sumD("i.net_item_sales_amount")} AS net_revenue,
-         |  ${rnd(dv("SUM(ABS(i.item_discount_amount))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS discount_rate_pct,
-         |  ${rnd(dv("SUM(i.item_tax_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS effective_tax_rate_pct,
-         |  ${rnd(dv("SUM(i.net_item_sales_amount)", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS net_retention_pct
-         |FROM w_fct_orders_items i
-         |JOIN w_dim_customer c ON i.customer_key = c.customer_key
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-  )
-
-  /** partsupp- and delivery-date-dependent models (synthesized inputs). */
-  private val supplyModels: ListMap[String, Entry] = ListMap(
-    "dim_part_supplier_xrf" -> e(
-      ctx => outD(Wh.dimPartSupplierXrf(ctx)).orderBy("part_key", "supplier_key"),
-      dump("w_xrf", Seq("part_supplier_key" -> F, "part_key" -> F,
-        "part_name" -> F, "part_brand_name" -> F, "part_type_name" -> F,
-        "part_size" -> F, "retail_price" -> T, "supplier_key" -> F,
-        "supplier_name" -> F, "supplier_account_balance" -> T,
-        "supplier_nation_key" -> F, "supplier_nation_name" -> F,
-        "supplier_region_key" -> F, "supplier_region_name" -> F,
-        "supplier_availabe_quantity" -> F, "supplier_cost_amount" -> T),
-        "part_key, supplier_key")),
-    "rpt_minimum_cost_suppliers" -> e(
-      ctx => outD(Wh.rptMinimumCostSuppliers(ctx)).orderBy("supplier_name", "part_key"),
-      s"""SELECT ${d("supplier_account_balance")} AS supplier_account_balance,
-         |  supplier_name, supplier_nation_key, supplier_region_key,
-         |  supplier_nation_name, supplier_region_name, supplier_key, part_key,
-         |  part_size, part_type_name,
-         |  ${d("supplier_cost_amount")} AS supplier_cost_amount,
-         |  CAST(supplier_cost_rank AS INT) AS supplier_cost_rank,
-         |  CAST(supplier_rank AS INT) AS supplier_rank
-         |FROM (SELECT *,
-         |    RANK() OVER (PARTITION BY supplier_region_key, part_key
-         |      ORDER BY supplier_cost_amount) AS supplier_cost_rank,
-         |    ROW_NUMBER() OVER (PARTITION BY supplier_region_key, part_key, supplier_cost_amount
-         |      ORDER BY supplier_account_balance DESC, supplier_key) AS supplier_rank
-         |  FROM w_xrf) x
-         |WHERE supplier_cost_rank = 1 AND supplier_rank <= 100
-         |ORDER BY supplier_name, part_key""".stripMargin),
-    "int_part_profitability" -> e(
-      ctx => outD(Intermediate.partProfitability(ctx)).orderBy("part_key"),
-      s"""SELECT p.part_key, p.part_name, p.part_type_name, p.part_brand_name,
-         |  p.part_size, ${d("p.retail_price")} AS retail_price,
-         |  COUNT(*) AS total_line_items,
-         |  ${sumD("i.quantity")} AS total_quantity_sold,
-         |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("i.net_item_sales_amount")} AS total_net_revenue,
-         |  ${sumD("i.supplier_cost_amount * i.quantity")} AS total_cost,
-         |  ${d("SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity)")} AS total_profit,
-         |  ${rnd(dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS profit_margin_pct,
-         |  ${avgE("i.discount_percentage")} AS avg_discount_pct
-         |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
-         |GROUP BY p.part_key, p.part_name, p.part_type_name, p.part_brand_name,
-         |  p.part_size, p.retail_price
-         |ORDER BY p.part_key""".stripMargin),
-    "int_supplier_parts_catalog" -> e(
-      ctx => outD(Intermediate.supplierPartsCatalog(ctx))
-        .orderBy("part_key", "supplier_key"),
-      s"""SELECT supplier_key, supplier_name, supplier_nation_name,
-         |  supplier_region_name, part_key, part_name, part_type_name,
-         |  part_brand_name, part_size, supplier_availabe_quantity,
-         |  ${d("supplier_cost_amount")} AS supplier_cost_amount,
-         |  ${d("retail_price")} AS retail_price,
-         |  ${d("retail_price - supplier_cost_amount")} AS unit_margin,
-         |  ${rnd(dv("(retail_price - supplier_cost_amount)", "NULLIF(retail_price, 0)") + " * 100", 2)} AS margin_pct,
-         |  ${d("supplier_availabe_quantity * supplier_cost_amount")} AS inventory_value
-         |FROM w_xrf ORDER BY part_key, supplier_key""".stripMargin),
-    "int_shipping_delays" -> e(
-      ctx => outD(Intermediate.shippingDelays(ctx)).orderBy("order_item_key"),
-      s"""SELECT i.order_item_key, i.order_key, i.order_date, i.ship_date,
-         |  i.commit_date, i.receipt_date, i.ship_mode_name, i.customer_key,
-         |  i.supplier_key, s.supplier_name, s.supplier_nation_name, i.part_key,
-         |  ${d("i.quantity")} AS quantity,
-         |  ${d("i.gross_item_sales_amount")} AS gross_item_sales_amount,
-         |  CAST(i.receipt_date - i.commit_date AS INT) AS days_past_commit,
-         |  CAST(i.receipt_date - i.ship_date AS INT) AS transit_days,
-         |  CAST(i.ship_date - i.order_date AS INT) AS processing_days,
-         |  CASE WHEN i.receipt_date > i.commit_date THEN 'late'
-         |       WHEN i.receipt_date = i.commit_date THEN 'on_time'
-         |       ELSE 'early' END AS delivery_status
-         |FROM w_fct_orders_items i
-         |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |WHERE i.receipt_date IS NOT NULL
-         |ORDER BY i.order_item_key""".stripMargin),
-    "int_supplier_performance" -> e(
-      ctx => outD(Intermediate.supplierPerformance(ctx)).orderBy("supplier_key"),
-      s"""SELECT s.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |  s.supplier_region_name,
-         |  COUNT(*) AS total_line_items,
-         |  COUNT(DISTINCT i.order_key) AS total_orders,
-         |  ${sumD("i.quantity")} AS total_quantity,
-         |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("i.net_item_sales_amount")} AS total_net_revenue,
-         |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_deliveries,
-         |  CAST(SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS on_time_deliveries,
-         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS on_time_pct,
-         |  ${avgE("(i.receipt_date - i.ship_date)")} AS avg_delivery_days,
-         |  CAST(SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
-         |  ${rnd(dv("SUM(CASE WHEN i.return_status_code = 'R' THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS return_rate_pct
-         |FROM w_fct_orders_items i
-         |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
-    "int_order_items_enriched" -> e(
-      ctx => outD(Intermediate.orderItemsEnriched(ctx)).orderBy("order_item_key"),
-      s"""SELECT f.order_item_key, f.order_key, f.order_date, f.order_status_code,
-         |  f.order_line_number, f.order_line_status_code, f.return_status_code,
-         |  f.ship_date, f.commit_date, f.receipt_date, f.ship_mode_name,
-         |  c.customer_key, c.customer_name, c.customer_nation_name,
-         |  c.customer_region_name, c.customer_market_segment_name,
-         |  s.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |  s.supplier_region_name,
-         |  p.part_key, p.part_name, p.part_type_name, p.part_brand_name, p.part_size,
-         |  ${d("f.quantity")} AS quantity,
-         |  ${d("f.base_price")} AS base_price,
-         |  ${d("f.discount_percentage")} AS discount_percentage,
-         |  ${d("f.tax_rate")} AS tax_rate,
-         |  ${d("f.supplier_cost_amount")} AS supplier_cost_amount,
-         |  ${d("f.gross_item_sales_amount")} AS gross_item_sales_amount,
-         |  ${d("f.discounted_item_sales_amount")} AS discounted_item_sales_amount,
-         |  ${d("f.item_discount_amount")} AS item_discount_amount,
-         |  ${d("f.item_tax_amount")} AS item_tax_amount,
-         |  ${d("f.net_item_sales_amount")} AS net_item_sales_amount,
-         |  ${d("f.gross_item_sales_amount - f.supplier_cost_amount * f.quantity")} AS profit_amount
-         |FROM w_fct_orders_items f
-         |LEFT JOIN w_dim_customer c ON f.customer_key = c.customer_key
-         |LEFT JOIN w_dim_supplier s ON f.supplier_key = s.supplier_key
-         |LEFT JOIN w_dim_part p ON f.part_key = p.part_key
-         |ORDER BY f.order_item_key""".stripMargin),
-    "metrics_profit_margin_trend" -> e(
-      ctx => outD(Metrics.profitMarginTrend(ctx)).orderBy("order_month", "part_type_name"),
-      s"""SELECT CAST(date_trunc('month', i.order_date) AS DATE) AS order_month,
-         |  p.part_type_name,
-         |  COUNT(*) AS line_item_count,
-         |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${sumD("i.supplier_cost_amount * i.quantity")} AS total_cost,
-         |  ${d("SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity)")} AS total_profit,
-         |  ${rnd(dv("(SUM(i.gross_item_sales_amount) - SUM(i.supplier_cost_amount * i.quantity))", "NULLIF(SUM(i.gross_item_sales_amount), 0)") + " * 100", 2)} AS profit_margin_pct
-         |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "metrics_inventory_coverage" -> e(
-      ctx => outD(Metrics.inventoryCoverage(ctx)).orderBy("part_key"),
-      s""", r_demand AS (SELECT part_key, SUM(quantity) AS total_demand_d,
-         |    COUNT(DISTINCT order_key) AS order_count_d
-         |  FROM w_fct_orders_items GROUP BY 1)
-         |, r_supply AS (SELECT part_key,
-         |    CAST(SUM(supplier_availabe_quantity) AS BIGINT) AS total_supply_d,
-         |    COUNT(DISTINCT supplier_key) AS supplier_count_d,
-         |    ${avgE("supplier_cost_amount")} AS avg_cost
-         |  FROM w_xrf GROUP BY 1)
-         |SELECT p.part_key, p.part_name, p.part_type_name, p.part_brand_name,
-         |  COALESCE(s.total_supply_d, 0) AS total_supply,
-         |  COALESCE(${d("d.total_demand_d")}, 0) AS total_demand,
-         |  COALESCE(s.supplier_count_d, 0) AS supplier_count,
-         |  COALESCE(d.order_count_d, 0) AS order_count,
-         |  s.avg_cost,
-         |  ${rnd(dv("COALESCE(s.total_supply_d, 0)", "NULLIF(COALESCE(d.total_demand_d, 0), 0)"), 2)} AS supply_demand_ratio
-         |FROM w_dim_part p
-         |LEFT JOIN r_supply s ON p.part_key = s.part_key
-         |LEFT JOIN r_demand d ON p.part_key = d.part_key
-         |ORDER BY p.part_key""".stripMargin),
-    "metrics_shipping_efficiency" -> e(
-      ctx => outD(Metrics.shippingEfficiency(ctx)).orderBy("ship_month", "ship_mode_name"),
-      s"""SELECT CAST(date_trunc('month', i.ship_date) AS DATE) AS ship_month,
-         |  i.ship_mode_name,
-         |  COUNT(*) AS shipment_count,
-         |  ${avgE("(i.receipt_date - i.ship_date)")} AS avg_transit_days,
-         |  ${avgE("(i.ship_date - i.order_date)")} AS avg_processing_days,
-         |  ${avgE("(i.receipt_date - i.order_date)")} AS avg_total_days,
-         |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
-         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS late_pct
-         |FROM w_fct_orders_items i
-         |WHERE i.receipt_date IS NOT NULL
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "metrics_supplier_reliability" -> e(
-      ctx => outD(Metrics.supplierReliability(ctx)).orderBy("ship_month", "supplier_key"),
-      s"""SELECT CAST(date_trunc('month', i.ship_date) AS DATE) AS ship_month,
-         |  s.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |  COUNT(*) AS total_shipments,
-         |  CAST(SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS on_time_count,
-         |  CAST(SUM(CASE WHEN i.receipt_date > i.commit_date THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
-         |  ${rnd(dv("SUM(CASE WHEN i.receipt_date <= i.commit_date THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)") + " * 100", 2)} AS on_time_pct
-         |FROM w_fct_orders_items i
-         |JOIN w_dim_supplier s ON i.supplier_key = s.supplier_key
-         |WHERE i.receipt_date IS NOT NULL
-         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin),
-    "inventory_turnover" -> e(
-      ctx => outD(Reports.inventoryTurnover(ctx)).orderBy("part_key", "supplier_key"),
-      s""", r_sales AS (SELECT part_key, supplier_key, SUM(quantity) AS units_sold_d,
-         |    SUM(gross_item_sales_amount) AS revenue_d
-         |  FROM w_fct_orders_items GROUP BY 1, 2)
-         |SELECT s.part_key, p.part_name, p.part_type_name, s.supplier_key,
-         |  sup.supplier_name,
-         |  su.supplier_availabe_quantity AS available_quantity,
-         |  ${d("su.supplier_cost_amount")} AS supply_cost,
-         |  ${d("s.units_sold_d")} AS units_sold,
-         |  ${d("s.revenue_d")} AS revenue,
-         |  ${rnd(dv("s.units_sold_d", "NULLIF(su.supplier_availabe_quantity, 0)"), 2)} AS turnover_ratio,
-         |  CASE WHEN su.supplier_availabe_quantity = 0 THEN 'out_of_stock'
-         |       WHEN ${dv("s.units_sold_d", "su.supplier_availabe_quantity")} > 2 THEN 'fast_mover'
-         |       WHEN ${dv("s.units_sold_d", "su.supplier_availabe_quantity")} > 0.5 THEN 'normal'
-         |       WHEN ${dv("s.units_sold_d", "su.supplier_availabe_quantity")} > 0 THEN 'slow_mover'
-         |       ELSE 'dead_stock' END AS turnover_category
-         |FROM r_sales s
-         |JOIN o_ps su ON s.part_key = su.part_key AND s.supplier_key = su.supplier_key
-         |JOIN w_dim_part p ON s.part_key = p.part_key
-         |JOIN w_dim_supplier sup ON s.supplier_key = sup.supplier_key
-         |ORDER BY 1, 4""".stripMargin),
-    "supplier_concentration_risk" -> e(
-      ctx => outD(Reports.supplierConcentrationRisk(ctx)).orderBy("part_key", "supplier_key"),
-      s""", r_psc AS (SELECT part_key, COUNT(DISTINCT supplier_key) AS supplier_count,
-         |    CAST(SUM(supplier_availabe_quantity) AS BIGINT) AS total_available_qty
-         |  FROM w_xrf GROUP BY 1)
-         |SELECT ps.part_key, p.part_name, p.part_type_name, ps.supplier_key,
-         |  s.supplier_name, s.supplier_nation_name,
-         |  psc.supplier_count AS total_suppliers_for_part,
-         |  ps.supplier_availabe_quantity,
-         |  psc.total_available_qty AS part_total_supply,
-         |  ${rnd(dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)") + " * 100", 2)} AS supply_share_pct,
-         |  CASE WHEN psc.supplier_count = 1 THEN 'single_source'
-         |       WHEN ${rnd(dv("ps.supplier_availabe_quantity", "NULLIF(psc.total_available_qty, 0)") + " * 100", 2)} > 80 THEN 'dominant_supplier'
-         |       WHEN psc.supplier_count <= 3 THEN 'limited_sources'
-         |       ELSE 'diversified' END AS concentration_risk
-         |FROM w_xrf ps
-         |JOIN r_psc psc ON ps.part_key = psc.part_key
-         |JOIN w_dim_part p ON ps.part_key = p.part_key
-         |JOIN w_dim_supplier s ON ps.supplier_key = s.supplier_key
-         |ORDER BY 1, 4""".stripMargin),
-    "part_type_performance" -> e(
-      ctx => outD(Reports.partTypePerformance(ctx))
-        .orderBy("part_type_name", "part_brand_name", "size_category"),
-      s"""SELECT p.part_type_name, p.part_brand_name,
-         |  CASE WHEN p.part_size <= 10 THEN 'small'
-         |       WHEN p.part_size <= 30 THEN 'medium'
-         |       ELSE 'large' END AS size_category,
-         |  COUNT(DISTINCT p.part_key) AS part_count,
-         |  COUNT(*) AS line_item_count,
-         |  COUNT(DISTINCT i.order_key) AS order_count,
-         |  COUNT(DISTINCT i.customer_key) AS customer_count,
-         |  ${sumD("i.quantity")} AS total_units,
-         |  ${sumD("i.gross_item_sales_amount")} AS total_revenue,
-         |  ${rnd(avgE("i.base_price"), 2)} AS avg_unit_price,
-         |  ${rnd(avgE("i.discount_percentage") + " * 100", 2)} AS avg_discount_pct,
-         |  ${sumD("i.gross_item_sales_amount - i.supplier_cost_amount * i.quantity")} AS total_profit
-         |FROM w_fct_orders_items i JOIN w_dim_part p ON i.part_key = p.part_key
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
-    "supplier_lead_time_distribution" -> e(
-      ctx => outD(Reports.supplierLeadTimeDistribution(ctx)).orderBy("supplier_key"),
-      s""", r_sh AS (SELECT supplier_key,
-         |    CAST(receipt_date - order_date AS INT) AS lead_time_days,
-         |    CAST(ship_date - order_date AS INT) AS processing_days,
-         |    CAST(receipt_date - ship_date AS INT) AS transit_days
-         |  FROM w_fct_orders_items WHERE receipt_date IS NOT NULL)
-         |SELECT sh.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |  COUNT(*) AS shipment_count,
-         |  ${rnd(avgE("sh.lead_time_days"), 1)} AS avg_lead_time,
-         |  ${rnd(avgE("sh.processing_days"), 1)} AS avg_processing_days,
-         |  ${rnd(avgE("sh.transit_days"), 1)} AS avg_transit_days,
-         |  MIN(sh.lead_time_days) AS min_lead_time,
-         |  MAX(sh.lead_time_days) AS max_lead_time,
-         |  percentile_cont(0.50) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p50_lead_time,
-         |  percentile_cont(0.90) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p90_lead_time,
-         |  percentile_cont(0.95) WITHIN GROUP (ORDER BY sh.lead_time_days) AS p95_lead_time,
-         |  ${rnd(stddevE("sh.lead_time_days"), 2)} AS lead_time_stddev,
-         |  ${rnd(stddevE("sh.lead_time_days") + " / NULLIF(" + avgE("sh.lead_time_days") + ", 0)", 3)} AS lead_time_cv
-         |FROM r_sh sh JOIN w_dim_supplier s ON sh.supplier_key = s.supplier_key
-         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
-    "supplier_scorecard" -> e(
-      ctx => outD(Reports.supplierScorecard(ctx)).orderBy("supplier_key"),
-      s""", r_delivery AS (SELECT supplier_key, COUNT(*) AS total_shipments,
-         |    CAST(SUM(CASE WHEN receipt_date <= commit_date THEN 1 ELSE 0 END) AS BIGINT) AS on_time_shipments,
-         |    CAST(SUM(CASE WHEN return_status_code = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
-         |    ${avgE("(receipt_date - ship_date)")} AS avg_transit_days,
-         |    ${avgE("(receipt_date - commit_date)")} AS avg_delay_days
-         |  FROM w_fct_orders_items WHERE receipt_date IS NOT NULL GROUP BY 1)
-         |, r_revenue AS (SELECT supplier_key,
-         |    SUM(gross_item_sales_amount) AS total_revenue_d,
-         |    SUM(net_item_sales_amount) AS total_net_revenue_d,
-         |    COUNT(DISTINCT order_key) AS order_count,
-         |    COUNT(DISTINCT customer_key) AS customer_reach,
-         |    COUNT(DISTINCT part_key) AS parts_supplied
-         |  FROM w_fct_orders_items GROUP BY 1)
-         |, r_inventory AS (SELECT supplier_key,
-         |    CAST(SUM(supplier_availabe_quantity) AS BIGINT) AS total_available_qty_d,
-         |    ${avgE("supplier_cost_amount")} AS avg_supply_cost_d
-         |  FROM w_xrf GROUP BY 1)
-         |SELECT s.supplier_key, s.supplier_name, s.supplier_nation_name,
-         |  s.supplier_region_name,
-         |  ${d("s.supplier_account_balance")} AS supplier_account_balance,
-         |  ${d("r.total_revenue_d")} AS total_revenue,
-         |  ${d("r.total_net_revenue_d")} AS total_net_revenue,
-         |  r.order_count, r.customer_reach, r.parts_supplied,
-         |  dl.total_shipments, dl.on_time_shipments,
-         |  ${rnd(dv("dl.on_time_shipments", "NULLIF(dl.total_shipments, 0)") + " * 100", 2)} AS on_time_pct,
-         |  dl.returned_items,
-         |  ${rnd(dv("dl.returned_items", "NULLIF(dl.total_shipments, 0)") + " * 100", 2)} AS return_rate_pct,
-         |  ${rnd("dl.avg_transit_days", 1)} AS avg_transit_days,
-         |  ${rnd("dl.avg_delay_days", 1)} AS avg_delay_days,
-         |  COALESCE(dl_i.total_available_qty_d, 0) AS total_available_qty,
-         |  ${rnd("dl_i.avg_supply_cost_d", 2)} AS avg_supply_cost
-         |FROM w_dim_supplier s
-         |LEFT JOIN r_revenue r ON s.supplier_key = r.supplier_key
-         |LEFT JOIN r_delivery dl ON s.supplier_key = dl.supplier_key
-         |LEFT JOIN r_inventory dl_i ON s.supplier_key = dl_i.supplier_key
-         |ORDER BY s.supplier_key""".stripMargin),
-  )
-
-  // ---- extension track: text / dedup / similarity / events --------------
-  // DuckDB twins of the shared text expressions (graft.extensions.Text)
-  private val duckToks =
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
-  private val duckTokCtes =
-    s""", r_toks AS (SELECT doc_id, lang, source, text, n_chars, $duckToks AS toks
-       |  FROM documents)
-       |, r_sh AS (SELECT DISTINCT doc_id, shingle FROM (
-       |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-       |      THEN list_transform(range(1, len(toks) - 1),
-       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-       |      ELSE [] END) AS shingle
-       |    FROM r_toks) u)""".stripMargin
-  /** 16 min-hash columns h0..h15 from FOUR md5 digests per shingle (four
-    * 8-hex-char slices each) — lockstep twin of extensions.Text.minhash16;
-    * see there for the why (the digest pass dominated the SF100 dedup leg). */
-  private val duckSig16Body: String = {
-    val mh = (0 until 4).map(j => s"md5('$j|' || shingle)").mkString(" || ")
-    s"""SELECT doc_id,
-       |    ${(0 until 16).map(i =>
-            s"MIN(substring(mh, ${8 * i + 1}, 8)) AS h$i").mkString(",\n    ")}
-       |  FROM (SELECT doc_id, $mh AS mh FROM r_sh) GROUP BY 1""".stripMargin
-  }
-  private val duckSimhashCtes = {
-    // 64-bit signature in lockstep with Text.simhashes: bit j votes by bit
-    // (j%4) of md5 hex digit (j/4), each bit an IN-list over the digit char
-    def inList(j: Int): String =
-      extensions.Text.hexBitSets(j % 4).map(d => s"'$d'").mkString(",")
-    s""", r_tok2 AS (SELECT doc_id, md5(unnest(toks)) AS h FROM r_toks)
-       |, r_votes AS (SELECT doc_id,
-       |    ${(0 until 64).map(j =>
-          s"CAST(SUM(CASE WHEN substr(h, ${j / 4 + 1}, 1) IN (${inList(j)}) THEN 1 ELSE -1 END) AS BIGINT) AS v$j")
-          .mkString(",\n    ")}
-       |  FROM r_tok2 GROUP BY 1)
-       |, r_simhash AS (SELECT doc_id,
-       |    ${(0 until 64).map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")} AS simhash
-       |  FROM r_votes)""".stripMargin
-  }
-
-  /** MinHash near-dup pairs (jaccard >= 0.5) -> undirected edges ->
-    * recursive transitive closure -> per-doc component minimum. Twin of
-    * extensions.Text.dedupClusters' label-propagation fixpoint; requires a
-    * WITH RECURSIVE prefix (Oracle.qr). */
-  private val duckClusterCtes =
-    s""", r_csig AS ($duckSig16Body)
-       |, r_cband AS (
-       |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_csig
-       |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_csig
-       |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_csig
-       |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_csig)
-       |, r_ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |    FROM r_cband a JOIN r_cband b ON a.band_idx = b.band_idx
-       |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-       |, r_csz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-       |, r_cinter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
-       |    FROM r_ccand c
-       |    JOIN r_sh sa ON sa.doc_id = c.doc_a
-       |    JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-       |    GROUP BY 1, 2)
-       |, r_nd AS (SELECT i.doc_a, i.doc_b
-       |    FROM r_cinter i
-       |    JOIN r_csz sa ON i.doc_a = sa.doc_id
-       |    JOIN r_csz sb ON i.doc_b = sb.doc_id
-       |    WHERE ${dv("i.intersection", "NULLIF(sa.set_size + sb.set_size - i.intersection, 0)")} >= 0.5)
-       |, r_und AS (SELECT doc_a AS a, doc_b AS b FROM r_nd
-       |    UNION SELECT doc_b, doc_a FROM r_nd)
-       |, r_reach AS (
-       |    SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM r_und) n
-       |    UNION
-       |    SELECT r.src, e.b FROM r_reach r JOIN r_und e ON r.dst = e.a)
-       |, r_comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-       |    FROM r_reach GROUP BY 1)""".stripMargin
-  private def duckDot(a: String, b: String) = s"list_dot_product($a, $b)"
-  private def duckCos(a: String, b: String) =
-    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
-
-  // language-ID vote expressions shared by the lang_confusion oracle (same
-  // stopword lists as text_language_id)
-  private val duckLangPred = {
-    val en = "len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))"
-    val de = "len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))"
-    val fr = "len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))"
-    s"CASE WHEN $en >= $de AND $en >= $fr THEN 'en' WHEN $de >= $fr THEN 'de' ELSE 'fr' END"
-  }
-  // composite quality score shared by the corpus_token_budget oracle (same
-  // arithmetic as text_quality)
-  private val duckQualityScore = {
-    val stopR = dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")
-    val punctR = dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")
-    val digitR = dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")
-    s"($stopR * 0.5 + (1 - $punctR) * 0.3 + (1 - $digitR) * 0.2)"
-  }
-
-  private val extensionModels: ListMap[String, Entry] = ListMap(
-    "text_token_count" -> e(
-      ctx => extensions.Text.tokenCount(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |SELECT doc_id, n_chars,
-         |  CAST(len(toks) AS INT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS INT) AS n_bpe_tokens,
-         |  ${dv("length(regexp_replace(text, '\\s+', '', 'g'))", "NULLIF(len(toks), 0)")} AS avg_token_len
-         |FROM r_toks ORDER BY doc_id""".stripMargin),
-    "text_quality" -> e(
-      ctx => extensions.Text.quality(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |SELECT doc_id, length(text) AS n_chars,
-         |  CAST(len(toks) AS INT) AS n_tokens,
-         |  ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")} AS punct_ratio,
-         |  ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")} AS digit_ratio,
-         |  ${dv("(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))", "NULLIF(length(text), 0)")} AS upper_ratio,
-         |  ${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} AS stopword_ratio,
-         |  (${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} * 0.5
-         |   + (1 - ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.3
-         |   + (1 - ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.2) AS quality_score
-         |FROM r_toks ORDER BY doc_id""".stripMargin),
-    "text_language_id" -> e(
-      ctx => extensions.Text.languageId(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |SELECT doc_id, lang AS labeled_lang,
-         |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x))) AS INT) AS en_hits,
-         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x))) AS INT) AS de_hits,
-         |  CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x))) AS INT) AS fr_hits,
-         |  CASE WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
-         |         >= len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
-         |        AND len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
-         |         >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
-         |       THEN 'en'
-         |       WHEN len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
-         |         >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
-         |       THEN 'de' ELSE 'fr' END AS predicted_lang
-         |FROM r_toks ORDER BY doc_id""".stripMargin),
-    "text_fingerprint" -> e(
-      ctx => extensions.Text.fingerprint(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_fp AS (SELECT doc_id, COUNT(*) AS shingle_count,
-         |    MIN(md5(shingle)) AS min_shingle_hash
-         |  FROM r_sh GROUP BY 1)
-         |SELECT d.doc_id,
-         |  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fingerprint,
-         |  COALESCE(f.shingle_count, 0) AS shingle_count,
-         |  f.min_shingle_hash
-         |FROM documents d LEFT JOIN r_fp f ON d.doc_id = f.doc_id
-         |ORDER BY d.doc_id""".stripMargin),
-    "lang_confusion" -> e(
-      ctx => extensions.Text.langConfusion(ctx)
-        .orderBy("labeled_lang", "predicted_lang"),
-      s"""$duckTokCtes
-         |, r_pred AS (SELECT doc_id, lang AS labeled_lang,
-         |    $duckLangPred AS predicted_lang
-         |  FROM r_toks)
-         |, r_cells AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
-         |  FROM r_pred GROUP BY 1, 2)
-         |SELECT labeled_lang, predicted_lang, n_docs,
-         |  ${dv("n_docs", "SUM(n_docs) OVER (PARTITION BY labeled_lang)")} AS labeled_share,
-         |  (labeled_lang = predicted_lang) AS is_correct
-         |FROM r_cells ORDER BY labeled_lang, predicted_lang""".stripMargin),
-    "corpus_token_budget" -> e(
-      ctx => extensions.Text.tokenBudget(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    $duckQualityScore AS quality_score
-         |  FROM r_toks)
-         |, r_rank AS (SELECT doc_id, n_tokens, quality_score,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS INT) AS quality_rank,
-         |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-         |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
-         |  FROM r_q)
-         |SELECT doc_id, n_tokens, quality_score, quality_rank, cum_tokens,
-         |  total_tokens, (2 * cum_tokens <= total_tokens) AS selected
-         |FROM r_rank ORDER BY doc_id""".stripMargin),
-    "source_quality_profile" -> e(
-      ctx => extensions.Text.sourceQualityProfile(ctx).orderBy("source"),
-      s"""$duckTokCtes
-         |, r_sq AS (SELECT doc_id, source, $duckQualityScore AS quality_score
-         |  FROM r_toks)
-         |SELECT source, COUNT(*) AS n_docs,
-         |  ${dv("CAST(SUM(CAST(quality_score AS DECIMAL(38,12))) AS DOUBLE)", "COUNT(*)")} AS avg_quality,
-         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY quality_score) AS median_quality,
-         |  MIN(quality_score) AS min_quality,
-         |  MAX(quality_score) AS max_quality,
-         |  ${dv("SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END)", "COUNT(*)")} AS share_above_half
-         |FROM r_sq GROUP BY 1 ORDER BY 1""".stripMargin),
-    "dedup_exact" -> e(
-      ctx => extensions.Text.dedupExact(ctx).orderBy("fingerprint"),
-      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-         |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
-         |  COUNT(*) > 1 AS has_duplicates
-         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
-    "dedup_minhash_lsh" -> e(
-      ctx => extensions.Text.dedupMinhashLsh(ctx).orderBy("doc_a", "doc_b"),
-      s"""$duckTokCtes
-         |, r_sig AS ($duckSig16Body)
-         |, r_bandrows AS (
-         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
-         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
-         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_sig
-         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_sig)
-         |, r_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM r_bandrows a
-         |    JOIN r_bandrows b ON a.band_idx = b.band_idx
-         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-         |, r_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-         |, r_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
-         |  FROM r_cand c
-         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
-         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b,
-         |  COALESCE(i.intersection, 0) AS intersection,
-         |  (sa.set_size + sb.set_size - COALESCE(i.intersection, 0)) AS union_size,
-         |  ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} AS jaccard,
-         |  ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} >= 0.5 AS is_near_duplicate
-         |FROM r_cand c
-         |LEFT JOIN r_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-         |JOIN r_sizes sa ON c.doc_a = sa.doc_id
-         |JOIN r_sizes sb ON c.doc_b = sb.doc_id
-         |ORDER BY 1, 2""".stripMargin),
-    "dedup_incremental" -> e(
-      ctx => extensions.Text.dedupIncremental(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_sig AS ($duckSig16Body)
-         |, r_bandrows AS (
-         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_sig
-         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_sig
-         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_sig
-         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_sig)
-         |, r_new AS (SELECT doc_id FROM r_toks
-         |    WHERE substr(md5('ibatch|' || CAST(doc_id AS VARCHAR)), 1, 1) < '4')
-         |, r_cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM r_bandrows a
-         |    JOIN r_new n ON a.doc_id = n.doc_id
-         |    JOIN r_bandrows b ON a.band_idx = b.band_idx
-         |      AND a.band_hash = b.band_hash
-         |    WHERE b.doc_id NOT IN (SELECT doc_id FROM r_new))
-         |, r_sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-         |, r_inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS intersection
-         |  FROM r_cand c
-         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
-         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2)
-         |, r_j AS (SELECT c.doc_a, c.doc_b,
-         |    ${dv("COALESCE(i.intersection, 0)", "NULLIF(sa.set_size + sb.set_size - COALESCE(i.intersection, 0), 0)")} AS jaccard
-         |  FROM r_cand c
-         |  LEFT JOIN r_inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-         |  JOIN r_sizes sa ON c.doc_a = sa.doc_id
-         |  JOIN r_sizes sb ON c.doc_b = sb.doc_id)
-         |, r_per AS (SELECT doc_a,
-         |    COUNT(*) AS n_candidates,
-         |    SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_dups,
-         |    MAX(jaccard) AS max_jaccard,
-         |    MIN(CASE WHEN jaccard >= 0.5 THEN doc_b END) AS dup_witness
-         |  FROM r_j GROUP BY 1)
-         |SELECT n.doc_id,
-         |  COALESCE(p.n_candidates, 0) AS n_candidates,
-         |  CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
-         |  p.max_jaccard, p.dup_witness,
-         |  COALESCE(p.n_dups, 0) = 0 AS keep
-         |FROM r_new n
-         |LEFT JOIN r_per p ON n.doc_id = p.doc_a
-         |ORDER BY n.doc_id""".stripMargin),
-    "dedup_clusters" -> Entry(
-      ctx => extensions.Text.dedupClusters(ctx).orderBy("doc_id"),
-      Some(Oracle.qr(
-        s"""$duckTokCtes
-           |$duckClusterCtes
-           |, r_cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
-           |    FROM r_comp GROUP BY 1)
-           |SELECT c.doc_id, c.cluster_id, s.cluster_size,
-           |  c.doc_id = c.cluster_id AS is_cluster_keeper
-           |FROM r_comp c JOIN r_cs s USING (cluster_id)
-           |ORDER BY c.doc_id""".stripMargin))),
-    "corpus_selection" -> Entry(
-      ctx => extensions.Text.corpusSelection(ctx).orderBy("doc_id"),
-      Some(Oracle.qr(
-        s"""$duckTokCtes
-           |$duckClusterCtes
-           |, r_cq AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-           |    (${dv("len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))", "NULLIF(len(toks), 0)")} * 0.5
-           |     + (1 - ${dv("(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.3
-           |     + (1 - ${dv("(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))", "NULLIF(length(text), 0)")}) * 0.2) AS quality_score
-           |  FROM r_toks)
-           |, r_clid AS (SELECT doc_id, lang AS labeled_lang,
-           |    CASE WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
-           |           >= len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
-           |          AND len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x)))
-           |           >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
-           |         THEN 'en'
-           |         WHEN len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','auf','sie'], x)))
-           |           >= len(list_filter(toks, x -> list_contains(['le','la','les','et','un','une','est','pour','dans','que'], x)))
-           |         THEN 'de' ELSE 'fr' END AS predicted_lang
-           |  FROM r_toks)
-           |, r_cfp AS (SELECT doc_id,
-           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-           |  FROM documents)
-           |, r_ckeep AS (SELECT fp, MIN(doc_id) AS keep FROM r_cfp GROUP BY 1)
-           |, r_exact_drop AS (SELECT f.doc_id FROM r_cfp f
-           |    JOIN r_ckeep k ON f.fp = k.fp AND f.doc_id <> k.keep)
-           |, r_near_drop AS (SELECT doc_id FROM r_comp WHERE doc_id <> cluster_id)
-           |SELECT d.doc_id, d.source, d.lang, d.n_chars,
-           |  q.n_tokens, q.quality_score, l.predicted_lang
-           |FROM documents d
-           |JOIN r_cq q USING (doc_id)
-           |JOIN r_clid l USING (doc_id)
-           |WHERE q.quality_score >= 0.5 AND q.n_tokens >= 10
-           |  AND l.predicted_lang = l.labeled_lang
-           |  AND d.doc_id NOT IN (SELECT doc_id FROM r_exact_drop)
-           |  AND d.doc_id NOT IN (SELECT doc_id FROM r_near_drop)
-           |ORDER BY d.doc_id""".stripMargin))),
-    "dedup_simhash" -> e(
-      ctx => extensions.Text.dedupSimhash(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |$duckSimhashCtes
-         |SELECT s.doc_id, s.simhash, g.bucket_size, g.bucket_keep_doc_id
-         |FROM r_simhash s
-         |JOIN (SELECT simhash, COUNT(*) AS bucket_size, MIN(doc_id) AS bucket_keep_doc_id
-         |      FROM r_simhash GROUP BY 1) g USING (simhash)
-         |ORDER BY s.doc_id""".stripMargin),
-    "dedup_simhash_near" -> e(
-      ctx => extensions.Text.dedupSimhashNear(ctx).orderBy("doc_a", "doc_b"),
-      s"""$duckTokCtes
-         |$duckSimhashCtes
-         |, r_chunks AS (
-         |    SELECT doc_id, simhash, 0 AS chunk_idx, substr(simhash, 1, 22) AS chunk_val FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 1, substr(simhash, 23, 21) FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 2, substr(simhash, 44, 21) FROM r_simhash)
-         |, r_hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
-         |    b.doc_id AS doc_b, b.simhash AS sim_b
-         |  FROM r_chunks a
-         |  JOIN r_chunks b ON a.chunk_idx = b.chunk_idx
-         |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, sim_a AS simhash_a, sim_b AS simhash_b,
-         |  CAST(len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS INT) AS hamming
-         |FROM r_hcand
-         |WHERE len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_simhash_stats" -> e(
-      ctx => extensions.Text.dedupSimhashStats(ctx).orderBy("hamming"),
-      s"""$duckTokCtes
-         |$duckSimhashCtes
-         |, r_chunks AS (
-         |    SELECT doc_id, simhash, 0 AS chunk_idx, substr(simhash, 1, 22) AS chunk_val FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 1, substr(simhash, 23, 21) FROM r_simhash
-         |    UNION ALL SELECT doc_id, simhash, 2, substr(simhash, 44, 21) FROM r_simhash)
-         |, r_hcand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
-         |    b.doc_id AS doc_b, b.simhash AS sim_b
-         |  FROM r_chunks a
-         |  JOIN r_chunks b ON a.chunk_idx = b.chunk_idx
-         |    AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
-         |, r_pairs AS (SELECT doc_a, doc_b,
-         |    CAST(len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS INT) AS hamming
-         |  FROM r_hcand
-         |  WHERE len(list_filter(range(1, 65), i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 2)
-         |, r_pdocs AS (SELECT hamming, unnest([doc_a, doc_b]) AS doc_id FROM r_pairs)
-         |SELECT hamming, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
-         |  COUNT(DISTINCT doc_id) AS n_docs
-         |FROM r_pdocs GROUP BY 1 ORDER BY hamming""".stripMargin),
-    "dedup_ngram_jaccard" -> e(
-      ctx => extensions.Text.dedupNgramJaccard(ctx).orderBy("doc_a", "doc_b"),
-      s"""$duckTokCtes
-         |, r_shs AS (SELECT s.doc_id, s.shingle, d.source
-         |  FROM r_sh s JOIN documents d USING (doc_id))
-         |, r_sz AS (SELECT doc_id, COUNT(*) AS set_size FROM r_sh GROUP BY 1)
-         |, r_nsig AS (SELECT doc_id, source,
-         |    ${(0 until 8).map(i => s"MIN(md5('$i|' || shingle)) AS h$i").mkString(",\n    ")}
-         |  FROM r_shs GROUP BY 1, 2)
-         |, r_nband AS (
-         |    ${(0 until 8).map(i =>
-              s"SELECT doc_id, source, $i AS band_idx, h$i AS band_hash FROM r_nsig")
-              .mkString("\n    UNION ALL ")})
-         |, r_ncand AS (SELECT DISTINCT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM r_nband a
-         |    JOIN r_nband b ON a.source = b.source AND a.band_idx = b.band_idx
-         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-         |, r_ninter AS (SELECT c.source, c.doc_a, c.doc_b, COUNT(*) AS intersection
-         |  FROM r_ncand c
-         |  JOIN r_sh sa ON sa.doc_id = c.doc_a
-         |  JOIN r_sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2, 3)
-         |SELECT * FROM (
-         |  SELECT p.source, p.doc_a, p.doc_b, p.intersection,
-         |    (sa.set_size + sb.set_size - p.intersection) AS union_size,
-         |    ${dv("p.intersection", "NULLIF(sa.set_size + sb.set_size - p.intersection, 0)")} AS jaccard
-         |  FROM r_ninter p
-         |  JOIN r_sz sa ON p.doc_a = sa.doc_id
-         |  JOIN r_sz sb ON p.doc_b = sb.doc_id) x
-         |WHERE jaccard >= 0.1
-         |ORDER BY doc_a, doc_b""".stripMargin),
-    "ann_brute_force" -> e(
-      ctx => extensions.Similarity.annBruteForce(ctx).orderBy("query_id", "rank"),
-      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-         |SELECT query_id, cand_id, cosine, CAST(rn AS INT) AS rank FROM (
-         |  SELECT query_id, cand_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
-         |  FROM (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |          ${duckCos("a.ed", "b.ed")} AS cosine
-         |        FROM r_emb a JOIN r_emb b ON a.vec_id < 10 AND a.vec_id != b.vec_id) y) x
-         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
-    "ann_lsh_buckets" -> e(
-      ctx => extensions.Similarity.annLshBuckets(ctx).orderBy("vec_a", "vec_b"),
-      s""", r_emb2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
-         |    ${(0 until 8).map(j =>
-              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
-              .mkString(" || ")} AS bucket
-         |  FROM embeddings)
-         |SELECT * FROM (
-         |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    a.label AS label_a, b.label AS label_b,
-         |    ${duckCos("a.ed", "b.ed")} AS cosine,
-         |    a.label = b.label AS same_label
-         |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
-         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
-    "dedup_embedding" -> e(
-      ctx => extensions.Similarity.dedupEmbedding(ctx).orderBy("vec_a", "vec_b"),
-      s""", r_emb2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
-         |    ${(0 until 8).map(j =>
-              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
-              .mkString(" || ")} AS bucket
-         |  FROM embeddings)
-         |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${duckCos("a.ed", "b.ed")} AS cosine
-         |  FROM r_emb2 a JOIN r_emb2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
-         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin),
-    "ann_ivf" -> e(
-      ctx => extensions.Similarity.annIvf(ctx).orderBy("query_id", "rank"),
-      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-         |, r_seeds AS (SELECT vec_id AS cell_id, ed AS se FROM r_emb WHERE vec_id < 8)
-         |, r_assigned AS (SELECT vec_id, ed, cell_id FROM (
-         |    SELECT v.vec_id, v.ed, s.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${duckCos("v.ed", "s.se")} DESC, s.cell_id) AS rn
-         |    FROM r_emb v CROSS JOIN r_seeds s) x WHERE rn = 1)
-         |, r_probes AS (SELECT query_id, qe, cell_id FROM (
-         |    SELECT q.vec_id AS query_id, q.ed AS qe, s.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCos("q.ed", "s.se")} DESC, s.cell_id) AS rn
-         |    FROM r_emb q CROSS JOIN r_seeds s
-         |    WHERE q.vec_id >= 10 AND q.vec_id < 20) x WHERE rn <= 2)
-         |SELECT query_id, cand_id, cell_id, cosine, CAST(rn2 AS INT) AS rank FROM (
-         |  SELECT query_id, cand_id, cell_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn2
-         |  FROM (SELECT p.query_id, a.vec_id AS cand_id, p.cell_id,
-         |          ${duckCos("p.qe", "a.ed")} AS cosine
-         |        FROM r_probes p
-         |        JOIN r_assigned a ON p.cell_id = a.cell_id AND p.query_id != a.vec_id) z) y
-         |WHERE rn2 <= 3 ORDER BY query_id, rank""".stripMargin),
-    "embedding_quantize" -> e(
-      ctx => extensions.Similarity.embeddingQuantize(ctx).orderBy("vec_id", "idx"),
-      """, r_qe AS (SELECT vec_id, idx, CAST(embedding[idx + 1] AS DOUBLE) AS vd
-        |    FROM (SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS idx
-        |          FROM embeddings))
-        |, r_qs AS (SELECT idx, MIN(vd) AS dmin, MAX(vd) AS dmax FROM r_qe GROUP BY 1)
-        |SELECT e.vec_id, CAST(e.idx AS INT) AS idx, s.dmin, s.dmax,
-        |  CAST(ROUND((e.vd - s.dmin) * 255 / NULLIF(s.dmax - s.dmin, 0), 0) AS INT) AS q
-        |FROM r_qe e JOIN r_qs s ON e.idx = s.idx
-        |ORDER BY vec_id, idx""".stripMargin),
-    "ann_quantized_recall" -> e(
-      ctx => extensions.Similarity.annQuantizedRecall(ctx).orderBy("query_id"),
-      s""", r_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-         |, r_qre AS (SELECT vec_id, idx, CAST(embedding[idx + 1] AS DOUBLE) AS vd
-         |    FROM (SELECT vec_id, embedding, UNNEST(range(len(embedding))) AS idx
-         |          FROM embeddings))
-         |, r_qrs AS (SELECT idx, MIN(vd) AS dmin, MAX(vd) AS dmax FROM r_qre GROUP BY 1)
-         |, r_qrr AS (SELECT e.vec_id, e.idx,
-         |    CASE WHEN s.dmax = s.dmin THEN s.dmin
-         |      ELSE s.dmin + ROUND((e.vd - s.dmin) * 255 / (s.dmax - s.dmin), 0)
-         |        * (s.dmax - s.dmin) / 255 END AS rd
-         |  FROM r_qre e JOIN r_qrs s ON e.idx = s.idx)
-         |, r_qrv AS (SELECT vec_id, list(rd ORDER BY idx) AS rv FROM r_qrr GROUP BY 1)
-         |, r_qx AS (SELECT query_id, cand_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |        ORDER BY ${duckCos("a.ed", "b.ed")} DESC, b.vec_id) AS rn
-         |    FROM r_emb a JOIN r_emb b ON a.vec_id < 10 AND a.vec_id != b.vec_id) x
-         |  WHERE rn <= 5)
-         |, r_qv AS (SELECT query_id, cand_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |        ORDER BY ${duckCos("a.rv", "b.rv")} DESC, b.vec_id) AS rn
-         |    FROM r_qrv a JOIN r_qrv b ON a.vec_id < 10 AND a.vec_id != b.vec_id) x
-         |  WHERE rn <= 5)
-         |SELECT e.query_id, COUNT(e.cand_id) AS n_exact, COUNT(q.cand_id) AS n_overlap,
-         |  ${dv("COUNT(q.cand_id)", "COUNT(e.cand_id)")} AS recall_at_k
-         |FROM r_qx e LEFT JOIN r_qv q
-         |  ON e.query_id = q.query_id AND e.cand_id = q.cand_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "training_pairs" -> e(
-      ctx => extensions.Similarity.trainingPairs(ctx),
-      s""", r_tp AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
-         |    ROW_NUMBER() OVER (ORDER BY label, vec_id) AS rn,
-         |    COUNT(*) OVER () AS total
-         |  FROM embeddings)
-         |, r_tp_pos AS (SELECT TRUE AS is_positive, a.vec_id AS vec_a,
-         |    b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
-         |    ${duckCos("a.ed", "b.ed")} AS cosine
-         |  FROM r_tp a JOIN r_tp b ON b.rn = a.rn + 1 AND a.label = b.label)
-         |, r_tp_neg AS (SELECT FALSE AS is_positive, a.vec_id AS vec_a,
-         |    b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
-         |    ${duckCos("a.ed", "b.ed")} AS cosine
-         |  FROM r_tp a JOIN r_tp b
-         |    ON b.rn = ((a.rn - 1 + a.total // 2) % a.total) + 1
-         |    AND a.label <> b.label)
-         |SELECT * FROM r_tp_pos UNION ALL SELECT * FROM r_tp_neg
-         |ORDER BY is_positive DESC, vec_a, vec_b""".stripMargin),
-    "ann_lsh_buckets_wide" -> e(
-      ctx => extensions.Similarity.annLshBucketsWide(ctx).orderBy("vec_a", "vec_b"),
-      // occupancy-adaptive grid: 24-bit / mod-23 signature truncated to
-      // b = clamp(8..24, ceil(log2(N/16))) — the same formula the Spark
-      // side computes, so the gate verifies the adaptive re-grid itself
-      s""", r_embw_all AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ed,
-         |    substr(${(0 until 24).map(j =>
-              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 23 - 11 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
-              .mkString(" || ")}, 1,
-         |      (SELECT GREATEST(8, LEAST(24, CAST(CEIL(LOG2(COUNT(*) / 16.0)) AS INT)))
-         |       FROM embeddings)) AS bucket
-         |  FROM embeddings)
-         |, r_embw AS (SELECT vec_id, label, ed, bucket FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
-         |    FROM r_embw_all) WHERE rn <= 128)
-         |SELECT * FROM (
-         |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    a.label AS label_a, b.label AS label_b,
-         |    ${duckCos("a.ed", "b.ed")} AS cosine,
-         |    a.label = b.label AS same_label
-         |  FROM r_embw a JOIN r_embw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
-         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin),
-    "ann_pq_recall" -> e(
-      ctx => extensions.Similarity.annPqRecall(ctx),
-      s""", r_pq_sub AS (SELECT vec_id, s, list_slice(ed, s*8+1, s*8+8) AS sv FROM
-         |    (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed, UNNEST(range(8)) AS s
-         |     FROM embeddings))
-         |, r_pq_cb AS (SELECT s, vec_id AS cell, sv AS cv FROM r_pq_sub WHERE vec_id < 16)
-         |, r_pq_codes AS (SELECT vec_id, s, cell FROM (
-         |    SELECT v.vec_id, v.s, c.cell,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
-         |        ORDER BY ${duckCos("v.sv", "c.cv")} DESC, c.cell) AS rn
-         |    FROM r_pq_sub v JOIN r_pq_cb c ON v.s = c.s) x WHERE rn = 1)
-         |, r_pq_qd AS (SELECT q.vec_id AS query_id, q.s, c.cell,
-         |    CAST(ROUND(${duckCos("q.sv", "c.cv")}, 9) AS DECIMAL(12,9)) AS qdec
-         |  FROM r_pq_sub q JOIN r_pq_cb c ON q.s = c.s
-         |  WHERE q.vec_id >= 10 AND q.vec_id < 20)
-         |, r_pq_adc AS (SELECT qd.query_id, co.vec_id AS cand_id, SUM(qd.qdec) AS approx
-         |    FROM r_pq_codes co JOIN r_pq_qd qd ON co.s = qd.s AND co.cell = qd.cell
-         |    WHERE qd.query_id != co.vec_id
-         |    GROUP BY 1, 2 HAVING COUNT(*) = 8)
-         |, r_pq_top AS (SELECT query_id, cand_id FROM (
-         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY approx DESC, cand_id) AS rn FROM r_pq_adc) x WHERE rn <= 5)
-         |, r_pq_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-         |, r_pq_ex AS (SELECT query_id, cand_id FROM (
-         |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |        ORDER BY ${duckCos("a.ed", "b.ed")} DESC, b.vec_id) AS rn
-         |    FROM r_pq_emb a JOIN r_pq_emb b
-         |      ON a.vec_id >= 10 AND a.vec_id < 20 AND a.vec_id != b.vec_id) x
-         |  WHERE rn <= 5)
-         |SELECT e.query_id, COUNT(e.cand_id) AS n_exact, COUNT(p.cand_id) AS n_overlap,
-         |  ${dv("COUNT(p.cand_id)", "COUNT(e.cand_id)")} AS recall_at_k
-         |FROM r_pq_ex e LEFT JOIN r_pq_top p
-         |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "ann_ivf_pq" -> e(
-      ctx => extensions.Similarity.annIvfPq(ctx).orderBy("query_id", "rank"),
-      s""", r_ip_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-         |, r_ip_seeds AS (SELECT vec_id AS cell_id, ed AS se FROM r_ip_emb WHERE vec_id < 8)
-         |, r_ip_assigned AS (SELECT vec_id, cell_id FROM (
-         |    SELECT v.vec_id, s.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${duckCos("v.ed", "s.se")} DESC, s.cell_id) AS rn
-         |    FROM r_ip_emb v CROSS JOIN r_ip_seeds s) x WHERE rn = 1)
-         |, r_ip_probes AS (SELECT query_id, cell_id FROM (
-         |    SELECT q.vec_id AS query_id, s.cell_id,
-         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCos("q.ed", "s.se")} DESC, s.cell_id) AS rn
-         |    FROM r_ip_emb q CROSS JOIN r_ip_seeds s
-         |    WHERE q.vec_id >= 10 AND q.vec_id < 20) x WHERE rn <= 2)
-         |, r_ip_sub AS (SELECT vec_id, s, list_slice(ed, s*8+1, s*8+8) AS sv
-         |    FROM (SELECT vec_id, ed, UNNEST(range(8)) AS s FROM r_ip_emb))
-         |, r_ip_cb AS (SELECT s, vec_id AS code, sv AS cv FROM r_ip_sub WHERE vec_id < 16)
-         |, r_ip_codes AS (SELECT vec_id AS cand_id, s, code FROM (
-         |    SELECT v.vec_id, v.s, c.code,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
-         |        ORDER BY ${duckCos("v.sv", "c.cv")} DESC, c.code) AS rn
-         |    FROM r_ip_sub v JOIN r_ip_cb c ON v.s = c.s) x WHERE rn = 1)
-         |, r_ip_qd AS (SELECT q.vec_id AS query_id, q.s, c.code,
-         |    CAST(ROUND(${duckCos("q.sv", "c.cv")}, 9) AS DECIMAL(12,9)) AS qdec
-         |  FROM r_ip_sub q JOIN r_ip_cb c ON q.s = c.s
-         |  WHERE q.vec_id >= 10 AND q.vec_id < 20)
-         |, r_ip_cand AS (SELECT p.query_id, a.vec_id AS cand_id, p.cell_id
-         |    FROM r_ip_probes p JOIN r_ip_assigned a ON p.cell_id = a.cell_id
-         |    WHERE p.query_id != a.vec_id)
-         |, r_ip_adc AS (SELECT c.query_id, c.cand_id, c.cell_id,
-         |      SUM(qd.qdec) AS approx
-         |    FROM r_ip_cand c
-         |    JOIN r_ip_codes co ON co.cand_id = c.cand_id
-         |    JOIN r_ip_qd qd ON qd.query_id = c.query_id
-         |      AND qd.s = co.s AND qd.code = co.code
-         |    GROUP BY 1, 2, 3 HAVING COUNT(*) = 8)
-         |, r_ip_short AS (SELECT query_id, cand_id, cell_id, approx FROM (
-         |    SELECT query_id, cand_id, cell_id, approx,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY approx DESC, cand_id) AS rn FROM r_ip_adc) x WHERE rn <= 20)
-         |SELECT query_id, cand_id, cell_id, approx, cosine, CAST(rn2 AS INT) AS rank
-         |FROM (
-         |  SELECT s.query_id, s.cand_id, s.cell_id,
-         |    CAST(s.approx AS DOUBLE) AS approx,
-         |    ${duckCos("q.ed", "c.ed")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |      ORDER BY ${duckCos("q.ed", "c.ed")} DESC, s.cand_id) AS rn2
-         |  FROM r_ip_short s
-         |  JOIN r_ip_emb q ON q.vec_id = s.query_id
-         |  JOIN r_ip_emb c ON c.vec_id = s.cand_id) y
-         |WHERE rn2 <= 5 ORDER BY query_id, rank""".stripMargin),
-    "label_centroids" -> e(
-      ctx => extensions.Similarity.labelCentroids(ctx).orderBy("label", "idx"),
-      """SELECT label, CAST(idx AS INT) AS idx, COUNT(*) AS n_vectors,
-        |  ((CAST(SUM(vd) AS DOUBLE) / COUNT(*)) / 1e9) AS dim_mean
-        |FROM (SELECT label, idx,
-        |        CAST(round(CAST(embedding[idx + 1] AS DOUBLE) * 1e9, 0) AS DECIMAL(20,0)) AS vd
-        |      FROM (SELECT label, embedding, UNNEST(range(len(embedding))) AS idx
-        |            FROM embeddings))
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "events_json_extract" -> e(
-      ctx => extensions.Events.jsonExtract(ctx).orderBy("event_id"),
-      """SELECT event_id, event_type,
-        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
-        |  value
-        |FROM events ORDER BY event_id""".stripMargin),
-    "events_hourly_by_type" -> e(
-      ctx => extensions.Events.hourlyByType(ctx).orderBy("hour_epoch", "event_type"),
-      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
-         |  event_type,
-         |  COUNT(*) AS n_events,
-         |  COUNT(DISTINCT user_id) AS unique_users,
-         |  ${sumD("CAST(value AS DECIMAL(18,6))")} AS total_value,
-         |  ${avgE("CAST(value AS DECIMAL(18,6))")} AS avg_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "events_sessionize" -> e(
-      ctx => extensions.Events.sessionize(ctx).orderBy("user_id", "session_idx"),
-      s""", r_ev AS (SELECT user_id, event_id,
-         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-         |    CAST(value AS DECIMAL(18,6)) AS value_d
-         |  FROM events)
-         |, r_flag AS (SELECT *, CASE WHEN LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
-         |      OR ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
-         |    THEN 1 ELSE 0 END AS is_new
-         |  FROM r_ev)
-         |, r_sess AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         |  FROM r_flag)
-         |SELECT user_id, session_idx, COUNT(*) AS n_events,
-         |  MIN(ts_sec) AS session_start_epoch,
-         |  MAX(ts_sec) AS session_end_epoch,
-         |  MAX(ts_sec) - MIN(ts_sec) AS duration_seconds,
-         |  ${sumD("value_d")} AS session_value
-         |FROM r_sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "events_daily_funnel" -> e(
-      ctx => extensions.Events.dailyFunnel(ctx).orderBy("day_epoch"),
-      s"""SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
-         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
-         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
-         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
-         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-         |  COUNT(DISTINCT user_id) AS active_users,
-         |  ${dv("SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)", "NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)")} AS click_through_rate,
-         |  ${dv("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)", "NULLIF(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0)")} AS purchase_conversion_rate
-         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-    "events_dedup" -> e(
-      ctx => extensions.Events.dedupEvents(ctx)
-        .orderBy("user_id", "event_type", "minute_epoch"),
-      """SELECT user_id, event_type,
-        |  -- integer nanosecond path: DuckDB's // on DOUBLE is plain division,
-        |  -- so the epoch()-based form would mis-bucket; epoch_ns is BIGINT
-        |  CAST(epoch_ns(ts) // 1000000000 // 60 * 60 AS BIGINT) AS minute_epoch,
-        |  COUNT(*) AS occurrences,
-        |  MIN(event_id) AS keep_event_id,
-        |  CAST(MIN(epoch_ns(ts) // 1000000000) AS BIGINT) AS first_seen_epoch
-        |FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
-        |ORDER BY 1, 2, 3""".stripMargin),
-    "corpus_split" -> e(
-      ctx => extensions.Text.corpusSplit(ctx).orderBy("doc_id"),
-      """SELECT doc_id, source, lang, n_chars,
-        |  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS split_hash,
-        |  CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'bf' THEN 'train'
-        |       WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'df' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin),
-    "corpus_mix" -> e(
-      ctx => extensions.Text.corpusMix(ctx).orderBy("source", "sample_rank"),
-      """SELECT doc_id, source, lang, n_chars,
-        |  CAST(rn AS INT) AS sample_rank, n_source_docs
-        |FROM (SELECT doc_id, source, lang, n_chars,
-        |        ROW_NUMBER() OVER (PARTITION BY source
-        |          ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-        |        COUNT(*) OVER (PARTITION BY source) AS n_source_docs
-        |      FROM documents) x WHERE rn <= 10
-        |ORDER BY source, sample_rank""".stripMargin),
-    "corpus_shard_manifest" -> e(
-      ctx => extensions.Text.corpusShardManifest(ctx).orderBy("shard_id"),
-      s"""$duckTokCtes
-         |, r_doc AS (SELECT doc_id, n_chars, len(toks) AS n_toks,
-         |    substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard_hex
-         |  FROM r_toks)
-         |, r_m AS (SELECT shard_hex,
-         |    COUNT(*) AS n_docs,
-         |    SUM(n_toks) AS n_tokens,
-         |    SUM(n_chars) AS n_chars_total,
-         |    MIN(doc_id) AS min_doc_id,
-         |    MAX(doc_id) AS max_doc_id
-         |  FROM r_doc GROUP BY 1)
-         |, r_tot AS (SELECT COUNT(*) AS total_docs FROM documents)
-         |SELECT CAST(instr('0123456789abcdef', shard_hex) - 1 AS INT) AS shard_id,
-         |  shard_hex, n_docs,
-         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(n_chars_total AS BIGINT) AS n_chars_total,
-         |  min_doc_id, max_doc_id,
-         |  ${dv("n_docs * 16", "NULLIF(total_docs, 0)")} AS balance_ratio
-         |FROM r_m, r_tot
-         |ORDER BY shard_id""".stripMargin),
-    "corpus_decontaminate" -> e(
-      ctx => extensions.Text.decontaminate(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_dsp AS (SELECT doc_id,
-         |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'bf' THEN 'train'
-         |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) <= 'df' THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM documents)
-         |, r_dtag AS (SELECT s.doc_id, s.shingle, p.split
-         |    FROM r_sh s JOIN r_dsp p ON s.doc_id = p.doc_id)
-         |, r_drare AS (SELECT shingle FROM r_dtag GROUP BY 1 HAVING COUNT(*) <= 50)
-         |, r_dtr AS (SELECT t.doc_id AS train_doc, t.shingle
-         |    FROM r_dtag t JOIN r_drare r ON t.shingle = r.shingle WHERE t.split <> 'test')
-         |, r_dte AS (SELECT t.doc_id AS test_doc, t.shingle
-         |    FROM r_dtag t JOIN r_drare r ON t.shingle = r.shingle WHERE t.split = 'test')
-         |, r_dpairs AS (SELECT train_doc, test_doc, COUNT(*) AS shared
-         |    FROM r_dtr a JOIN r_dte b ON a.shingle = b.shingle GROUP BY 1, 2)
-         |SELECT train_doc AS doc_id,
-         |  COUNT(DISTINCT test_doc) AS n_test_docs_overlapping,
-         |  MAX(shared) AS max_shared_shingles,
-         |  CAST(SUM(shared) AS BIGINT) AS total_shared_shingles,
-         |  MAX(shared) >= 3 AS is_contaminated
-         |FROM r_dpairs GROUP BY 1 ORDER BY 1""".stripMargin),
-    "corpus_pack" -> e(
-      ctx => extensions.Text.corpusPack(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |SELECT doc_id, source, n_tokens,
-         |  CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
-         |  CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS pack_idx,
-         |  CAST((cum_tokens - n_tokens) % 1024 AS BIGINT) AS offset_in_pack
-         |FROM (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |        SUM(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
-         |      FROM r_toks) x
-         |ORDER BY doc_id""".stripMargin),
-    "text_repetition" -> e(
-      ctx => extensions.Text.repetition(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_rt AS (SELECT doc_id, unnest(toks) AS g FROM r_toks)
-         |, r_rt1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rt GROUP BY 1, 2)
-         |, r_tokstats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         |    COUNT(*) AS n_unique_tokens, MAX(tf) AS top_tok_tf FROM r_rt1 GROUP BY 1)
-         |, r_rb AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-         |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-         |    ELSE [] END) AS g FROM r_toks)
-         |, r_rb1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rb GROUP BY 1, 2)
-         |, r_bistats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         |    MAX(tf) AS top_bigram_tf FROM r_rb1 GROUP BY 1)
-         |, r_rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |    ELSE [] END) AS g FROM r_toks)
-         |, r_rg1 AS (SELECT doc_id, g, COUNT(*) AS tf FROM r_rg GROUP BY 1, 2)
-         |, r_tristats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-         |    CAST(SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END) AS BIGINT) AS dup_trigram_occ
-         |  FROM r_rg1 GROUP BY 1)
-         |SELECT t.doc_id, t.n_tokens, t.n_unique_tokens,
-         |  ${dv("t.n_unique_tokens", "NULLIF(t.n_tokens, 0)")} AS unique_token_ratio,
-         |  ${dv("t.top_tok_tf", "NULLIF(t.n_tokens, 0)")} AS top_token_share,
-         |  ${dv("b.top_bigram_tf", "NULLIF(b.n_bigrams, 0)")} AS top_bigram_share,
-         |  ${dv("COALESCE(g.dup_trigram_occ, 0)", "NULLIF(g.n_trigrams, 0)")} AS dup_trigram_frac,
-         |  (${dv("b.top_bigram_tf", "NULLIF(b.n_bigrams, 0)")} > 0.1 OR
-         |   ${dv("COALESCE(g.dup_trigram_occ, 0)", "NULLIF(g.n_trigrams, 0)")} > 0.5) AS is_repetitive
-         |FROM r_tokstats t
-         |LEFT JOIN r_bistats b ON t.doc_id = b.doc_id
-         |LEFT JOIN r_tristats g ON t.doc_id = g.doc_id
-         |ORDER BY t.doc_id""".stripMargin),
-    "dedup_chunks" -> e(
-      ctx => extensions.Text.dedupChunks(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_ch0 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
-         |    THEN list_transform(range(0, len(toks) - 9, 10),
-         |      i -> md5(array_to_string(list_slice(toks, i + 1, i + 10), ' ')))
-         |    ELSE [] END) AS chunk_hash FROM r_toks)
-         |, r_ch AS (SELECT DISTINCT doc_id, chunk_hash FROM r_ch0)
-         |, r_chfirst AS (SELECT chunk_hash, MIN(doc_id) AS first_doc
-         |    FROM r_ch GROUP BY 1)
-         |SELECT c.doc_id, COUNT(*) AS n_chunks,
-         |  CAST(SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-         |  ${dv("SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS dup_chunk_frac,
-         |  (${dv("SUM(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} >= 0.5) AS is_mostly_duplicate
-         |FROM r_ch c JOIN r_chfirst f ON c.chunk_hash = f.chunk_hash
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "dedup_spans" -> e(
-      ctx => extensions.Text.dedupSpans(ctx).orderBy("doc_id"),
-      s"""$duckTokCtes
-         |, r_wi AS (SELECT doc_id, toks,
-         |    unnest(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 6) ELSE [] END) AS i
-         |  FROM r_toks)
-         |, r_w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS win_hash
-         |  FROM r_wi)
-         |, r_wshared AS (SELECT win_hash FROM r_w GROUP BY 1
-         |    HAVING MIN(doc_id) <> MAX(doc_id))
-         |, r_whit AS (SELECT h.doc_id, h.pos
-         |    FROM r_w h JOIN r_wshared s USING (win_hash))
-         |, r_wisl AS (SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM (SELECT doc_id, pos,
-         |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-         |        THEN 1 ELSE 0 END AS brk
-         |    FROM r_whit) z)
-         |, r_wcov0 AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_len
-         |    FROM r_wisl GROUP BY 1, 2)
-         |, r_wcov AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
-         |    CAST(SUM(span_len) AS BIGINT) AS dup_span_tokens
-         |  FROM r_wcov0 GROUP BY 1)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
-         |  COALESCE(c.dup_span_tokens, 0) AS dup_span_tokens,
-         |  ${dv("COALESCE(c.dup_span_tokens, 0)", "NULLIF(len(t.toks), 0)")} AS dup_span_frac,
-         |  (${dv("COALESCE(c.dup_span_tokens, 0)", "NULLIF(len(t.toks), 0)")} >= 0.5) AS is_mostly_duplicated
-         |FROM r_toks t LEFT JOIN r_wcov c USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin),
-    "corpus_sample_stratified" -> e(
-      ctx => extensions.Text.sampleStratified(ctx).orderBy("lang"),
-      s"""SELECT lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(CASE WHEN t < '4000' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-         |  ${dv("SUM(CASE WHEN t < '4000' THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS achieved_rate,
-         |  CAST(0.25 AS DOUBLE) AS target_rate,
-         |  MIN(CASE WHEN t < '4000' THEN doc_id END) AS min_sampled_doc,
-         |  MAX(CASE WHEN t < '4000' THEN doc_id END) AS max_sampled_doc
-         |FROM (SELECT doc_id, lang,
-         |        substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4) AS t
-         |      FROM documents) x
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "corpus_length_stats" -> e(
-      ctx => extensions.Text.lengthStats(ctx).orderBy("source"),
-      s"""$duckTokCtes
-         |SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
-         |  CAST(MIN(len(toks)) AS BIGINT) AS min_tokens,
-         |  CAST(MAX(len(toks)) AS BIGINT) AS max_tokens,
-         |  ${avgE("len(toks)")} AS avg_tokens,
-         |  percentile_cont(0.25) WITHIN GROUP (ORDER BY len(toks)) AS p25_tokens,
-         |  percentile_cont(0.50) WITHIN GROUP (ORDER BY len(toks)) AS p50_tokens,
-         |  percentile_cont(0.75) WITHIN GROUP (ORDER BY len(toks)) AS p75_tokens,
-         |  percentile_cont(0.95) WITHIN GROUP (ORDER BY len(toks)) AS p95_tokens
-         |FROM r_toks GROUP BY 1 ORDER BY 1""".stripMargin),
-    "source_top_terms" -> e(
-      ctx => extensions.Text.sourceTopTerms(ctx).orderBy("source", "term_rank"),
-      s"""$duckTokCtes
-         |, r_st AS (SELECT source, unnest(toks) AS tok FROM r_toks)
-         |, r_stf AS (SELECT source, tok, COUNT(*) AS tf FROM r_st GROUP BY 1, 2)
-         |, r_sdf AS (SELECT tok, COUNT(*) AS source_df FROM r_stf GROUP BY 1)
-         |, r_ssc AS (SELECT f.source, f.tok, f.tf, d.source_df,
-         |    ${dv("f.tf", "d.source_df")} AS score
-         |  FROM r_stf f JOIN r_sdf d ON f.tok = d.tok)
-         |SELECT source, term_rank, tok, tf, source_df, score
-         |FROM (SELECT *,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY score DESC, tok) AS INT) AS term_rank
-         |  FROM r_ssc) r
-         |WHERE term_rank <= 5
-         |ORDER BY source, term_rank""".stripMargin),
-    "events_asof_attribution" -> e(
-      ctx => extensions.Events.asofAttribution(ctx).orderBy("event_id"),
-      """, r_apo AS (SELECT event_id, user_id, ts, value FROM events
-        |    WHERE event_type = 'purchase')
-        |, r_ato AS (SELECT user_id AS touch_user, ts AS touch_ts,
-        |    event_type AS last_touch_type FROM events
-        |    WHERE event_type <> 'purchase')
-        |SELECT p.event_id, p.user_id,
-        |  CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch_s,
-        |  p.value,
-        |  t.last_touch_type,
-        |  CAST(epoch_ns(t.touch_ts) // 1000000000 AS BIGINT) AS last_touch_epoch_s,
-        |  CAST((epoch_ns(p.ts) - epoch_ns(t.touch_ts)) // 1000000000 AS BIGINT) AS secs_since_touch
-        |FROM r_apo p ASOF LEFT JOIN r_ato t
-        |  ON p.user_id = t.touch_user AND p.ts >= t.touch_ts
-        |ORDER BY event_id""".stripMargin),
-    "events_asof_windowed" -> e(
-      ctx => extensions.Events.asofAttributionWindowed(ctx).orderBy("event_id"),
-      """, r_wpo AS (SELECT event_id, user_id, ts, value FROM events
-        |    WHERE event_type = 'purchase')
-        |, r_wto AS (SELECT user_id AS touch_user, ts AS touch_ts,
-        |    event_type AS last_touch_type FROM events
-        |    WHERE event_type <> 'purchase')
-        |SELECT p.event_id, p.user_id,
-        |  CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch_s,
-        |  p.value,
-        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000 THEN t.last_touch_type END AS last_touch_type,
-        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000
-        |    THEN CAST(epoch_ns(t.touch_ts) // 1000000000 AS BIGINT) END AS last_touch_epoch_s,
-        |  CASE WHEN epoch_ns(p.ts) - epoch_ns(t.touch_ts) <= 600000000000
-        |    THEN CAST((epoch_ns(p.ts) - epoch_ns(t.touch_ts)) // 1000000000 AS BIGINT) END AS secs_since_touch
-        |FROM r_wpo p ASOF LEFT JOIN r_wto t
-        |  ON p.user_id = t.touch_user AND p.ts >= t.touch_ts
-        |ORDER BY event_id""".stripMargin),
-    "media_features" -> e(
-      ctx => extensions.Multimodal.mediaFeatures(ctx).orderBy("media_id"),
-      """SELECT doc_id AS media_id, 'text' AS modality, source,
-        |  CAST(length(text) AS BIGINT) AS byte_length,
-        |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
-        |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS checksum64
-        |FROM documents ORDER BY media_id""".stripMargin),
-    "media_resize" -> e(
-      ctx => extensions.Multimodal.mediaResize(ctx).orderBy("media_id"),
-      """SELECT doc_id AS media_id, 'text' AS modality,
-        |  CAST(length(text) AS BIGINT) AS original_bytes,
-        |  64 AS resized_bytes,
-        |  CAST(GREATEST(0, 64 - length(text)) AS INT) AS pad_bytes,
-        |  length(text) > 64 AS was_truncated,
-        |  CAST(COALESCE(list_sum(list_transform(range(1, least(length(text), 64) + 1),
-        |    i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS resized_checksum
-        |FROM documents ORDER BY media_id""".stripMargin),
-    "media_frame_sample" -> e(
-      ctx => extensions.Multimodal.frameSample(ctx)
-        .orderBy("media_id", "frame_idx"),
-      """, r_mfr AS (SELECT doc_id AS media_id, text,
-        |    CAST(unnest(range(0, length(text) // 32)) AS INT) AS frame_idx
-        |  FROM documents)
-        |SELECT media_id, frame_idx,
-        |  32 AS frame_bytes,
-        |  CAST(list_sum(list_transform(range(1, 33),
-        |    j -> ascii(substr(text, frame_idx * 32 + j, 1)))) % 997 AS BIGINT) AS frame_checksum
-        |FROM r_mfr WHERE frame_idx % 4 = 0
-        |ORDER BY media_id, frame_idx""".stripMargin),
-    "regional_revenue_rollup" -> e(
-      ctx => extensions.Analytics.regionalRevenueRollup(ctx)
-        .orderBy(col("region_subtotal"), coalesce(col("region_name"), lit("")),
-          col("nation_subtotal"), coalesce(col("nation_name"), lit(""))),
-      s"""SELECT c.customer_region_name AS region_name,
-         |  c.customer_nation_name AS nation_name,
-         |  CAST(GROUPING(c.customer_region_name) AS INT) AS region_subtotal,
-         |  CAST(GROUPING(c.customer_nation_name) AS INT) AS nation_subtotal,
-         |  COUNT(DISTINCT o.order_key) AS order_count,
-         |  COUNT(DISTINCT o.customer_key) AS customer_count,
-         |  ${sumD("o.gross_item_sales_amount")} AS gross_revenue,
-         |  ${sumD("o.net_item_sales_amount")} AS net_revenue
-         |FROM w_fct_orders o JOIN w_dim_customer c ON o.customer_key = c.customer_key
-         |GROUP BY ROLLUP(c.customer_region_name, c.customer_nation_name)
-         |ORDER BY region_subtotal, COALESCE(region_name, ''),
-         |  nation_subtotal, COALESCE(nation_name, '')""".stripMargin),
-    "customer_value_percentiles" -> e(
-      ctx => extensions.Analytics.customerValuePercentiles(ctx)
-        .orderBy("customer_key"),
-      s""", r_cvp AS (SELECT customer_key, COUNT(*) AS order_count,
-         |    SUM(gross_item_sales_amount) AS spend_d
-         |  FROM w_fct_orders GROUP BY 1)
-         |SELECT customer_key, CAST(spend_d AS DOUBLE) AS total_spend,
-         |  order_count,
-         |  CAST(RANK() OVER w AS INT) AS spend_rank,
-         |  PERCENT_RANK() OVER w AS pct_rank,
-         |  CUME_DIST() OVER w AS cume_dist_val
-         |FROM r_cvp
-         |WINDOW w AS (ORDER BY spend_d DESC)
-         |ORDER BY customer_key""".stripMargin),
-    "corpus_bigram_lm" -> e(
-      ctx => extensions.Text.bigramLm(ctx).orderBy("w1", "next_rank"),
-      s"""$duckTokCtes
-         |, r_bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
-         |    unnest(toks[2:len(toks)]) AS w2
-         |  FROM r_toks WHERE len(toks) >= 2)
-         |, r_bc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM r_bg GROUP BY 1, 2)
-         |, r_bt AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count
-         |  FROM r_bc GROUP BY 1)
-         |SELECT w1, next_rank, w2, pair_count, w1_count, prob
-         |FROM (SELECT c.w1,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.w1
-         |      ORDER BY c.pair_count DESC, c.w2) AS INT) AS next_rank,
-         |    c.w2, c.pair_count, t.w1_count,
-         |    ${dv("c.pair_count", "t.w1_count")} AS prob
-         |  FROM r_bc c JOIN r_bt t ON c.w1 = t.w1) r
-         |WHERE next_rank <= 3
-         |ORDER BY w1, next_rank""".stripMargin),
-    "events_user_journeys" -> e(
-      ctx => extensions.Events.userJourneys(ctx).orderBy("from_type", "to_type"),
-      s""", r_uj AS (SELECT user_id, event_id, ts, event_type,
-         |    LEAD(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS next_type
-         |  FROM events)
-         |, r_ujc AS (SELECT event_type AS from_type, next_type AS to_type,
-         |    COUNT(*) AS n_transitions
-         |  FROM r_uj WHERE next_type IS NOT NULL GROUP BY 1, 2)
-         |, r_ujt AS (SELECT from_type,
-         |    CAST(SUM(n_transitions) AS BIGINT) AS from_total
-         |  FROM r_ujc GROUP BY 1)
-         |SELECT c.from_type, c.to_type, c.n_transitions, t.from_total,
-         |  ${dv("c.n_transitions", "t.from_total")} AS transition_prob
-         |FROM r_ujc c JOIN r_ujt t ON c.from_type = t.from_type
-         |ORDER BY c.from_type, c.to_type""".stripMargin),
-    "source_lang_diversity" -> e(
-      ctx => extensions.Text.sourceLangDiversity(ctx).orderBy("source"),
-      s""", r_ld AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2)
-         |, r_lda AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
-         |    COUNT(*) AS n_langs, CAST(SUM(c * c) AS BIGINT) AS ss
-         |  FROM r_ld GROUP BY 1)
-         |, r_ldm AS (SELECT source, lang AS majority_lang, c AS mc FROM (
-         |    SELECT source, lang, c, ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY c DESC, lang DESC) AS rn FROM r_ld) x WHERE rn = 1)
-         |SELECT a.source, a.n_docs, a.n_langs, m.majority_lang,
-         |  ${dv("m.mc", "a.n_docs")} AS majority_share,
-         |  ${dv("(a.n_docs * a.n_docs - a.ss)", "(a.n_docs * a.n_docs)")} AS gini_impurity
-         |FROM r_lda a JOIN r_ldm m ON a.source = m.source
-         |ORDER BY a.source""".stripMargin),
-    "supplier_portfolio_overlap" -> e(
-      ctx => extensions.Analytics.supplierPortfolioOverlap(ctx)
-        .orderBy("supplier_a", "supplier_b"),
-      s""", r_spp AS (SELECT DISTINCT supplier_key, part_key FROM o_ps)
-         |, r_spz AS (SELECT supplier_key, COUNT(*) AS n_parts
-         |    FROM r_spp GROUP BY 1)
-         |, r_spi AS (SELECT a.supplier_key AS supplier_a,
-         |    b.supplier_key AS supplier_b, COUNT(*) AS shared_parts
-         |  FROM r_spp a JOIN r_spp b
-         |    ON a.part_key = b.part_key AND a.supplier_key < b.supplier_key
-         |  GROUP BY 1, 2)
-         |SELECT i.supplier_a, i.supplier_b, i.shared_parts,
-         |  za.n_parts AS parts_a, zb.n_parts AS parts_b,
-         |  ${dv("i.shared_parts", "(za.n_parts + zb.n_parts - i.shared_parts)")}
-         |    AS portfolio_jaccard
-         |FROM r_spi i
-         |JOIN r_spz za ON i.supplier_a = za.supplier_key
-         |JOIN r_spz zb ON i.supplier_b = zb.supplier_key
-         |ORDER BY 1, 2""".stripMargin),
-    "date_spine" -> e(
-      ctx => extensions.Analytics.dateSpine(ctx).orderBy("date_day"),
-      """, r_dsb AS (SELECT MIN(order_date) AS lo, MAX(order_date) AS hi
-        |    FROM base_orders)
-        |, r_dsd AS (SELECT CAST(UNNEST(generate_series(lo, hi,
-        |    INTERVAL 1 DAY)) AS DATE) AS date_day FROM r_dsb)
-        |SELECT date_day,
-        |  CAST(EXTRACT(YEAR FROM date_day) AS INT) AS year,
-        |  CAST(EXTRACT(QUARTER FROM date_day) AS INT) AS quarter,
-        |  CAST(EXTRACT(MONTH FROM date_day) AS INT) AS month,
-        |  CAST(EXTRACT(DAY FROM date_day) AS INT) AS day_of_month,
-        |  CAST((date_diff('day', DATE '1970-01-01', date_day) + 4) % 7 AS INT)
-        |    AS weekday_idx,
-        |  CAST(date_trunc('month', date_day) AS DATE) AS month_start
-        |FROM r_dsd ORDER BY date_day""".stripMargin),
-    "events_session_cooccurrence" -> e(
-      ctx => extensions.Events.sessionCooccurrence(ctx).orderBy("type_a", "type_b"),
-      s""", r_cse AS (SELECT user_id, event_id, event_type,
-         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec FROM events)
-         |, r_csf AS (SELECT *, CASE WHEN LAG(ts_sec) OVER w IS NULL
-         |      OR ts_sec - LAG(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-         |  FROM r_cse WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
-         |, r_css AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-         |    ORDER BY ts_sec, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-         |  FROM r_csf)
-         |, r_cst AS (SELECT DISTINCT user_id, session_idx, event_type FROM r_css)
-         |, r_csn AS (SELECT COUNT(*) AS n_sessions FROM
-         |    (SELECT DISTINCT user_id, session_idx FROM r_cst) x)
-         |, r_csc AS (SELECT event_type, COUNT(*) AS type_sessions
-         |    FROM r_cst GROUP BY 1)
-         |, r_csp AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-         |    COUNT(*) AS pair_sessions
-         |  FROM r_cst a JOIN r_cst b ON a.user_id = b.user_id
-         |    AND a.session_idx = b.session_idx AND a.event_type < b.event_type
-         |  GROUP BY 1, 2)
-         |SELECT p.type_a, p.type_b, p.pair_sessions,
-         |  ca.type_sessions AS a_sessions, cb.type_sessions AS b_sessions,
-         |  n.n_sessions,
-         |  ${dv("p.pair_sessions", "n.n_sessions")} AS support,
-         |  ${dv("p.pair_sessions * n.n_sessions",
-              "ca.type_sessions * cb.type_sessions")} AS lift
-         |FROM r_csp p
-         |JOIN r_csc ca ON p.type_a = ca.event_type
-         |JOIN r_csc cb ON p.type_b = cb.event_type
-         |CROSS JOIN r_csn n
-         |ORDER BY 1, 2""".stripMargin),
-    "events_sliding_rates" -> e(
-      ctx => extensions.Events.slidingRates(ctx)
-        .orderBy("event_type", "window_start"),
-      s""", r_sr AS (SELECT event_type,
-         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
-         |    UNNEST(range(4)) AS k
-         |  FROM events)
-         |, r_sr2 AS (SELECT event_type,
-         |    (sec // 900 * 900) - k * 900 AS window_start FROM r_sr)
-         |, r_sr3 AS (SELECT event_type, window_start, COUNT(*) AS n_events
-         |    FROM r_sr2 GROUP BY 1, 2)
-         |SELECT event_type, CAST(window_start AS BIGINT) AS window_start,
-         |  CAST(window_start + 3600 AS BIGINT) AS window_end, n_events,
-         |  ${dv("n_events", "60")} AS events_per_minute
-         |FROM r_sr3 ORDER BY 1, 2""".stripMargin),
-    "events_hourly_seasonality" -> e(
-      ctx => extensions.Events.hourlySeasonality(ctx)
-        .orderBy("event_type", "hour_of_day"),
-      s""", r_hs AS (SELECT event_type,
-         |    CAST(epoch_ns(ts) // 1000000000 // 3600 % 24 AS BIGINT) AS hour_of_day,
-         |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS unique_users
-         |  FROM events GROUP BY 1, 2)
-         |, r_hst AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS type_total
-         |    FROM r_hs GROUP BY 1)
-         |SELECT s.event_type, s.hour_of_day, s.n_events, s.unique_users,
-         |  ${dv("s.n_events", "t.type_total")} AS share_of_type
-         |FROM r_hs s JOIN r_hst t ON s.event_type = t.event_type
-         |ORDER BY 1, 2""".stripMargin),
-    "order_weekday_profile" -> e(
-      ctx => extensions.Analytics.orderWeekdayProfile(ctx).orderBy("weekday_idx"),
-      s""", r_wd AS (SELECT
-         |    CAST((date_diff('day', DATE '1970-01-01', order_date) + 4) % 7 AS INT)
-         |      AS weekday_idx,
-         |    order_amount
-         |  FROM base_orders)
-         |, r_wda AS (SELECT weekday_idx, COUNT(*) AS n_orders,
-         |    SUM(order_amount) AS rev FROM r_wd GROUP BY 1)
-         |, r_wdt AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS all_orders,
-         |    SUM(rev) AS all_rev FROM r_wda)
-         |SELECT w.weekday_idx, w.n_orders, CAST(w.rev AS DOUBLE) AS revenue,
-         |  ${dv("w.n_orders", "t.all_orders")} AS order_share,
-         |  ${dv("w.rev", "t.all_rev")} AS revenue_share
-         |FROM r_wda w CROSS JOIN r_wdt t ORDER BY 1""".stripMargin),
-    "dedup_minhash_recall" -> e(
-      ctx => extensions.Text.minhashRecall(ctx),
-      s"""$duckTokCtes
-         |, r_mrs AS (SELECT doc_id FROM documents
-         |    WHERE substr(md5('rsample|' || CAST(doc_id AS VARCHAR)), 1, 1) < '4')
-         |, r_msh AS (SELECT s.doc_id, s.shingle FROM r_sh s
-         |    JOIN r_mrs m ON s.doc_id = m.doc_id)
-         |, r_msz AS (SELECT doc_id, COUNT(*) AS sz FROM r_msh GROUP BY 1)
-         |, r_mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |    FROM r_msh a JOIN r_msh b
-         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |    GROUP BY 1, 2)
-         |, r_mtruth AS (SELECT i.doc_a, i.doc_b FROM r_mi i
-         |    JOIN r_msz za ON i.doc_a = za.doc_id
-         |    JOIN r_msz zb ON i.doc_b = zb.doc_id
-         |    WHERE ${dv("i.i", "(za.sz + zb.sz - i.i)")} >= 0.5)
-         |, r_msig AS ($duckSig16Body)
-         |, r_mbands AS (
-         |    SELECT doc_id, 0 AS band_idx, md5(h0 || h1 || h2 || h3) AS band_hash FROM r_msig
-         |    UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM r_msig
-         |    UNION ALL SELECT doc_id, 2, md5(h8 || h9 || h10 || h11) FROM r_msig
-         |    UNION ALL SELECT doc_id, 3, md5(h12 || h13 || h14 || h15) FROM r_msig)
-         |, r_mdet AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM r_mbands a
-         |    JOIN r_mbands b ON a.band_idx = b.band_idx
-         |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |    JOIN r_mrs sa ON a.doc_id = sa.doc_id
-         |    JOIN r_mrs sb ON b.doc_id = sb.doc_id)
-         |SELECT COUNT(*) AS n_true_pairs,
-         |  CAST(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_detected,
-         |  ${dv("SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END)",
-               "NULLIF(COUNT(*), 0)")} AS recall
-         |FROM r_mtruth t
-         |LEFT JOIN r_mdet d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b""".stripMargin),
-    "customer_order_gaps" -> e(
-      ctx => extensions.Analytics.customerOrderGaps(ctx).orderBy("segment"),
-      s""", r_og AS (SELECT o.customer_key,
-         |    datediff('day', LAG(o.order_date) OVER w, o.order_date) AS gap_days,
-         |    c.customer_market_segment_name AS segment
-         |  FROM base_orders o JOIN base_customer c
-         |    ON o.customer_key = c.customer_key
-         |  WINDOW w AS (PARTITION BY o.customer_key
-         |    ORDER BY o.order_date, o.order_key))
-         |SELECT segment,
-         |  COUNT(DISTINCT CASE WHEN gap_days IS NOT NULL THEN customer_key END)
-         |    AS repeat_customers,
-         |  COUNT(gap_days) AS n_gaps,
-         |  ${dv("SUM(gap_days)", "COUNT(gap_days)")} AS avg_gap_days,
-         |  MIN(gap_days) AS min_gap_days,
-         |  percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_days) AS median_gap_days,
-         |  MAX(gap_days) AS max_gap_days
-         |FROM r_og GROUP BY 1 ORDER BY 1""".stripMargin),
-    "events_retention_triangle" -> e(
-      ctx => extensions.Events.retentionTriangle(ctx)
-        .orderBy("cohort_day", "day_offset"),
-      """, r_rd AS (SELECT DISTINCT user_id,
-        |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day_idx
-        |  FROM events)
-        |, r_rf AS (SELECT user_id, MIN(day_idx) AS cohort_day FROM r_rd GROUP BY 1)
-        |, r_rs AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_users
-        |    FROM r_rf GROUP BY 1)
-        |, r_ra AS (SELECT f.cohort_day, d.day_idx - f.cohort_day AS day_offset,
-        |    COUNT(DISTINCT d.user_id) AS active_users
-        |  FROM r_rd d JOIN r_rf f ON d.user_id = f.user_id
-        |  WHERE d.day_idx - f.cohort_day <= 13
-        |  GROUP BY 1, 2)
-        |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_users,
-        |  (CAST(a.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)) AS retention_rate
-        |FROM r_ra a JOIN r_rs s ON a.cohort_day = s.cohort_day
-        |ORDER BY a.cohort_day, a.day_offset""".stripMargin),
-    "events_anomaly_zscore" -> e(
-      ctx => extensions.Events.anomalyZscore(ctx).orderBy("event_type", "day_idx"),
-      """, r_az AS (SELECT event_type,
-        |    CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day_idx,
-        |    COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2)
-        |, r_azw AS (SELECT event_type, day_idx, n_events,
-        |    CAST(SUM(n_events) OVER w AS BIGINT) AS w_sum,
-        |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS w_sumsq,
-        |    COUNT(n_events) OVER w AS w_cnt
-        |  FROM r_az
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |, r_azm AS (SELECT event_type, day_idx, n_events, w_cnt,
-        |    CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE) AS w_mean,
-        |    SQRT((CAST(w_sumsq AS DOUBLE)
-        |        - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
-        |      / (CAST(w_cnt AS DOUBLE) - 1)) AS w_sd
-        |  FROM r_azw WHERE w_cnt >= 2)
-        |SELECT event_type, day_idx, n_events, w_cnt, w_mean, w_sd,
-        |  CASE WHEN w_sd = 0 THEN NULL
-        |    ELSE (CAST(n_events AS DOUBLE) - w_mean) / w_sd END AS z_score,
-        |  ABS(CASE WHEN w_sd = 0 THEN NULL
-        |    ELSE (CAST(n_events AS DOUBLE) - w_mean) / w_sd END) > 2 AS is_anomaly
-        |FROM r_azm ORDER BY event_type, day_idx""".stripMargin),
-    "corpus_sample_weighted" -> e(
-      ctx => extensions.Text.sampleWeighted(ctx).orderBy("source"),
-      s"""SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-         |  ${dv("SUM(LEAST(n_chars, 2000))", "(COUNT(*) * 2000)")} AS target_rate,
-         |  ${dv("SUM(CASE WHEN kept THEN 1 ELSE 0 END)", "NULLIF(COUNT(*), 0)")} AS achieved_rate,
-         |  MIN(CASE WHEN kept THEN doc_id END) AS min_sampled_doc,
-         |  MAX(CASE WHEN kept THEN doc_id END) AS max_sampled_doc
-         |FROM (SELECT doc_id, source, n_chars,
-         |        ('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 2000
-         |          < n_chars * 65536 AS kept
-         |      FROM documents) x
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "corpus_vocab" -> e(
-      ctx => extensions.Text.corpusVocab(ctx).orderBy("token_id"),
-      s"""$duckTokCtes
-         |, r_vt AS (SELECT doc_id, unnest(toks) AS tok FROM r_toks)
-         |, r_vc AS (SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-         |    FROM r_vt GROUP BY 1)
-         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INT) AS token_id,
-         |  tok, tf, df
-         |FROM r_vc ORDER BY token_id""".stripMargin),
-    "price_percentiles_exact" -> e(
-      ctx => operators.ExactQuantile.percentiles(
-        ctx.tbl("lineitem"), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
-        .orderBy("quantile"),
-      Seq(0.25, 0.5, 0.75, 0.95).map(q =>
-        s"""SELECT CAST($q AS DOUBLE) AS quantile,
-           |  percentile_cont($q) WITHIN GROUP (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS value
-           |FROM lineitem""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY quantile")),
-    "in_transit_by_day" -> e(
-      ctx => extensions.Analytics.inTransitByDay(ctx),
-      s"""SELECT d.day, COUNT(*) AS lines_in_transit,
-         |  CAST(SUM(l.quantity) AS DOUBLE) AS qty_in_transit
-         |FROM (SELECT DISTINCT order_date AS day FROM base_orders) d
-         |JOIN base_line_item l ON d.day BETWEEN l.ship_date AND l.receipt_date
-         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "corpus_chunk" -> e(
-      ctx => extensions.Text.corpusChunk(ctx),
-      s"""$duckTokCtes
-         |, r_ck AS (SELECT doc_id, toks, len(toks) AS n_toks
-         |    FROM r_toks WHERE len(toks) > 0)
-         |, r_ck2 AS (SELECT doc_id, n_toks, toks,
-         |    UNNEST(range(0, n_toks, 48)) AS chunk_start FROM r_ck)
-         |, r_ck3 AS (SELECT doc_id,
-         |    CAST(chunk_start // 48 AS INT) AS chunk_idx, chunk_start,
-         |    list_slice(toks, chunk_start + 1, chunk_start + 64) AS ct
-         |  FROM r_ck2)
-         |SELECT doc_id, chunk_idx, chunk_start,
-         |  CAST(len(ct) AS INT) AS chunk_len,
-         |  md5(array_to_string(ct, ' ')) AS chunk_hash,
-         |  COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
-         |FROM r_ck3 ORDER BY doc_id, chunk_idx""".stripMargin),
-    "text_pii_redact" -> e(
-      ctx => extensions.Text.piiRedact(ctx),
-      s""", r_pii AS (SELECT doc_id, source,
-         |    text ||
-         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
-         |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.123.45' ELSE '' END AS raw
-         |  FROM documents)
-         |, r_piic AS (SELECT doc_id, source,
-         |    CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INT) AS n_emails,
-         |    CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
-         |    CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', 0)) AS INT) AS n_ips,
-         |    CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
-         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-         |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
-         |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g')) AS INT) AS redacted_chars
-         |  FROM r_pii)
-         |SELECT doc_id, source, n_emails, n_phones, n_ips, redacted_chars,
-         |  (n_emails + n_phones + n_ips = 0) AS is_clean
-         |FROM r_piic ORDER BY doc_id""".stripMargin),
-    // CONTRACT NOTE (driver/bench consumers): this builder is EAGER —
-    // constructing the DataFrame already executes pass 1 (the full-corpus
-    // Misra-Gries sketch scan, a scalar action) so that pass 2 can filter
-    // with the collected candidates as an InSet predicate (measured 3.5-4x
-    // cheaper per row than the lazy broadcast-join form, PERF_NOTES_r10 §2).
-    // A consumer that constructs plans OUTSIDE its timed window must treat
-    // this entry as "construction = pass 1, action = pass 2" — start the
-    // timer before calling the builder (the in-repo bench paths and the
-    // driver, which times fn(spark, dir) inclusively, already do).
-    "text_heavy_hitters" -> e(
-      ctx => extensions.Text.heavyHitters(ctx),
-      s"""$duckTokCtes
-         |, r_hh_t AS (SELECT unnest(toks) AS tok FROM r_toks)
-         |, r_hh_n AS (SELECT COUNT(*) AS n FROM r_hh_t)
-         |SELECT tok, COUNT(*) AS cnt, MAX(n) AS total_tokens,
-         |  ${dv("COUNT(*)", "MAX(n)")} AS share
-         |FROM r_hh_t, r_hh_n
-         |GROUP BY tok
-         |HAVING COUNT(*) * 500 > MAX(n)
-         |ORDER BY cnt DESC, tok""".stripMargin),
-    "events_value_histogram" -> e(
-      ctx => extensions.Events.valueHistogram(ctx).orderBy("event_type", "bucket"),
-      s""", r_vh AS (SELECT event_type,
-         |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
-         |    COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value
-         |  FROM events GROUP BY 1, 2)
-         |SELECT event_type, bucket,
-         |  bucket * 25.0 AS bucket_lo, (bucket + 1) * 25.0 AS bucket_hi,
-         |  n_events, min_value, max_value,
-         |  ${dv("n_events", "SUM(n_events) OVER (PARTITION BY event_type)")} AS share_of_type
-         |FROM r_vh ORDER BY event_type, bucket""".stripMargin),
-    "order_priority_melt" -> e(
-      ctx => extensions.Analytics.orderPriorityMelt(ctx)
-        .orderBy("order_year", "priority_class"),
-      """, r_py AS (SELECT DISTINCT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year
-        |    FROM w_fct_orders)
-        |, r_pc AS (SELECT * FROM (VALUES
-        |    ('1-URGENT', 'urgent_orders'), ('2-HIGH', 'high_orders'),
-        |    ('3-MEDIUM', 'medium_orders'), ('4-NOT SPECIFIED', 'not_specified_orders'),
-        |    ('5-LOW', 'low_orders')) t(code, priority_class))
-        |, r_pn AS (SELECT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year,
-        |    order_priority_code AS code, COUNT(*) AS n
-        |  FROM w_fct_orders GROUP BY 1, 2)
-        |SELECT y.order_year, c.priority_class,
-        |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_orders
-        |FROM r_py y CROSS JOIN r_pc c
-        |LEFT JOIN r_pn n ON n.order_year = y.order_year AND n.code = c.code
-        |ORDER BY y.order_year, c.priority_class""".stripMargin),
-    "source_similarity" -> e(
-      ctx => extensions.Text.sourceSimilarity(ctx).orderBy("source_a", "source_b"),
-      s"""$duckTokCtes
-         |, r_ssh AS (SELECT DISTINCT t.source, s.shingle
-         |    FROM r_sh s JOIN r_toks t ON s.doc_id = t.doc_id)
-         |, r_ssz AS (SELECT source, COUNT(*) AS set_size FROM r_ssh GROUP BY 1)
-         |, r_sinter AS (SELECT a.source AS source_a, b.source AS source_b,
-         |    COUNT(*) AS intersection
-         |  FROM r_ssh a JOIN r_ssh b ON a.shingle = b.shingle AND a.source < b.source
-         |  GROUP BY 1, 2)
-         |SELECT i.source_a, i.source_b, i.intersection,
-         |  za.set_size AS size_a, zb.set_size AS size_b,
-         |  ${dv("i.intersection", "(za.set_size + zb.set_size - i.intersection)")} AS jaccard
-         |FROM r_sinter i
-         |JOIN r_ssz za ON i.source_a = za.source
-         |JOIN r_ssz zb ON i.source_b = zb.source
-         |ORDER BY source_a, source_b""".stripMargin),
-    "customer_activity_setops" -> e(
-      ctx => extensions.Analytics.customerActivitySetOps(ctx)
-        .orderBy("membership", "customer_key"),
-      """, r_so99 AS (SELECT customer_key FROM w_fct_orders
-        |    WHERE EXTRACT(YEAR FROM order_date) = 1999)
-        |, r_so00 AS (SELECT customer_key FROM w_fct_orders
-        |    WHERE EXTRACT(YEAR FROM order_date) = 2000)
-        |SELECT membership, customer_key FROM (
-        |  SELECT 'retained' AS membership, customer_key FROM
-        |    (SELECT customer_key FROM r_so99 INTERSECT SELECT customer_key FROM r_so00)
-        |  UNION ALL
-        |  SELECT 'churned' AS membership, customer_key FROM
-        |    (SELECT customer_key FROM r_so99 EXCEPT SELECT customer_key FROM r_so00)
-        |  UNION ALL
-        |  SELECT 'acquired' AS membership, customer_key FROM
-        |    (SELECT customer_key FROM r_so00 EXCEPT SELECT customer_key FROM r_so99)
-        |) x ORDER BY membership, customer_key""".stripMargin),
-    "order_priority_pivot" -> e(
-      ctx => extensions.Analytics.orderPriorityPivot(ctx).orderBy("order_year"),
-      """SELECT CAST(EXTRACT(YEAR FROM order_date) AS INT) AS order_year,
-        |  CAST(SUM(CASE WHEN order_priority_code = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
-        |  CAST(SUM(CASE WHEN order_priority_code = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_orders,
-        |  CAST(SUM(CASE WHEN order_priority_code = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium_orders,
-        |  CAST(SUM(CASE WHEN order_priority_code = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified_orders,
-        |  CAST(SUM(CASE WHEN order_priority_code = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_orders,
-        |  COUNT(*) AS total_orders
-        |FROM w_fct_orders GROUP BY 1 ORDER BY 1""".stripMargin),
-    "customer_order_bookends" -> e(
-      ctx => extensions.Analytics.customerOrderBookends(ctx).orderBy("order_key"),
-      """SELECT customer_key, order_key, order_date,
-        |  CAST(order_amount AS DOUBLE) AS order_amount,
-        |  FIRST_VALUE(order_key) OVER w AS first_order_key,
-        |  LAST_VALUE(order_key) OVER w AS last_order_key,
-        |  NTH_VALUE(order_key, 2) OVER w AS second_order_key,
-        |  CAST(FIRST_VALUE(order_amount) OVER w AS DOUBLE) AS first_order_amount,
-        |  CAST(LAST_VALUE(order_amount) OVER w AS DOUBLE) AS last_order_amount,
-        |  order_key = FIRST_VALUE(order_key) OVER w AS is_first_order
-        |FROM base_orders
-        |WINDOW w AS (PARTITION BY customer_key ORDER BY order_date, order_key
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY order_key""".stripMargin),
-    "ann_knn_graph" -> e(
-      ctx => extensions.Similarity.annKnnGraph(ctx).orderBy("vec_id", "rank"),
-      s""", r_emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
-         |    ${(0 until 8).map(j =>
-              s"(CASE WHEN list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))) >= 0 THEN '1' ELSE '0' END)")
-              .mkString(" || ")} AS bucket
-         |  FROM embeddings)
-         |SELECT vec_id, CAST(rn AS INT) AS rank, neighbor_id, cosine FROM (
-         |  SELECT vec_id, neighbor_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY cosine DESC, neighbor_id) AS rn
-         |  FROM (SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |          ${duckCos("a.ed", "b.ed")} AS cosine
-         |        FROM r_emb2 a JOIN r_emb2 b
-         |          ON a.bucket = b.bucket AND a.vec_id != b.vec_id) y) x
-         |WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin),
-    "events_peak_windows" -> e(
-      ctx => extensions.Events.peakWindows(ctx).orderBy("peak_rank"),
-      s""", r_pke AS (SELECT event_id, user_id,
-         |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value
-         |  FROM events)
-         |, r_pkh AS (SELECT sec // 3600 * 3600 AS hour_start,
-         |    COUNT(*) AS hour_events
-         |  FROM r_pke GROUP BY 1)
-         |, r_pkw AS (SELECT * FROM (SELECT
-         |      CAST(ROW_NUMBER() OVER (ORDER BY hour_events DESC, hour_start) AS INT) AS peak_rank,
-         |      hour_start, hour_events,
-         |      hour_start - 1800 AS win_start, hour_start + 5400 AS win_end
-         |    FROM r_pkh) x WHERE peak_rank <= 3)
-         |SELECT w.peak_rank, CAST(w.hour_start AS BIGINT) AS hour_start,
-         |  w.hour_events,
-         |  CAST(w.win_start AS BIGINT) AS win_start,
-         |  CAST(w.win_end AS BIGINT) AS win_end,
-         |  COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users,
-         |  ${sumD("CAST(e.value AS DECIMAL(18,6))")} AS total_value,
-         |  MIN(e.event_id) AS min_event_id, MAX(e.event_id) AS max_event_id
-         |FROM r_pke e JOIN r_pkw w ON e.sec >= w.win_start AND e.sec < w.win_end
-         |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin),
-    // dbt `source freshness` twin (reference models/_source/source_tpch.yml:
-    // 11-16 event_time) — watermark + staleness grade per declared source,
-    // graded against the corpus watermark so the check is deterministic
-    "source_freshness" -> e(
-      ctx => Freshness.report(ctx),
-      s""", f_legs AS (
-         |  SELECT 'events' AS source_table, 'ts' AS event_time_col,
-         |    COUNT(*) AS n_rows,
-         |    CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS min_event_s,
-         |    CAST(epoch_ns(MAX(ts)) // 1000000000 AS BIGINT) AS max_event_s
-         |  FROM events
-         |  UNION ALL
-         |  SELECT 'lineitem', 'l_shipdate', COUNT(*),
-         |    CAST(floor(epoch(MIN(l_shipdate))) AS BIGINT),
-         |    CAST(floor(epoch(MAX(l_shipdate))) AS BIGINT)
-         |  FROM lineitem
-         |  UNION ALL
-         |  SELECT 'orders', 'o_orderdate', COUNT(*),
-         |    CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT),
-         |    CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT)
-         |  FROM orders)
-         |SELECT source_table, event_time_col, n_rows, min_event_s, max_event_s,
-         |  CAST((max_event_s - min_event_s) // 86400 AS BIGINT) AS span_days,
-         |  CAST((MAX(max_event_s) OVER () - max_event_s) // 86400 AS BIGINT) AS lag_days,
-         |  CASE WHEN (MAX(max_event_s) OVER () - max_event_s) // 86400 <= 30 THEN 'fresh'
-         |       WHEN (MAX(max_event_s) OVER () - max_event_s) // 86400 <= 90 THEN 'warn'
-         |       ELSE 'error' END AS freshness_status
-         |FROM f_legs ORDER BY source_table""".stripMargin),
-  )
+  /** Re-exports so external callers keep the Registry.Mat /
+    * Registry.Entry spelling (the definitions live in [[OracleModel]];
+    * the per-layer entry files are RegistryModels / RegistryIntermediate /
+    * RegistryReports / RegistrySupply / RegistryExtensions — r11 verdict
+    * item 8 split, behavior unchanged). */
+  type Mat = OracleModel.Mat
+  val Mat = OracleModel.Mat
+  type Entry = OracleModel.Entry
+  val Entry = OracleModel.Entry
 
   /** Full registry: every declared query, tagged with its materialization
     * (group membership decides; the two mixed groups use their section's
     * documented name scheme). */
   val all: ListMap[String, Entry] =
-    tagged(models, n =>
+    tagged(RegistryModels.models, n =>
       if (n.startsWith("ods_")) Mat.OdsTable
       else if (n.startsWith("dim_") || n.startsWith("fct_") || n.startsWith("rpt_")) Mat.WhTable
       else Mat.Table) ++
-    tagged(intermediateModels, _ => Mat.View) ++
-    tagged(reportsModels, _ => Mat.Table) ++
-    tagged(supplyModels, n =>
+    tagged(RegistryIntermediate.models, _ => Mat.View) ++
+    tagged(RegistryReports.models, _ => Mat.Table) ++
+    tagged(RegistrySupply.models, n =>
       if (n.startsWith("int_")) Mat.View
       else if (n.startsWith("dim_") || n.startsWith("rpt_")) Mat.WhTable
       else Mat.Table) ++
-    tagged(extensionModels, _ => Mat.Extension)
+    tagged(RegistryExtensions.models, _ => Mat.Extension)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (name, entry) =>
@@ -2593,3 +51,4 @@ object Registry {
   def oracleSql: Map[String, String] =
     all.collect { case (name, Entry(_, Some(sql), _)) => name -> sql }
 }
+

@@ -9,7 +9,9 @@ package graft
   * would merely have been slower on disk) and competes with the page
   * cache. So tmpfs is used only when its CURRENT free space clears the
   * caller's expected shuffle footprint; otherwise scratch falls back to
-  * the disk temp dir. `SPARK_GRAFT_LOCAL_DIR` overrides unconditionally.
+  * the disk temp dir. `SPARK_GRAFT_LOCAL_DIR` overrides unconditionally —
+  * scratch then lives in a graft-owned `graft-local/` subdir of it, so
+  * orphan reaping stays safe in shared dirs (see resolve).
   */
 object Scratch {
 
@@ -21,17 +23,24 @@ object Scratch {
       case Some(dir) =>
         // User-chosen dir may be SHARED (e.g. /tmp): `blockmgr-`/`spark-`
         // prefixes are generic to every Spark process on the host, and
-        // mtime is not updated by reads — so reaping them here could
+        // mtime is not updated by reads — so reaping them there could
         // delete a live foreign app's block-manager dirs (its shuffle
         // blocks written >2 h ago but still being READ), causing
-        // FetchFailed storms in another process. In an override dir the
-        // reaper therefore touches only the `graft-` prefix, which is
-        // ours by construction; the broader prefixes are reaped only in
-        // the default dirs this module itself owns and names.
-        val f = new java.io.File(dir)
-        f.mkdirs()
-        reapOrphans(f, prefixes = Seq("graft-"))
-        dir
+        // FetchFailed storms in another process. So the override resolves
+        // to a GRAFT-OWNED `graft-local` subdir of the user's dir:
+        // everything Spark creates under it (blockmgr-/spark-) is this
+        // framework's by construction, making killed-JVM orphans fully
+        // reapable again (they pin RAM forever when the override is a
+        // tmpfs — r11 advice) without ever touching a foreign process's
+        // scratch. At the top of the user's dir only `graft-` entries
+        // (ours by name) are reaped.
+        val top = new java.io.File(dir)
+        top.mkdirs()
+        reapOrphans(top, prefixes = Seq("graft-"))
+        val own = new java.io.File(top, "graft-local")
+        own.mkdirs()
+        reapOrphans(own)
+        own.getPath
       case None =>
         // Reap OUR stale tmpfs dir first — orphans there consume RAM and
         // would otherwise both never be reclaimed and permanently fail

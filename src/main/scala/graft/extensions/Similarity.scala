@@ -145,7 +145,7 @@ object Similarity {
     * Result set is IDENTICAL to the naive self-join (each unordered pair
     * materializes exactly once: cross-group pairs only under
     * (lo, hi) = their ordered group pair; same-group pairs id-filtered). */
-  private def bucketSelfPairs(e: DataFrame, groups: Int = 8): DataFrame = {
+  private[extensions] def bucketSelfPairs(e: DataFrame, groups: Int = 8): DataFrame = {
     val m = e.withColumn("__g",
       pmod(xxhash64(col("vec_id")), lit(groups.toLong)).cast("int"))
     val payload = struct(col("vec_id"), col("embedding"), col("label"))

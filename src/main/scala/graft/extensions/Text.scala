@@ -319,15 +319,9 @@ object Text {
     // arrays; the exact verify is array_intersect on two doc-keyed joins
     // instead of two (doc, shingle)-pair shuffles
     val docArr = shingleArr(ctx)
-    val sig = minhash16(docArr)
     // unpivot bands to rows -> ONE self-join keyed on (band_idx, band_hash)
     // instead of four — single shuffle, the standard LSH bucket-join shape
-    val bandRows = sig.select(col("doc_id"), expr(
-      """stack(4,
-        |  0, md5(concat(h0, h1, h2, h3)),
-        |  1, md5(concat(h4, h5, h6, h7)),
-        |  2, md5(concat(h8, h9, h10, h11)),
-        |  3, md5(concat(h12, h13, h14, h15))) AS (band_idx, band_hash)""".stripMargin))
+    val bandRows = bandRowsOf(docArr)
     val cands = bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(bandRows.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
         Seq("band_idx", "band_hash"))
@@ -366,25 +360,62 @@ object Text {
     val docArr = shingleArr(ctx)
     val isNew =
       substring(md5(concat(lit("ibatch|"), col("doc_id").cast("string"))), 1, 1) < "4"
-    val sig = minhash16(docArr)
-    val bandRows = sig.select(col("doc_id"), expr(
+    // band rows are per-doc, so banding-then-splitting equals
+    // splitting-then-banding: the corpus legs reuse the shared probe core
+    val corpusArr = docArr.filter(!isNew)
+    dedupBatchAgainstCorpus(
+      docs(ctx).select(col("doc_id")).filter(isNew),
+      docArr.filter(isNew),
+      bandRowsOf(corpusArr),
+      corpusArr)
+  }
+
+  /** 4-band LSH band rows (band_idx, band_hash) of a doc/shingle-set
+    * relation — the banded index both the self-join dedup and the
+    * batch-probe dedup key on. */
+  private[graft] def bandRowsOf(docArr: DataFrame): DataFrame =
+    minhash16(docArr).select(col("doc_id"), expr(
       """stack(4,
         |  0, md5(concat(h0, h1, h2, h3)),
         |  1, md5(concat(h4, h5, h6, h7)),
         |  2, md5(concat(h8, h9, h10, h11)),
         |  3, md5(concat(h12, h13, h14, h15))) AS (band_idx, band_hash)""".stripMargin))
-    val batchBands = bandRows.filter(isNew).select(
+
+  /** Shingle sets of an ARBITRARY (doc_id, text, ...) relation — the
+    * signature path shared by the streaming ingest sink (whose batches are
+    * not a Ctx table) and any batch caller. Same tokenizer/shingler as
+    * [[shingleArr]]; docs under 3 tokens have no shingles and yield no row. */
+  private[graft] def shingleSetsOf(docsDf: DataFrame): DataFrame =
+    docsDf.withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(shinglesOfToks)).as("shingle"))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("shingles"))
+
+  /** The batch-vs-corpus probe core: one batch of documents deduplicated
+    * against an existing corpus's band index — band-bucket equi-join for
+    * candidates (never a corpus self-join), exact Jaccard verify on the
+    * candidates only, one decision row per batch doc. `batchIds` is the
+    * batch's (doc_id) universe (docs too short to shingle still get a
+    * keep=true row), `batchArr`/`corpusArr` the two shingle-set relations,
+    * `corpusBands` the corpus's banded index — in production a bucketed /
+    * Versioned table maintained by the ingest sink, so an arriving batch
+    * costs |batch| signatures + one bucket probe. Shared by the batch
+    * [[dedupIncremental]] and the streaming
+    * [[graft.streaming.Streams.dedupIngestSink]]. */
+  private[graft] def dedupBatchAgainstCorpus(batchIds: DataFrame,
+      batchArr: DataFrame, corpusBands: DataFrame,
+      corpusArr: DataFrame): DataFrame = {
+    val batchBands = bandRowsOf(batchArr).select(
       col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val corpusBands = bandRows.filter(!isNew).select(
-      col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val cands = batchBands.join(corpusBands, Seq("band_idx", "band_hash"))
+    val cands = batchBands
+      .join(corpusBands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band_idx", "band_hash"))
       .select("doc_a", "doc_b").distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val union = (size(col("sh_a")) + size(col("sh_b"))).cast("long") - inter
     val jacc = dv(inter, nullifZero(union))
     val perDoc = cands
-      .join(docArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(batchArr.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(corpusArr.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jacc.as("jaccard"))
       .groupBy("doc_a")
       .agg(
@@ -392,7 +423,7 @@ object Text {
         sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups"),
         max(col("jaccard")).as("max_jaccard"),
         min(when(col("jaccard") >= 0.5, col("doc_b"))).as("dup_witness"))
-    docs(ctx).select(col("doc_id")).filter(isNew)
+    batchIds.select(col("doc_id"))
       .join(perDoc.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -1260,18 +1291,51 @@ object Text {
     * because it *outputs* the full vocabulary; a threshold query shouldn't
     * pay that.
     *
-    * Pass 1 runs as a SCALAR ACTION in the builder (the house pattern of
-    * [[Similarity.annLshBucketsWide]]'s occupancy COUNT) and pass 2 filters
-    * with the collected candidates as an InSet predicate. The previous
-    * all-lazy form joined every token row against the broadcast candidate
-    * relation, and the per-row BroadcastHashJoin probe measured 3.5-4x the
-    * cost of the InSet predicate doing identical work (17-22 s vs ~5 s on
-    * 248M tokens at SF100; tools/HeavyHittersAb — a semi join was just as
-    * slow, so it is the join operator itself, not the output concat). The
-    * recount's exchange stays bounded by the ≤cap matched groups either
-    * way; the sketch's order-invariance (FreqItemsSpec) keeps the action
+    * Two variants, split by EXECUTION SHAPE (r11 verdict item 2 — the
+    * names carry the contract, not a registry footnote):
+    *  - THIS one is fully lazy (construction runs no job; pass 1 is a
+    *    one-row relation and the candidate filter a broadcast semi join);
+    *  - [[heavyHittersEager]] runs pass 1 as a scalar action at
+    *    construction and filters with an InSet predicate — 3.5-4x cheaper
+    *    per token row (tools/HeavyHittersAb), for callers that time
+    *    construction+action together.
+    * The recount's exchange stays bounded by the ≤cap matched groups
+    * either way; the sketch's order-invariance (FreqItemsSpec) keeps both
     * deterministic. */
   def heavyHitters(ctx: Ctx, denom: Int = 500, cap: Int = 8192): DataFrame = {
+    graft.functions.FreqItemsSketch.register(ctx.spark)
+    val toks = docsTok(ctx).select(explode(col("toks")).as("tok"))
+    // pass 1 as a RELATION (one sketch row -> ≤cap candidate rows), so the
+    // whole pipeline is a lazy plan: no job runs until the consumer acts
+    // (HeavyHittersLazySpec pins zero-jobs-at-construction). The candidate
+    // filter is then a broadcast semi join — per-token it measures 3.5-4x
+    // the InSet predicate's cost (tools/HeavyHittersAb, PERF_NOTES_r10 §2),
+    // which is why the eager variant exists; this is the default because a
+    // plan that runs jobs at CONSTRUCTION time under-measures in any
+    // consumer that builds plans outside its timed window (the r11 scar).
+    val sketch = toks
+      .agg(expr(s"freq_items(tok, $cap)").as("cand"), count(lit(1)).as("n"))
+    val cands = sketch
+      .select(explode(col("cand")).as("c"), col("n"))
+      .select(col("c.item").as("tok"), col("n"))
+    toks.join(broadcast(cands), Seq("tok"), "inner")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+      .filter(col("cnt") * denom > col("n"))
+      .select(col("tok"), col("cnt"), col("n").as("total_tokens"),
+        dv(col("cnt"), col("n")).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** [[heavyHitters]] with the EAGER two-pass execution: pass 1 (the
+    * bounded Misra-Gries sketch + total count) runs as a scalar action AT
+    * CONSTRUCTION, and pass 2 filters with the collected candidates as an
+    * InSet predicate — measured 3.5-4x cheaper per token row than the lazy
+    * semi-join form doing identical work (17-22 s vs ~5 s on 248M tokens
+    * at SF100; tools/HeavyHittersAb). Same output, same guarantee. The
+    * eagerness is in the NAME: callers timing this must start their clock
+    * before construction (the Registry bench/verify paths do). */
+  def heavyHittersEager(ctx: Ctx, denom: Int = 500, cap: Int = 8192): DataFrame = {
     graft.functions.FreqItemsSketch.register(ctx.spark)
     val toks = docsTok(ctx).select(explode(col("toks")).as("tok"))
     // pass 1: bounded sketch + total count, one job, ≤cap+1 values collected

@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ONE array pass.
   *
   * Semantics are EXACTLY the md5-slice formula the DuckDB oracle runs
-  * (Registry.duckSig16Body): per shingle x, four digests md5('j|' || x)
+  * (RegistryExtensions.duckSig16Body): per shingle x, four digests md5('j|' || x)
   * for j = 0..3; slot i (0..15) is the minimum over the set of hex chars
   * [8*(i%4), 8*(i%4)+8) of digest i/4 — i.e. the 16 8-hex-char slices of
   * the 128-char digest concat, min'd per slice position.

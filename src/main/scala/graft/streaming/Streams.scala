@@ -243,6 +243,48 @@ object Streams {
         ()
       }
 
+  /** Streaming incremental corpus dedup — the production INGEST shape
+    * (r11 verdict item 3): each arriving micro-batch of documents is
+    * deduplicated AGAINST the existing corpus by probing the corpus's
+    * MinHash band index with the batch's band signatures — one band-keyed
+    * equi-join per batch plus exact Jaccard verification on the candidates
+    * only — and NEVER by self-joining or re-hashing the corpus (the batch
+    * core is [[graft.extensions.Text.dedupBatchAgainstCorpus]], shared
+    * with the batch twin `dedupIncremental`). `corpusBands` /
+    * `corpusShingles` are static relations (in production: bucketed or
+    * [[graft.Versioned]] tables the ingest pipeline maintains), so per
+    * batch the stream pays |batch| signatures + one bucket probe — cost
+    * tracks the ARRIVAL rate, not the corpus size.
+    *
+    * One decision row per batch doc (doc_id, n_candidates, n_dups,
+    * max_jaccard, dup_witness, keep, batch_id), written EXACTLY-ONCE: the
+    * sink is partitioned by batch_id and each foreachBatch dynamically
+    * overwrites only its own batch partition, so a batch replayed after a
+    * crash-restart replaces its previous (possibly partial) output instead
+    * of appending a duplicate — idempotent-by-key, the standard
+    * foreachBatch exactly-once recipe (StreamingSpec pins restart
+    * equivalence against an uninterrupted run). */
+  def dedupIngestSink(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, target: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.lit
+        val decisions = graft.extensions.Text.dedupBatchAgainstCorpus(
+          batch.select("doc_id"),
+          graft.extensions.Text.shingleSetsOf(batch),
+          corpusBands, corpusShingles)
+        decisions.withColumn("batch_id", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(target)
+        ()
+      }
+
   /** [[lakeSink]] on the [[graft.Versioned]] transaction log — the
     * exactly-visible variant: each microbatch COMMITS (append) atomically,
     * so a concurrent reader sees whole batches or nothing, and every

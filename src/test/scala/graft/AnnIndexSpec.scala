@@ -78,4 +78,72 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("semanticDedup consumes the persisted index and matches an inline recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/tmp/graft-ann-index-semdedup"
+    rm(new java.io.File(dir))
+    val n = ctx.tbl("embeddings").count()
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt + 1
+    extensions.AnnIndex.build(ctx, dir, nCells = nCells)
+    val served = extensions.AnnIndex.semanticDedup(spark, dir)
+
+    // independent recompute straight from the corpus: nearest-seed
+    // assignment, naive within-cell self-join (no triangle split), same
+    // SemDeDup lower-id rule
+    graft.functions.CosineSim.register(spark)
+    val e = ctx.tbl("embeddings")
+    val seeds = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        expr("cosine_sim(embedding, se)").as("sc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sc").desc, col("cell_id"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell_id", "embedding")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("lo"), col("b.vec_id").as("hi"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("c"))
+    val roll = pairs.groupBy(col("hi").as("vec_id"))
+      .agg(max(col("c")).as("max_cosine_lower"),
+        count(when(col("c") >= 0.4, lit(1))).as("n_dup_lower"),
+        min(when(col("c") >= 0.4, col("lo"))).as("dup_witness"))
+    val direct = assigned.select("vec_id", "cell_id")
+      .join(roll, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
+        col("dup_witness"), col("max_cosine_lower"),
+        (coalesce(col("n_dup_lower"), lit(0L)) === 0).as("keep"))
+
+    assert(served.columns.toSeq == direct.columns.toSeq)
+    val s = served.collect().map(_.toString).sorted.toSeq
+    val d = direct.collect().map(_.toString).sorted.toSeq
+    assert(s.size == n, s"one row per corpus vector expected, got ${s.size}")
+    assert(s == d, s"served != inline recompute; first delta: ${
+      s.zipAll(d, "<missing>", "<missing>").find(p => p._1 != p._2)}")
+
+    // the decision actually drops something at this corpus/threshold, and
+    // every drop names a LOWER-id witness (the SemDeDup keep rule)
+    val drops = served.filter(!col("keep"))
+    assert(drops.count() > 0, "expected at least one semantic duplicate")
+    assert(drops.filter(col("dup_witness") >= col("vec_id")).count() == 0)
+  }
+
+  test("semanticDedup reads the pinned generation, not a mid-rebuild tip") {
+    val dir = "/tmp/graft-ann-index-semdedup" // built by the test above
+    val before = extensions.AnnIndex.semanticDedup(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // an in-flight rebuild moves the coded tip to a one-cell junk snapshot
+    val junkCoded = ctx.tbl("embeddings")
+      .select(col("vec_id"), lit(1L).as("cell_id"),
+        expr("array(0, 0, 0, 0, 0, 0, 0, 0)").as("codes"))
+    Versioned.write(junkCoded, s"$dir/coded")
+    val during = extensions.AnnIndex.semanticDedup(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(during == before,
+      "semanticDedup consumed a coded tip that has no meta row")
+  }
 }

@@ -4,7 +4,7 @@ import graft.functions.MinHashSig16
 import org.apache.spark.sql.functions._
 
 /** The native minhash16_sig expression: value-identical to the composed
-  * md5-slice formula the DuckDB oracle runs (Registry.duckSig16Body), plus
+  * md5-slice formula the DuckDB oracle runs (RegistryExtensions.duckSig16Body), plus
   * null/empty semantics, through a real DataFrame (codegen path). */
 class MinHashSigSpec extends SparkSpec {
 

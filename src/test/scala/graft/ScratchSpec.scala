@@ -64,6 +64,34 @@ class ScratchSpec extends AnyFunSuite {
     assert(!ours.exists(), "stale spark-* entry must still be reaped")
   }
 
+  test("override resolve scratches in a graft-owned subdir and reaps inside it") {
+    val root = java.nio.file.Files.createTempDirectory("scratch_spec4").toFile
+    val old = 3L * 3600 * 1000
+
+    // a prior killed run's blockmgr orphan INSIDE our graft-local subdir:
+    // provably ours (we name the subdir), so it must be reaped even though
+    // blockmgr- is a generic prefix never touched at the top level
+    val own = new java.io.File(root, "graft-local")
+    val orphan = new java.io.File(own, "blockmgr-killed")
+    orphan.mkdirs()
+    Seq(orphan, own).foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - old))
+    // a foreign process's stale blockmgr at the top level: untouched
+    val foreign = new java.io.File(root, "blockmgr-foreign")
+    foreign.mkdirs()
+    foreign.setLastModified(System.currentTimeMillis() - old)
+
+    // resolve() reads the env only via sys.env — exercise the same logic
+    // directly: top-level graft- reap, then the inner full-prefix reap
+    Scratch.reapOrphans(root, prefixes = Seq("graft-"))
+    own.mkdirs()
+    Scratch.reapOrphans(own)
+
+    assert(foreign.exists(), "foreign top-level blockmgr must survive")
+    assert(own.exists() && !orphan.exists(),
+      "orphans inside the graft-owned subdir must be reaped")
+  }
+
   test("override-dir prefix set spares foreign Spark processes' scratch") {
     val root = java.nio.file.Files.createTempDirectory("scratch_spec3").toFile
     val old = 3L * 3600 * 1000

@@ -86,6 +86,50 @@ class ZOrderSpec extends AnyFunSuite {
       "linear baseline unexpectedly tight in y")
   }
 
+  /** Heavily skewed 65536-row set: x is exponential-ish (hash-derived,
+    * ~half the mass below 100 but a tail out to ~6.5M stretching [min,max]
+    * 5 orders of magnitude), y likewise with an independent hash. Under
+    * LINEAR scaling nearly every row lands in grid value 0 of each dim —
+    * the Morton code carries no information and the layout degenerates to
+    * arrival order. Deterministic: no rand(), values derive from id. */
+  private def skewed = spark.range(65536).select(
+    (xxhash64(col("id")) % 100 + 100) * // uniform 1..200 base
+      pow(lit(2.0), (pmod(xxhash64(col("id") * 31 + 7), lit(16))).cast("double"))
+        .cast("long") as "x",
+    (pmod(xxhash64(col("id") * 17 + 3), lit(100)) + 100) *
+      pow(lit(2.0), (pmod(xxhash64(col("id") * 13 + 11), lit(16))).cast("double"))
+        .cast("long") as "y",
+    col("id").as("payload"))
+
+  test("quantile cuts keep skewed layouts skippable where linear scaling degenerates") {
+    val sk = skewed.withColumn("x", abs(col("x"))).withColumn("y", abs(col("y")))
+    val total = sk.count()
+    // rank-domain slice predicates: the lowest ~1/8 of each dim by VALUE
+    val xcut = sk.stat.approxQuantile("x", Array(0.125), 0.001).head
+    val ycut = sk.stat.approxQuantile("y", Array(0.125), 0.001).head
+
+    def touched(dir: String, dim: String, hi: Double): (Int, Int) = {
+      val spans = fileSpans(dir, Seq("x", "y"))
+      (spans.count(m => m(dim)._1 <= hi), spans.length)
+    }
+    val qdir = java.nio.file.Files.createTempDirectory("lake_zq").toString
+    Lake.writeZOrderedQuantile(sk, qdir, "x", "y", partitions = 16)
+    assert(spark.read.parquet(qdir).count() == total, "row loss")
+    val (qx, qn) = touched(qdir, "x", xcut)
+    val (qy, _) = touched(qdir, "y", ycut)
+    assert(qx * 2 <= qn, s"x-slice touches $qx of $qn quantile-cut files")
+    assert(qy * 2 <= qn, s"y-slice touches $qy of $qn quantile-cut files")
+
+    // the linear variant on the same data: the value tail crushes the
+    // grid, files stop being skippable for the low-value mass
+    val ldir = java.nio.file.Files.createTempDirectory("lake_zl").toString
+    Lake.writeZOrdered(sk, ldir, "x", "y", partitions = 16)
+    val (lx, ln) = touched(ldir, "x", xcut)
+    assert(lx * 2 > ln,
+      s"linear scaling unexpectedly skipped the skewed x-slice ($lx of $ln) " +
+        "— fixture not skewed enough to justify the quantile variant")
+  }
+
   test("min/max stats skip most files for a selective predicate on EITHER dim") {
     val zdir = java.nio.file.Files.createTempDirectory("lake_z2").toString
     Lake.writeZOrdered(grid, zdir, "x", "y", partitions = 16)
