@@ -99,6 +99,7 @@ object AnnScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.CosineSim.register(spark)
     graft.functions.DotProduct.register(spark)
+    graft.functions.ArgmaxDot.register(spark)
     val ctx = Ctx(spark, s"synth:sf=$sf")
 
     val e = ctx.tbl(tableName).select(col("vec_id"), col("embedding"))
@@ -128,23 +129,40 @@ object AnnScaleProbe {
     def dot(a: String, b: String) = expr(s"dot_product($a, $b)")
     // per-key argmax with deterministic ties (max score c, then min id)
     def best(idCol: String) = expr(s"max_by($idCol, struct(c, -$idCol))")
-    // codeword fit = min L2 error == max (dot − ‖c‖²/2), the IP-ADC dual.
-    // ‖c‖²/2 (`bn2h`) is PRECOMPUTED once per codeword in the tiny book
-    // relation — the old form re-folded the codeword's own norm on every
-    // (vector, subspace, codeword) row; same doubles, same op order
-    def fit(a: String, b: String, bn2h: String) = expr(
-      s"dot_product($a, $b) - $bn2h")
+    // codeword fit = min L2 error == max (dot − ‖c‖²/2), the IP-ADC dual —
+    // evaluated inside functions.ArgmaxDot (packed codebook + precomputed
+    // ‖c‖²/2 bias; same doubles, same op order as the old per-row
+    // dot_product(sv, cv) - cvn2h join form)
 
     /** Two-level nearest-cell assignment of `corpus` against the given
-      * (cell_id, group_id, cvec) centroids + (group_id, gvec) groups. */
+      * (cell_id, group_id, cvec) centroids + (group_id, gvec) groups —
+      * via the PACKED native argmax (functions.ArgmaxCosine): each level
+      * is a broadcast join against one packed-matrix row + a map-side
+      * projection, instead of crossJoin(candidates) -> score ->
+      * groupBy(vec_id).agg(max_by(...)) materializing |corpus| x
+      * |candidates| scored rows through two exchanges. Assignment is
+      * bit-identical (ArgmaxSpec: same IEEE score order, same
+      * max-then-min-id tie rule). NO shuffle remains in the full assign.
+      * Only groups that own >=1 cell participate in the level-1 argmax: a
+      * group can regroup to ZERO cells (sampled training shifts the
+      * geometry slightly vs full-corpus training), and a vector whose
+      * best group is empty would silently vanish at the inner cell join
+      * (measured: 6 of 2M dropped on embeddings_manifold). */
     def assign(corpus: DataFrame, groups: DataFrame, cells: DataFrame): DataFrame = {
-      val byGroup = corpus.crossJoin(broadcast(groups))
-        .select(col("vec_id"), col("group_id"), cos("nemb", "gvec").as("c"))
-        .groupBy("vec_id").agg(best("group_id").as("group_id"))
-      byGroup.join(corpus, Seq("vec_id"))
-        .join(broadcast(cells), Seq("group_id"))
-        .select(col("vec_id"), col("cell_id"), cos("nemb", "cvec").as("c"))
-        .groupBy("vec_id").agg(best("cell_id").as("cell_id"))
+      val liveGroups = groups.join(
+        cells.select("group_id").distinct(), Seq("group_id"))
+      val gPacked = liveGroups.agg(
+        expr("flatten(transform(array_sort(collect_list(struct(group_id, gvec))), x -> x.gvec))").as("gmat"),
+        expr("array_sort(collect_list(group_id))").as("gids"))
+      val cPacked = cells.groupBy("group_id").agg(
+        expr("flatten(transform(array_sort(collect_list(struct(cell_id, cvec))), x -> x.cvec))").as("cmat"),
+        expr("array_sort(collect_list(cell_id))").as("cids"))
+      corpus.crossJoin(broadcast(gPacked))
+        .select(col("vec_id"), col("nemb"),
+          expr("element_at(gids, argmax_cosine(nemb, gmat) + 1)").as("group_id"))
+        .join(broadcast(cPacked), Seq("group_id"))
+        .select(col("vec_id"),
+          expr("element_at(cids, argmax_cosine(nemb, cmat) + 1)").as("cell_id"))
     }
 
     /** Mean normalized embedding per key — posexplode + per-dimension avg,
@@ -166,6 +184,8 @@ object AnnScaleProbe {
 
     val (built, buildSec) = timed {
       // ---- coarse quantizer (k-means-lite, two-level) --------------------
+      val bt0 = System.nanoTime()
+      def el = f"${(System.nanoTime() - bt0) / 1e9}%.1f"
       // deterministic sampled seeds: the first nCells vec_ids (vec_id is
       // uncorrelated with the planted cluster label, which is hashed)
       val seeds0 = en.filter(col("vec_id") <= nCells)
@@ -183,7 +203,7 @@ object AnnScaleProbe {
       val enTrain = (if (trainMod <= 1L) en
         else en.filter(col("vec_id") % trainMod === 0L))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      System.err.println(s"[annprobe] stage=train_sample rows=${enTrain.count()} mod=$trainMod")
+      System.err.println(s"[annprobe] stage=train_sample rows=${enTrain.count()} mod=$trainMod t=$el")
       val asg0 = assign(enTrain, groups0, cells0)
       val cells1 = centroids(asg0, enTrain, "cell_id") // empty cells drop out
       val groups1 = centroids(asg0.join(cells0.select("cell_id", "group_id"),
@@ -191,21 +211,21 @@ object AnnScaleProbe {
         .withColumnRenamed("cvec", "gvec")
       val cells1g = regroup(cells1, groups1)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      System.err.println(s"[annprobe] stage=lloyd_refined cells=${cells1g.count()}")
+      System.err.println(s"[annprobe] stage=lloyd_refined cells=${cells1g.count()} t=$el")
       val asg = assign(en, groups1, cells1g).persist(StorageLevel.MEMORY_AND_DISK)
       enTrain.unpersist()
-      System.err.println(s"[annprobe] stage=assigned rows=${asg.count()}")
+      System.err.println(s"[annprobe] stage=assigned rows=${asg.count()} t=$el")
 
       // ---- 256-codeword PQ books over the cell RESIDUALS + full encode ---
-      // the encode's groupBy(vec_id, s) must keep its per-task hash map
-      // under execution memory: at n·subs groups over `cpus` tasks the map
-      // blows the per-task budget, HashAggregate falls back to sort-based
-      // aggregation, and the fallback sorts the REMAINING INPUT — an
-      // input-sized (n·subs·256-row) scratch spill that OOM-killed the
-      // first SF100 run at ~110 GB of tmpfs. Pre-partitioning to ≤100k
-      // groups per task keeps the map ~10 MB and the whole expansion
-      // streaming. rsub is persisted — three consumers (book seeds, book
-      // training, encode) would otherwise re-run the join+residual each.
+      // Historical note (r9/r12): the encode used to be a 256-way
+      // broadcast join + groupBy(vec_id, s).agg(max_by) — n·subs·256 =
+      // 8.2B joined rows at SF100, whose per-task agg hash map had to be
+      // bounded by pre-partitioning or HashAggregate fell back to
+      // sort-based aggregation and spilled the remaining INPUT (~110 GB
+      // tmpfs, kernel OOM). The packed argmax_dot projection below has no
+      // aggregate at all; the repartition stays only to balance the
+      // persisted rsub across tasks for its three consumers (book seeds,
+      // book training, encode).
       val encParts = math.max(cpus.toInt, (n * subs / 100000L).toInt)
       val rsub = en.join(asg, Seq("vec_id"))
         .join(broadcast(cells1g.select("cell_id", "cvec")), Seq("cell_id"))
@@ -231,11 +251,22 @@ object AnnScaleProbe {
       val pqIters = sys.env.getOrElse("SPARK_GRAFT_ANN_PQ_ITERS", "1").toInt
       val train = rsub.filter(col("vec_id") % 19 === 3)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // one packed row per subspace (256 codewords x subDim flat + the
+      // precomputed ||cv||^2/2 bias + the position->code map): codeword
+      // fit becomes ONE argmax_dot eval per (vector, subspace) row — the
+      // r12 rewrite that removed the n*subs*256 joined-row encode (the
+      // 8.2B-row term that dominated the SF100 build; PERF_NOTES_r12.md)
+      def packBook(b: DataFrame): DataFrame = b.groupBy("s").agg(
+        expr("flatten(transform(array_sort(collect_list(struct(code, cv))), x -> x.cv))").as("cmat"),
+        expr("transform(array_sort(collect_list(struct(code, cvn2h))), x -> x.cvn2h)").as("n2h"),
+        expr("array_sort(collect_list(code))").as("codes_arr"))
+      def encodeWith(rows: DataFrame, b: DataFrame): DataFrame =
+        rows.join(broadcast(packBook(b)), Seq("s"))
+          .select(col("vec_id"), col("s"),
+            expr("element_at(codes_arr, argmax_dot(sv, cmat, n2h) + 1)").as("code"))
       var cb = cb0
       for (_ <- 1 to pqIters) {
-        val tAsg = train.join(broadcast(cb), Seq("s"))
-          .select(col("vec_id"), col("s"), col("code"), fit("sv", "cv", "cvn2h").as("c"))
-          .groupBy("vec_id", "s").agg(best("code").as("code"))
+        val tAsg = encodeWith(train, cb)
         val next = tAsg.join(train, Seq("vec_id", "s"))
           .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
           .groupBy("s", "code", "pos").agg(avg("v").as("m"))
@@ -246,12 +277,11 @@ object AnnScaleProbe {
         cb = next
       }
       train.unpersist()
-      System.err.println(s"[annprobe] stage=books_trained")
-      val codes = rsub.join(broadcast(cb), Seq("s"))
-        .select(col("vec_id"), col("s"), col("code"), fit("sv", "cv", "cvn2h").as("c"))
-        .groupBy("vec_id", "s").agg(best("code").as("code"))
+      System.err.println(s"[annprobe] stage=books_trained t=$el")
+      val codes = encodeWith(rsub, cb)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val (nAsg, nCodes) = (asg.count(), codes.count())
+      System.err.println(s"[annprobe] stage=encoded rows=$nCodes t=$el")
       rsub.unpersist()
       require(nAsg == n && nCodes == n * subs, s"build incomplete: $nAsg/$nCodes")
       (cells1g, asg, cb, codes)
