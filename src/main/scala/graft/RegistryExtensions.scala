@@ -1027,6 +1027,32 @@ private[graft] object RegistryExtensions {
          |  FROM r_bc c JOIN r_bt t ON c.w1 = t.w1) r
          |WHERE next_rank <= 3
          |ORDER BY w1, next_rank""".stripMargin),
+    "text_lm_score" -> e(
+      ctx => extensions.Text.lmScore(ctx).orderBy("doc_id"),
+      s"""$duckTokCtes
+         |, r_lf_bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |    unnest(toks[2:len(toks)]) AS w2
+         |  FROM r_toks WHERE len(toks) >= 2)
+         |, r_lf_cnt AS (SELECT w1, w2, COUNT(*) AS pair_count
+         |  FROM r_lf_bg GROUP BY 1, 2)
+         |, r_lf_tot AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS w1_count
+         |  FROM r_lf_cnt GROUP BY 1)
+         |, r_lf_st AS (SELECT c.w1, c.w2, c.pair_count, t.w1_count,
+         |    CAST(ROUND(${dv("c.pair_count", "t.w1_count")}, 9) AS DECIMAL(12,9)) AS pdec
+         |  FROM r_lf_cnt c JOIN r_lf_tot t ON c.w1 = t.w1)
+         |, r_lf_doc AS (SELECT b.doc_id,
+         |    COUNT(*) AS n_bigrams,
+         |    COUNT(CASE WHEN s.pair_count * 32 >= s.w1_count THEN 1 END) AS n_predictable,
+         |    SUM(s.pdec) AS psum
+         |  FROM r_lf_bg b JOIN r_lf_st s ON b.w1 = s.w1 AND b.w2 = s.w2
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(r.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(r.n_predictable, 0) AS n_predictable,
+         |  ${rnd(dv("r.n_predictable", "r.n_bigrams"), 6)} AS predictable_share,
+         |  ${rnd(dv("r.psum", "r.n_bigrams"), 9)} AS mean_prob
+         |FROM documents d LEFT JOIN r_lf_doc r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     "events_user_journeys" -> e(
       ctx => extensions.Events.userJourneys(ctx).orderBy("from_type", "to_type"),
       s""", r_uj AS (SELECT user_id, event_id, ts, event_type,

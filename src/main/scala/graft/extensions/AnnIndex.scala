@@ -68,33 +68,35 @@ object AnnIndex {
   private val Tables = Seq("seeds", "codebooks", "coded", "vectors")
 
   /** Build the index from `ctx`'s `embeddings` table and publish under
-    * `dir`. `nCells`/`nCodewords` set the coarse/PQ shape (defaults = the
-    * [[Similarity.annIvfPq]] verification shape, giving exact parity; a
-    * production build passes ~sqrt(N) cells and 256 codewords). Fixed
-    * deterministic quantizers: seeds = the vec_ids strictly below `nCells`,
-    * codebooks = per-subspace slices of the vec_ids strictly below
-    * `nCodewords`. NOTE vec_id is 1-based, so that rule yields nCells-1
-    * seeds and nCodewords-1 codewords — kept as-is because it is the SAME
-    * rule [[Similarity.annIvfPq]]/annIvf apply (`vec_id < 8`, `< 16` on
-    * 1-based ids), which is what gives exact cross-engine parity; callers
-    * reporting index shape should count the published tables
-    * (AnnIndexBench emits `cells_actual`/`codewords_actual`).
+    * `dir`. `nCells`/`nCodewords` set the coarse/PQ shape and mean exactly
+    * what they say: seeds = the FIRST `nCells` vec_ids (`vec_id <= nCells`
+    * on the 1-based ids), codebooks = per-subspace slices of the first
+    * `nCodewords` vec_ids. A production build passes ~sqrt(N) cells and
+    * 256 codewords. The defaults (7 cells / 15 codewords) are the
+    * [[Similarity.annIvfPq]] verification shape — annIvfPq/annIvf fix
+    * their quantizers as the seed SETS {1..7} and {1..15}, and matching
+    * those sets exactly is what gives the AnnIndexSpec row-identity (and
+    * through the oracle twins, cross-engine parity). Pre-r12 this API took
+    * `vec_id < nCells` and yielded nCells-1 seeds (the r11 verdict's
+    * off-by-one scar); callers that sized cells with a +1 compensation
+    * have been updated in lockstep, and published seed counts now equal
+    * the parameter (AnnIndexBench's `cells_actual` confirms per artifact).
     * Returns table -> committed version, including the `meta` generation
     * commit that makes the five publishes one atomic index version. */
-  def build(ctx: Ctx, dir: String, nCells: Int = 8,
-      nCodewords: Int = 16): Map[String, Long] = {
-    require(nCells >= 2 && nCodewords >= 2,
-      s"build needs >=1 seed and >=1 codeword (1-based vec_id < n rule): " +
+  def build(ctx: Ctx, dir: String, nCells: Int = 7,
+      nCodewords: Int = 15): Map[String, Long] = {
+    require(nCells >= 1 && nCodewords >= 1,
+      s"build needs >=1 seed and >=1 codeword: " +
         s"nCells=$nCells nCodewords=$nCodewords")
     graft.functions.CosineSim.register(ctx.spark)
     graft.functions.ArgmaxDot.register(ctx.spark)
     val e = ctx.tbl("embeddings")
-    val seeds = e.filter(col("vec_id") < nCells)
+    val seeds = e.filter(col("vec_id") <= nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
     val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
-    val cb = sub.filter(col("vec_id") < nCodewords)
+    val cb = sub.filter(col("vec_id") <= nCodewords)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
     // argmax via the PACKED native argmax_cosine (functions.ArgmaxCosine),
     // not a crossJoin + max_by: identical assignment (same IEEE cosine op
@@ -311,9 +313,7 @@ object AnnIndex {
     val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       s"/graft-semdedup/$digest"
     val n = ctx.tbl("embeddings").count()
-    // vec_id is 1-based and the quantizer rule is `vec_id < nCells`, so
-    // +1 makes the published seed count exactly ceil(sqrt(N))
-    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt + 1
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
     build(ctx, dir, nCells = nCells)
     Tables.foreach(t => Versioned.vacuum(ctx.spark, s"$dir/$t", keepVersions = 2))
     Versioned.vacuum(ctx.spark, s"$dir/meta", keepVersions = 2)

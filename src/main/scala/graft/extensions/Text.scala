@@ -1277,6 +1277,64 @@ object Text {
         col("w2"), col("pair_count"), col("w1_count"), col("prob"))
   }
 
+  /** Per-document bigram-LM fit score — the CCNet/KenLM-style fluency
+    * filter re-expressed cross-engine exact. A true LM filter scores each
+    * doc's perplexity under a reference model and drops the tail; log()'s
+    * last ulp is library-dependent, so the oracle-twinned form scores in
+    * the probability domain instead. Every bigram instance in a doc is
+    * scored under the corpus-wide conditional model
+    * p(w2|w1) = pair_count / w1_count, and the doc aggregates:
+    *  - `n_bigrams`: bigram instances in the doc,
+    *  - `n_predictable`: instances whose conditional probability clears
+    *    1/`denom`, compared as pair_count * denom >= w1_count in exact
+    *    BIGINT — the threshold is a probability, so the same denom splits
+    *    any corpus size (a raw count threshold would not survive a 10x SF),
+    *  - `predictable_share`: n_predictable / n_bigrams,
+    *  - `mean_prob`: average conditional probability, accumulated as
+    *    round(prob, 9)::DECIMAL(12,9) so the sum is order-free (the
+    *    verified ADC rule — double addition is not associative and the
+    *    shuffle's row order is nondeterministic).
+    * Low scores mark disfluent / out-of-domain documents — the drop side
+    * of the filter. Docs with < 2 tokens surface with zero counts and null
+    * scores (a filter must emit a verdict for every doc, not drop the
+    * unscorable silently).
+    *
+    * At 100 TB: one bigram explode; groupBy(w1,w2) then groupBy(w1) over
+    * the already-reduced pair relation (both map-side partial); one
+    * equi-join of the instance stream against the stats relation (build
+    * side = one row per bigram TYPE — vocabulary-bounded, hot bigrams like
+    * "of the" are heavy probe keys, which AQE's skew split handles because
+    * the weight is map-side input, not join fan-out); one per-doc
+    * aggregate bounded by doc length. No self-joins, no windows. */
+  def lmScore(ctx: Ctx, denom: Int = 32): DataFrame = {
+    val bg = docsTok(ctx)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2),
+          |    i -> named_struct('w1', toks[i], 'w2', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val tot = cnt.groupBy("w1").agg(sum("pair_count").as("w1_count"))
+    val stats = cnt.join(tot, Seq("w1"))
+      .withColumn("pdec", round(dv(col("pair_count"), col("w1_count")), 9)
+        .cast("decimal(12,9)"))
+    val perDoc = bg.join(stats, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("pair_count") * denom >= col("w1_count"), lit(1)))
+          .as("n_predictable"),
+        sum(col("pdec")).as("psum"))
+    docs(ctx).select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_predictable"), lit(0L)).as("n_predictable"),
+        rnd(dv(col("n_predictable"), col("n_bigrams")), 6)
+          .as("predictable_share"),
+        rnd(dv(col("psum"), col("n_bigrams")), 9).as("mean_prob"))
+  }
+
   /** Corpus heavy hitters — every token above a frequency threshold
     * (count · denom > total tokens), exact, via the two-pass sketch shape
     * that scales to 100 TB: pass 1 streams all tokens through the bounded

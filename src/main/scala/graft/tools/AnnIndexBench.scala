@@ -57,9 +57,10 @@ object AnnIndexBench {
     val (_, buildSec) = timed {
       extensions.AnnIndex.build(ctx, dir, nCells, nCodewords)
     }
-    // report the PUBLISHED shape, not the parameters: vec_id is 1-based so
-    // the `vec_id < nCells` quantizer rule yields nCells-1 seeds (and
-    // nCodewords-1 codewords) — the r10 artifact overstated both by one
+    // report the PUBLISHED shape alongside the parameters: since the r12
+    // inclusive rule (`vec_id <= nCells`) the two agree, and these counts
+    // are the artifact-level proof of that (the pre-r12 rule published
+    // nCells-1 seeds and the r10 artifact overstated the shape by one)
     val cellsActual = Versioned.read(spark, s"$dir/seeds").count()
     val cwActual = Versioned.read(spark, s"$dir/codebooks")
       .select("code").distinct().count()

@@ -55,8 +55,8 @@ object SemDedupProbe {
       rmTree(new java.io.File(dir))
       val n = ctx.tbl("embeddings").count()
       val nCells = occ match {
-        case Some(o) => (n / o).toInt + 1
-        case None    => math.ceil(math.sqrt(n.toDouble)).toInt + 1
+        case Some(o) => (n / o).toInt
+        case None    => math.ceil(math.sqrt(n.toDouble)).toInt
       }
       val (_, buildSec) = timed(extensions.AnnIndex.build(ctx, dir, nCells = nCells))
       val ((rows, drops), serveSec) = timed {

@@ -84,7 +84,7 @@ class AnnIndexSpec extends SparkSpec {
     val dir = "/tmp/graft-ann-index-semdedup"
     rm(new java.io.File(dir))
     val n = ctx.tbl("embeddings").count()
-    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt + 1
+    val nCells = math.ceil(math.sqrt(n.toDouble)).toInt
     extensions.AnnIndex.build(ctx, dir, nCells = nCells)
     val served = extensions.AnnIndex.semanticDedup(spark, dir)
 
@@ -93,7 +93,7 @@ class AnnIndexSpec extends SparkSpec {
     // SemDeDup lower-id rule
     graft.functions.CosineSim.register(spark)
     val e = ctx.tbl("embeddings")
-    val seeds = e.filter(col("vec_id") < nCells)
+    val seeds = e.filter(col("vec_id") <= nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
     val assigned = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(seeds))

@@ -69,6 +69,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(("a", 1)) == (("b", 1L, 1L, 1.0)))
   }
 
+  test("lmScore: conditional-probability fit by construction") {
+    // denom = 1 makes "predictable" mean p(w2|w1) == 1 exactly, which the
+    // fixture pins by construction (a corpus this small cannot exercise
+    // the production 1/32 threshold — the sf sweeps do)
+    val rows = Text.lmScore(fctx, denom = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 5, "one verdict row per document")
+    // doc 2 ("x" * 10): every one of its 9 bigrams is (x,x) with p = 1
+    assert(rows(2L).getLong(1) == 9 && rows(2L).getLong(2) == 9)
+    assert(rows(2L).getDouble(3) == 1.0 && rows(2L).getDouble(4) == 1.0)
+    // doc 0: 19 bigrams; only the two seams are uncertain — (w0,w1) shares
+    // head w0 with doc 4's (w0,y1) so p = 2/3, and (w9,u0) forks against
+    // doc 1's (w9,v0) so p = 1/2; the other 17 continuations are certain
+    assert(rows(0L).getLong(1) == 19 && rows(0L).getLong(2) == 17)
+    assert(math.abs(rows(0L).getDouble(4) - (2.0 / 3 + 0.5 + 17) / 19) < 1e-6)
+    // doc 4: (w0,y1) p = 1/3 (unpredictable), (y1,y2) p = 1
+    assert(rows(4L).getLong(1) == 2 && rows(4L).getLong(2) == 1)
+    assert(rows(4L).getDouble(3) == 0.5)
+  }
+
+  test("lmScore: a doc too short for bigrams still gets a verdict row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_short").toString
+    import spark.implicits._
+    Seq((0L, "solo", "en", "s"), (1L, "a a a", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = Text.lmScore(Ctx(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m.size == 2, "the unscorable doc must not be dropped")
+    assert(m(0L).getLong(1) == 0 && m(0L).getLong(2) == 0)
+    assert(m(0L).isNullAt(3) && m(0L).isNullAt(4))
+    assert(m(1L).getLong(1) == 2 && m(1L).getDouble(4) == 1.0)
+  }
+
   test("sampleStratified: membership is the md5-prefix rule, per stratum") {
     val expected = fctx.tbl("documents")
       .select(col("lang"), col("doc_id"),
