@@ -243,16 +243,31 @@ object Versioned {
   }
 
   /** Write a new snapshot. `mode` = "overwrite" (files replace the table)
-    * or "append". Returns the committed version. */
+    * or "append". Returns the committed version.
+    *
+    * `appendBase`: append onto the files of THAT version instead of the
+    * tip. This is how a caller whose notion of "current" is pinned
+    * externally (e.g. AnnIndex's meta generation) makes a retried append
+    * exactly-once: a crashed earlier attempt leaves orphan files on the
+    * TIP, and a tip-based append would carry them into the new snapshot —
+    * duplicating the batch. Appending from the pinned base discards
+    * orphans by construction. Callers using it accept that concurrent
+    * appends to the same table serialize externally (the same contract
+    * concurrent builds already have: last meta commit wins). */
   def write(df: DataFrame, path: String, mode: String = "overwrite",
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      appendBase: Option[Long] = None): Long = {
+    require(appendBase.isEmpty || mode == "append",
+      s"appendBase only applies to mode=append (got mode=$mode)")
     val partType = partitionBy.map(pc => df.schema(pc).dataType.sql)
     val ddl = df.schema.toDDL
+    val spark = df.sparkSession
+    val baseFiles = appendBase.map(v => readManifest(spark, path, Some(v)).files)
     val staged = stage(df, path, partitionBy)
-    commit(df.sparkSession, path) { prev =>
+    commit(spark, path) { prev =>
       val kept = mode match {
         case "overwrite" => Nil
-        case "append" => prev.map(_.files).getOrElse(Nil)
+        case "append" => baseFiles.getOrElse(prev.map(_.files).getOrElse(Nil))
         case other => sys.error(s"unknown mode $other")
       }
       (kept ++ staged, partitionBy.orElse(prev.flatMap(_.partCol)),

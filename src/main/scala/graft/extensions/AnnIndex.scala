@@ -98,19 +98,40 @@ object AnnIndex {
       .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
     val cb = sub.filter(col("vec_id") <= nCodewords)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
-    // argmax via the PACKED native argmax_cosine (functions.ArgmaxCosine),
-    // not a crossJoin + max_by: identical assignment (same IEEE cosine op
-    // order, max-then-MIN-id ties — AnnIndexSpec pins row-identity with
-    // annIvfPq), but the plan is a broadcast join against ONE packed
-    // seed-matrix row + a map-side projection: no n × nCells scored-row
-    // materialization and NO exchange at all, where even the map-side
-    // partial max_by still iterated every scored row through the agg
-    // (r12; the term that scales with a production sqrt(N) cell count —
-    // semanticDedupPipeline passes ~1.4k cells at SF100)
+    val coded = encode(e.select("vec_id", "embedding"), seeds, cb)
+    val versions = Map(
+      "seeds" -> Versioned.write(seeds, s"$dir/seeds"),
+      "codebooks" -> Versioned.write(cb, s"$dir/codebooks"),
+      "coded" -> Versioned.write(coded, s"$dir/coded"),
+      "vectors" -> Versioned.write(
+        e.select("vec_id", "embedding"), s"$dir/vectors"))
+    commitMeta(ctx.spark, dir, versions)
+  }
+
+  /** Encode `vecs` (vec_id, embedding) under FIXED quantizers: nearest-seed
+    * cell plus the 8 PQ codes per vector. Shared by [[build]] and [[add]],
+    * so an incremental add encodes exactly the way the original build did —
+    * bit-identity by construction, not by parallel maintenance.
+    *
+    * The argmax runs through the PACKED native argmax_cosine
+    * (functions.ArgmaxCosine), not a crossJoin + max_by: identical
+    * assignment (same IEEE cosine op order, max-then-MIN-id ties —
+    * AnnIndexSpec pins row-identity with annIvfPq), but the plan is a
+    * broadcast join against ONE packed quantizer-matrix row + a map-side
+    * projection: no n × nCells scored-row materialization and NO exchange
+    * at all, where even the map-side partial max_by still iterated every
+    * scored row through the agg (r12; the term that scales with a
+    * production sqrt(N) cell count — semanticDedupPipeline passes ~1.4k
+    * cells at SF100). */
+  private def encode(vecs: DataFrame, seeds: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val sub = vecs.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
     val seedsPacked = seeds.agg(
       expr("flatten(transform(array_sort(collect_list(struct(cell_id, se))), x -> x.se))").as("smat"),
       expr("array_sort(collect_list(cell_id))").as("sids"))
-    val assigned = e.select(col("vec_id"), col("embedding"))
+    val assigned = vecs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(seedsPacked))
       .select(col("vec_id"),
         expr("element_at(sids, argmax_cosine(embedding, smat) + 1)").as("cell_id"))
@@ -124,24 +145,77 @@ object AnnIndex {
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(s, code))), x -> x.code)")
         .as("codes"))
-    val coded = assigned.join(codes, Seq("vec_id"))
+    assigned.join(codes, Seq("vec_id"))
       .select("vec_id", "cell_id", "codes")
-    val versions = Map(
-      "seeds" -> Versioned.write(seeds, s"$dir/seeds"),
-      "codebooks" -> Versioned.write(cb, s"$dir/codebooks"),
-      "coded" -> Versioned.write(coded, s"$dir/coded"),
-      "vectors" -> Versioned.write(
-        e.select("vec_id", "embedding"), s"$dir/vectors"))
-    // the generation commit: one row naming the four versions just
-    // published. Readers pin on THIS row; until it lands, the new tables
-    // are invisible (a crashed rebuild leaves the old generation serving).
-    val spark = ctx.spark
+  }
+
+  /** The generation commit: one row naming the four versions just
+    * published. Readers pin on THIS row; until it lands, the new tables
+    * are invisible (a crashed rebuild/add leaves the old generation
+    * serving). */
+  private def commitMeta(spark: SparkSession, dir: String,
+      versions: Map[String, Long]): Map[String, Long] = {
     val metaDf = spark.range(1).select(
       lit(versions("seeds")).as("seeds_v"),
       lit(versions("codebooks")).as("codebooks_v"),
       lit(versions("coded")).as("coded_v"),
       lit(versions("vectors")).as("vectors_v"))
     versions + ("meta" -> Versioned.write(metaDf, s"$dir/meta"))
+  }
+
+  /** Incrementally add a vector batch to the index — the FAISS `add`
+    * shape, the ingest path that makes a persisted index maintainable
+    * without rebuilds: encode `batch` (vec_id, embedding) under the
+    * CURRENTLY PINNED generation's quantizers (seeds/codebooks are reused
+    * untouched — no retraining), append the encoded rows to `coded` and
+    * the raw rows to `vectors` as new Versioned snapshots, and commit a
+    * new meta generation pinning (old seeds_v, old codebooks_v, new
+    * coded_v, new vectors_v). Work is proportional to the BATCH, not the
+    * corpus: the encode is one map-side pass over the batch against the
+    * broadcast quantizers, and the appends stage only the batch's files
+    * (Versioned append keeps prior files by reference).
+    *
+    * Because this index's quantizers are a pure function of the
+    * generation (never retrained on add), `build(half) + add(rest)` is
+    * BIT-IDENTICAL to `build(all)` whenever the rebuild would derive the
+    * same quantizers — proven row-for-row in AnnIndexSpec. Crash safety is
+    * the meta rule: readers pin the last committed generation, so a crash
+    * anywhere inside add leaves the previous index serving; the appended
+    * but unpinned snapshots are invisible. RETRY safety is the appendBase
+    * rule: both appends anchor on the PINNED versions, not the table tips,
+    * so a retry after a crashed add starts from the same generation the
+    * crashed attempt did — the orphan files the crash left on the tips are
+    * discarded, never duplicated into the new snapshot (spec-pinned).
+    * Corollary: concurrent adds to one index serialize externally, the
+    * contract concurrent builds already have (last meta commit wins).
+    *
+    * Rejects vec_ids already present (a silent duplicate would double rows
+    * in every downstream consumer); the check joins the bounded batch
+    * against the pinned coded relation, not corpus x corpus. */
+  def add(spark: SparkSession, dir: String, batch: DataFrame): Map[String, Long] = {
+    graft.functions.CosineSim.register(spark)
+    graft.functions.ArgmaxDot.register(spark)
+    val pin = pinnedVersions(spark, dir)
+    require(pin.values.forall(_.isDefined),
+      s"add requires a meta-pinned index generation at $dir (pre-meta " +
+        "indexes must be rebuilt once to gain a generation row)")
+    val seeds = Versioned.read(spark, s"$dir/seeds", pin("seeds"))
+    val cb = Versioned.read(spark, s"$dir/codebooks", pin("codebooks"))
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val clashes = b.join(
+        Versioned.read(spark, s"$dir/coded", pin("coded")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(clashes == 0,
+      s"add batch contains vec_ids already present in the index at $dir")
+    val versions = Map(
+      "seeds" -> pin("seeds").get,
+      "codebooks" -> pin("codebooks").get,
+      "coded" -> Versioned.write(encode(b, seeds, cb), s"$dir/coded",
+        mode = "append", appendBase = pin("coded")),
+      "vectors" -> Versioned.write(b, s"$dir/vectors", mode = "append",
+        appendBase = pin("vectors")))
+    commitMeta(spark, dir, versions)
   }
 
   /** Resolve the generation to serve: the latest meta row's pinned

@@ -80,7 +80,23 @@ object AnnIndexBench {
     require(rows1 == rows2 && rows1 > 0, s"serving drift: $rows1 vs $rows2")
     System.err.println(f"[annindex] query x2: $q1%.1f / $q2%.1f s ($rows1 result rows)")
 
-    println(s"""{"metric":"ann_index_persisted","sf":$sf,"n_vectors":$n,"cells_param":$nCells,"codewords_param":$nCodewords,"cells_actual":$cellsActual,"codewords_actual":$cwActual,"queries":$nQueries,"nprobe":$nprobe,"shortlist":$shortlist,"k":$k,"build_sec":$buildSec,"query_sec":$q1,"query_sec_2":$q2,"result_rows":$rows1,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
+    // 3. `add_sec` — incremental ingest of a 10% batch into the published
+    //    generation (AnnIndex.add): the maintenance cost a rebuild-only
+    //    index pays at FULL build price. Batch = the corpus re-identified
+    //    past the existing id range (same embedding distribution, ids
+    //    guaranteed fresh); the work claim is `add ∝ batch`, so the number
+    //    to compare against is build_sec * batch_fraction.
+    val batchN = math.max(1L, n / 10)
+    val batch = ctx.tbl("embeddings")
+      .filter(col("vec_id") <= batchN)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val (_, addSec) = timed(extensions.AnnIndex.add(spark, dir, batch))
+    val codedN = Versioned.read(spark, s"$dir/coded").count()
+    require(codedN == n + batchN, s"add row drift: $codedN != ${n + batchN}")
+    System.err.println(
+      f"[annindex] add of $batchN vectors: $addSec%.1f s (build was $buildSec%.1f)")
+
+    println(s"""{"metric":"ann_index_persisted","sf":$sf,"n_vectors":$n,"cells_param":$nCells,"codewords_param":$nCodewords,"cells_actual":$cellsActual,"codewords_actual":$cwActual,"queries":$nQueries,"nprobe":$nprobe,"shortlist":$shortlist,"k":$k,"build_sec":$buildSec,"query_sec":$q1,"query_sec_2":$q2,"add_batch":$batchN,"add_sec":$addSec,"result_rows":$rows1,"cpus":$cpus,"host_page_mbps":${HostProbe.pageMBps()}}""")
     spark.stop()
   }
 }

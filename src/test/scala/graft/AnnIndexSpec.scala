@@ -79,6 +79,81 @@ class AnnIndexSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental add is bit-identical to a full rebuild") {
+    val dirInc = "/tmp/graft-ann-index-add"
+    val dirFull = "/tmp/graft-ann-index-add-full"
+    Seq(dirInc, dirFull).foreach(d => rm(new java.io.File(d)))
+    val e = ctx.tbl("embeddings")
+    val n = e.count()
+    // corpus split: the quantizers are the low vec_ids ({1..7}/{1..15}),
+    // all inside the first half, so build(half) derives the SAME
+    // generation a full build would — the precondition add() documents
+    val halfDir = java.nio.file.Files.createTempDirectory("graft_ann_half").toString
+    e.filter(col("vec_id") <= n / 2)
+      .write.mode("overwrite").parquet(s"$halfDir/embeddings.parquet")
+    extensions.AnnIndex.build(Ctx(spark, halfDir), dirInc)
+    val pinnedSeedsBefore = Versioned.latestVersion(spark, s"$dirInc/seeds").get
+
+    val batch = e.filter(col("vec_id") > n / 2)
+      .select(col("vec_id"), col("embedding"))
+    extensions.AnnIndex.add(spark, dirInc, batch)
+
+    // the add reused the generation's quantizers: seeds tip did not move
+    assert(Versioned.latestVersion(spark, s"$dirInc/seeds").get
+      == pinnedSeedsBefore, "add must not republish quantizer tables")
+
+    extensions.AnnIndex.build(ctx, dirFull)
+    val inc = extensions.AnnIndex.query(spark, dirInc, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    val full = extensions.AnnIndex.query(spark, dirFull, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc.nonEmpty && inc == full,
+      s"incremental index diverged from the full rebuild; first delta: ${
+        inc.zipAll(full, "<missing>", "<missing>").find(p => p._1 != p._2)}")
+
+    // a colliding batch is rejected, and the failed add left no new
+    // generation behind (meta pins the pre-attempt coded version)
+    val metaBefore = Versioned.latestVersion(spark, s"$dirInc/meta").get
+    intercept[IllegalArgumentException] {
+      extensions.AnnIndex.add(spark, dirInc, batch)
+    }
+    assert(Versioned.latestVersion(spark, s"$dirInc/meta").get == metaBefore)
+  }
+
+  test("a retried add after a crash is exactly-once, not a duplicate") {
+    val dir = "/tmp/graft-ann-index-retry"
+    rm(new java.io.File(dir))
+    extensions.AnnIndex.build(ctx, dir)
+    val n = ctx.tbl("embeddings").count()
+    val batch = ctx.tbl("embeddings")
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+      .limit(50)
+
+    // simulate the crash window: a previous add appended its batch to the
+    // coded/vectors TIPS but died before the meta generation commit — the
+    // orphan snapshots exist, unpinned
+    graft.functions.CosineSim.register(spark)
+    graft.functions.ArgmaxDot.register(spark)
+    Versioned.write(
+      Versioned.read(spark, s"$dir/coded").limit(0), // schema-true orphan
+      s"$dir/coded", mode = "append")
+    val orphanVecs = Versioned.write(batch, s"$dir/vectors", mode = "append")
+    assert(orphanVecs > Versioned.read(spark, s"$dir/meta")
+      .head().getAs[Long]("vectors_v"),
+      "test setup: the vectors tip must be ahead of the pinned generation")
+
+    // the RETRY: must land exactly one copy of the batch in the new
+    // pinned generation — the orphan tip files are discarded, not carried
+    extensions.AnnIndex.add(spark, dir, batch)
+    val pinnedVecs = Versioned.read(spark, s"$dir/meta").head()
+      .getAs[Long]("vectors_v")
+    val vecs = Versioned.read(spark, s"$dir/vectors", Some(pinnedVecs))
+    assert(vecs.count() == n + 50,
+      s"expected ${n + 50} vectors (no duplicated batch), got ${vecs.count()}")
+    assert(vecs.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "duplicate vec_ids in the retried-add generation")
+  }
+
   test("semanticDedup consumes the persisted index and matches an inline recompute") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/tmp/graft-ann-index-semdedup"
