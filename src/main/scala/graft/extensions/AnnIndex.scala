@@ -105,7 +105,7 @@ object AnnIndex {
       "coded" -> Versioned.write(coded, s"$dir/coded"),
       "vectors" -> Versioned.write(
         e.select("vec_id", "embedding"), s"$dir/vectors"))
-    commitMeta(ctx.spark, dir, versions)
+    commitMeta(ctx.spark, dir, versions, batchId = -1L)
   }
 
   /** Encode `vecs` (vec_id, embedding) under FIXED quantizers: nearest-seed
@@ -150,18 +150,34 @@ object AnnIndex {
   }
 
   /** The generation commit: one row naming the four versions just
-    * published. Readers pin on THIS row; until it lands, the new tables
-    * are invisible (a crashed rebuild/add leaves the old generation
-    * serving). */
+    * published, plus the streaming-ingest ledger (`batch_id` — the highest
+    * stream batch folded into this generation, -1 when none). Readers pin
+    * on THIS row; until it lands, the new tables are invisible (a crashed
+    * rebuild/add leaves the old generation serving). */
   private def commitMeta(spark: SparkSession, dir: String,
-      versions: Map[String, Long]): Map[String, Long] = {
+      versions: Map[String, Long], batchId: Long): Map[String, Long] = {
     val metaDf = spark.range(1).select(
       lit(versions("seeds")).as("seeds_v"),
       lit(versions("codebooks")).as("codebooks_v"),
       lit(versions("coded")).as("coded_v"),
-      lit(versions("vectors")).as("vectors_v"))
+      lit(versions("vectors")).as("vectors_v"),
+      lit(batchId).as("batch_id"))
     versions + ("meta" -> Versioned.write(metaDf, s"$dir/meta"))
   }
+
+  /** The streaming-ingest ledger: the `batch_id` the serving generation
+    * carries (-1 for a fresh build, a pre-ledger index, or no index yet).
+    * [[graft.streaming.Streams.annIngestSink]] consults it to skip
+    * replayed microbatches — the generation commit and the ledger advance
+    * in ONE meta row, so "the batch's rows are visible" and "the batch is
+    * marked ingested" cannot diverge. */
+  def lastIngestBatch(spark: SparkSession, dir: String): Long =
+    if (Versioned.latestVersion(spark, s"$dir/meta").isEmpty) -1L
+    else {
+      val m = Versioned.read(spark, s"$dir/meta")
+      if (m.columns.contains("batch_id")) m.head().getAs[Long]("batch_id")
+      else -1L
+    }
 
   /** Incrementally add a vector batch to the index — the FAISS `add`
     * shape, the ingest path that makes a persisted index maintainable
@@ -191,14 +207,25 @@ object AnnIndex {
     *
     * Rejects vec_ids already present (a silent duplicate would double rows
     * in every downstream consumer); the check joins the bounded batch
-    * against the pinned coded relation, not corpus x corpus. */
-  def add(spark: SparkSession, dir: String, batch: DataFrame): Map[String, Long] = {
+    * against the pinned coded relation, not corpus x corpus.
+    *
+    * `batchId` threads the streaming-ingest ledger: a non-negative id is
+    * recorded in the new generation's meta row and must exceed the ledger
+    * (an already-ingested id fails loudly — the sink's skip handles the
+    * routine replay case BEFORE calling here); a manual add (batchId = -1)
+    * carries the previous ledger value forward so interleaved manual adds
+    * don't reset stream-replay protection. */
+  def add(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long = -1L): Map[String, Long] = {
     graft.functions.CosineSim.register(spark)
     graft.functions.ArgmaxDot.register(spark)
     val pin = pinnedVersions(spark, dir)
     require(pin.values.forall(_.isDefined),
       s"add requires a meta-pinned index generation at $dir (pre-meta " +
         "indexes must be rebuilt once to gain a generation row)")
+    val ledger = lastIngestBatch(spark, dir)
+    require(batchId < 0 || batchId > ledger,
+      s"stream batch $batchId already ingested at $dir (ledger: $ledger)")
     val seeds = Versioned.read(spark, s"$dir/seeds", pin("seeds"))
     val cb = Versioned.read(spark, s"$dir/codebooks", pin("codebooks"))
     val b = batch.select(col("vec_id"), col("embedding"))
@@ -215,7 +242,8 @@ object AnnIndex {
         mode = "append", appendBase = pin("coded")),
       "vectors" -> Versioned.write(b, s"$dir/vectors", mode = "append",
         appendBase = pin("vectors")))
-    commitMeta(spark, dir, versions)
+    commitMeta(spark, dir, versions,
+      batchId = if (batchId >= 0) batchId else ledger)
   }
 
   /** Resolve the generation to serve: the latest meta row's pinned

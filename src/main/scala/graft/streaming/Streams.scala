@@ -285,6 +285,42 @@ object Streams {
         ()
       }
 
+  /** Streaming vector ingest into the persisted ANN index
+    * ([[graft.extensions.AnnIndex]]) — the production shape for an
+    * embedding pipeline that must be searchable as it lands: each
+    * microbatch of (vec_id, embedding) rows is encoded under the PINNED
+    * generation's quantizers and published as a new index generation via
+    * [[graft.extensions.AnnIndex.add]]. Exactly-once across crash/replay
+    * comes from two rules composed: the meta row carries the
+    * streaming-ingest LEDGER (`batch_id`), advanced in the same atomic
+    * commit that makes the batch's rows visible, so a replayed microbatch
+    * whose generation already landed is skipped here; and a replay of a
+    * batch whose attempt CRASHED mid-add starts from the pinned
+    * generation (orphan tip appends are discarded by add's appendBase
+    * anchoring), landing the batch once. State is the one-row meta read
+    * per batch — nothing corpus-sized is tracked per stream. */
+  def annIngestSink(vectors: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIngestBatch(batch, dir, batchId)
+      }
+
+  /** One idempotent ingest step of [[annIngestSink]], factored out so the
+    * replay path is testable without crashing a live streaming query. */
+  private[graft] def annIngestBatch(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batchId > graft.extensions.AnnIndex.lastIngestBatch(spark, dir)
+        && !batch.isEmpty) {
+      graft.extensions.AnnIndex.add(spark, dir,
+        batch.select("vec_id", "embedding"), batchId)
+      ()
+    }
+  }
+
   /** [[lakeSink]] on the [[graft.Versioned]] transaction log — the
     * exactly-visible variant: each microbatch COMMITS (append) atomically,
     * so a concurrent reader sees whole batches or nothing, and every

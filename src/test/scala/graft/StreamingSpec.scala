@@ -176,4 +176,57 @@ class StreamingSpec extends SparkSpec {
       assert(closed.head.getAs[Long]("n_events") == 2)
     } finally q.stop()
   }
+
+  test("annIngestSink: streamed vector batches land exactly once in the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val dir = "/tmp/graft-ann-ingest"
+    rm(new java.io.File(dir))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ann_ingest_ckpt").toString
+    extensions.AnnIndex.build(ctx, dir)
+    val n = ctx.tbl("embeddings").count()
+    val vecs = ctx.tbl("embeddings")
+      .orderBy("vec_id").limit(60)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annIngestSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt).start()
+    try {
+      mem.addData(vecs.take(30).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(30).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pinned = Versioned.read(spark, s"$dir/meta").head()
+    val coded = Versioned.read(spark, s"$dir/coded",
+      Some(pinned.getAs[Long]("coded_v")))
+    assert(coded.count() == n + 60,
+      s"expected ${n + 60} coded vectors after two streamed batches")
+    assert(pinned.getAs[Long]("batch_id") == 1L,
+      "the ledger must carry the last folded stream batch")
+
+    // the crash-replay path: redelivering an already-committed batch id is
+    // a NO-OP (the ledger skip), never a duplicate and never a failure
+    val replay = ctx.tbl("embeddings").orderBy("vec_id").limit(30)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    Streams.annIngestBatch(replay, dir, batchId = 0L)
+    val after = Versioned.read(spark, s"$dir/meta").head()
+    assert(after.getAs[Long]("coded_v") == pinned.getAs[Long]("coded_v")
+      && after.getAs[Long]("batch_id") == 1L,
+      "replaying a committed batch must not publish a new generation")
+
+    // a manual add AFTER streamed batches carries the ledger forward, so
+    // replay protection survives interleaved maintenance
+    val manual = ctx.tbl("embeddings").orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 10 * n).as("vec_id"), col("embedding"))
+    extensions.AnnIndex.add(spark, dir, manual)
+    assert(extensions.AnnIndex.lastIngestBatch(spark, dir) == 1L)
+  }
 }
