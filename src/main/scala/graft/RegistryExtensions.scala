@@ -443,7 +443,7 @@ private[graft] object RegistryExtensions {
       ctx => extensions.AnnIndex.semanticDedupPipeline(ctx).orderBy("vec_id"),
       s""", r_sd_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
          |, r_sd_seeds AS (SELECT vec_id AS cell_id, ed AS se FROM r_sd_emb
-         |    WHERE vec_id <= (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings))
+         |    WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings))
          |, r_sd_assigned AS (SELECT vec_id, cell_id, ed FROM (
          |    SELECT v.vec_id, s.cell_id, v.ed,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id

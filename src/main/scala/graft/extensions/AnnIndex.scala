@@ -69,34 +69,48 @@ object AnnIndex {
 
   /** Build the index from `ctx`'s `embeddings` table and publish under
     * `dir`. `nCells`/`nCodewords` set the coarse/PQ shape and mean exactly
-    * what they say: seeds = the FIRST `nCells` vec_ids (`vec_id <= nCells`
-    * on the 1-based ids), codebooks = per-subspace slices of the first
-    * `nCodewords` vec_ids. A production build passes ~sqrt(N) cells and
-    * 256 codewords. The defaults (7 cells / 15 codewords) are the
-    * [[Similarity.annIvfPq]] verification shape — annIvfPq/annIvf fix
-    * their quantizers as the seed SETS {1..7} and {1..15}, and matching
-    * those sets exactly is what gives the AnnIndexSpec row-identity (and
-    * through the oracle twins, cross-engine parity). Pre-r12 this API took
-    * `vec_id < nCells` and yielded nCells-1 seeds (the r11 verdict's
-    * off-by-one scar); callers that sized cells with a +1 compensation
-    * have been updated in lockstep, and published seed counts now equal
-    * the parameter (AnnIndexBench's `cells_actual` confirms per artifact).
+    * what they say: seeds = the `nCells` SMALLEST vec_ids, codebooks =
+    * per-subspace slices of the `nCodewords` smallest. This is a RANK
+    * rule, not an id threshold, because the two corpora this engine reads
+    * disagree on id base — driver testdata is 0-based dense, the synth
+    * generator 1-based dense — so any `vec_id < n` / `<= n` rule publishes
+    * a different cell count per corpus (the r11 off-by-one scar was this
+    * wart surfacing on the synth side). The rank rule publishes exactly
+    * the parameterized shape on ANY id set; AnnIndexBench's
+    * `cells_actual` confirms it per artifact. A production build passes
+    * ~sqrt(N) cells and 256 codewords. The defaults (8 cells / 16
+    * codewords) are the [[Similarity.annIvfPq]] verification shape —
+    * annIvfPq/annIvf fix their quantizers as the testdata seed sets
+    * {0..7} and {0..15}, and matching those sets exactly is what gives
+    * the AnnIndexSpec row-identity (and through the oracle twins,
+    * cross-engine parity).
     * Returns table -> committed version, including the `meta` generation
     * commit that makes the five publishes one atomic index version. */
-  def build(ctx: Ctx, dir: String, nCells: Int = 7,
-      nCodewords: Int = 15): Map[String, Long] = {
+  def build(ctx: Ctx, dir: String, nCells: Int = 8,
+      nCodewords: Int = 16): Map[String, Long] = {
     require(nCells >= 1 && nCodewords >= 1,
       s"build needs >=1 seed and >=1 codeword: " +
         s"nCells=$nCells nCodewords=$nCodewords")
     graft.functions.CosineSim.register(ctx.spark)
     graft.functions.ArgmaxDot.register(ctx.spark)
     val e = ctx.tbl("embeddings")
-    val seeds = e.filter(col("vec_id") <= nCells)
+    // the quantizer id cuts: one TakeOrdered over the id column, bounded
+    // by max(nCells, nCodewords) rows on the driver — ~sqrt(N) at
+    // production sizes, bounded by construction
+    val nq = math.max(nCells, nCodewords)
+    val qIds = e.select(col("vec_id")).orderBy(col("vec_id")).limit(nq)
+      .collect().map(_.getLong(0))
+    require(qIds.length >= nq,
+      s"corpus has only ${qIds.length} vectors — the requested quantizer " +
+        s"shape needs >= $nq (nCells=$nCells nCodewords=$nCodewords)")
+    val cellCut = qIds(nCells - 1)
+    val cwCut = qIds(nCodewords - 1)
+    val seeds = e.filter(col("vec_id") <= cellCut)
       .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
     val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"),
         col("embedding"))
       .select(col("vec_id"), col("s"), expr("slice(embedding, s * 8 + 1, 8)").as("sv"))
-    val cb = sub.filter(col("vec_id") <= nCodewords)
+    val cb = sub.filter(col("vec_id") <= cwCut)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
     val coded = encode(e.select("vec_id", "embedding"), seeds, cb)
     val versions = Map(
@@ -261,6 +275,33 @@ object AnnIndex {
       val row = Versioned.read(spark, s"$dir/meta").head()
       Tables.map(t => t -> Some(row.getAs[Long](s"${t}_v"))).toMap
     }
+
+  /** Collapse the pinned generation's `coded`/`vectors` into `nFiles` data
+    * files each and publish the result as a NEW generation — the
+    * small-files maintenance a streaming-ingested index needs: every
+    * [[add]] appends its batch as fresh files, so a long-running
+    * [[graft.streaming.Streams.annIngestSink]] accretes one file set per
+    * microbatch and scan fan-out degrades. Rows, quantizers, and the
+    * ingest ledger are carried UNCHANGED (serving results are identical by
+    * construction — spec-pinned); readers keep the old generation until
+    * the meta commit lands (crash-safe like every other publish here), and
+    * superseded files remain time-travelable until `Versioned.vacuum`. */
+  def compact(spark: SparkSession, dir: String, nFiles: Int = 8): Map[String, Long] = {
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    val pin = pinnedVersions(spark, dir)
+    require(pin.values.forall(_.isDefined),
+      s"compact requires a meta-pinned index generation at $dir")
+    val versions = Map(
+      "seeds" -> pin("seeds").get,
+      "codebooks" -> pin("codebooks").get,
+      "coded" -> Versioned.write(
+        Versioned.read(spark, s"$dir/coded", pin("coded")).repartition(nFiles),
+        s"$dir/coded"),
+      "vectors" -> Versioned.write(
+        Versioned.read(spark, s"$dir/vectors", pin("vectors")).repartition(nFiles),
+        s"$dir/vectors"))
+    commitMeta(spark, dir, versions, batchId = lastIngestBatch(spark, dir))
+  }
 
   /** Serve IVFADC top-k from the persisted index: `queries` is
     * (query_id, qe: array<float>). Output schema and every tie-break are

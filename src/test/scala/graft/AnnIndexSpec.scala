@@ -154,6 +154,36 @@ class AnnIndexSpec extends SparkSpec {
       "duplicate vec_ids in the retried-add generation")
   }
 
+  test("compact collapses ingest files into a new generation, serving unchanged") {
+    val dir = "/tmp/graft-ann-index-compact"
+    rm(new java.io.File(dir))
+    extensions.AnnIndex.build(ctx, dir)
+    val n = ctx.tbl("embeddings").count()
+    // four adds = four appended file sets on top of the build's
+    (0 until 4).foreach { i =>
+      val batch = ctx.tbl("embeddings")
+        .filter(col("vec_id") < 10)
+        .select((col("vec_id") + n * (i + 1)).as("vec_id"), col("embedding"))
+      extensions.AnnIndex.add(spark, dir, batch, batchId = i.toLong)
+    }
+    val before = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = Versioned.readManifest(spark, s"$dir/coded").files.size
+
+    extensions.AnnIndex.compact(spark, dir, nFiles = 2)
+
+    val m = Versioned.readManifest(spark, s"$dir/coded")
+    assert(m.files.size <= 2 && m.files.size < filesBefore,
+      s"expected <=2 coded files after compact, got ${m.files.size} (was $filesBefore)")
+    val coded = Versioned.read(spark, s"$dir/coded")
+    assert(coded.count() == n + 40, "compact must not change the row set")
+    val after = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "serving changed across compact")
+    // the ingest ledger survives compaction — replay protection intact
+    assert(extensions.AnnIndex.lastIngestBatch(spark, dir) == 3L)
+  }
+
   test("semanticDedup consumes the persisted index and matches an inline recompute") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/tmp/graft-ann-index-semdedup"
@@ -168,7 +198,9 @@ class AnnIndexSpec extends SparkSpec {
     // SemDeDup lower-id rule
     graft.functions.CosineSim.register(spark)
     val e = ctx.tbl("embeddings")
-    val seeds = e.filter(col("vec_id") <= nCells)
+    // the rank rule's testdata form: ids are dense from 0, so the nCells
+    // smallest vec_ids are exactly vec_id < nCells
+    val seeds = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("se"))
     val assigned = e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(seeds))
