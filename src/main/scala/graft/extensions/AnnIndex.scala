@@ -165,19 +165,43 @@ object AnnIndex {
 
   /** The generation commit: one row naming the four versions just
     * published, plus the streaming-ingest ledger (`batch_id` — the highest
-    * stream batch folded into this generation, -1 when none). Readers pin
-    * on THIS row; until it lands, the new tables are invisible (a crashed
-    * rebuild/add leaves the old generation serving). */
+    * stream batch folded into this generation, -1 when none) and the
+    * tombstone-set version (`tombstones_v` — -1 when the generation has no
+    * deletions). Readers pin on THIS row; until it lands, the new tables
+    * are invisible (a crashed rebuild/add/remove leaves the old generation
+    * serving). */
   private def commitMeta(spark: SparkSession, dir: String,
-      versions: Map[String, Long], batchId: Long): Map[String, Long] = {
+      versions: Map[String, Long], batchId: Long,
+      tombstonesV: Long = -1L): Map[String, Long] = {
     val metaDf = spark.range(1).select(
       lit(versions("seeds")).as("seeds_v"),
       lit(versions("codebooks")).as("codebooks_v"),
       lit(versions("coded")).as("coded_v"),
       lit(versions("vectors")).as("vectors_v"),
-      lit(batchId).as("batch_id"))
+      lit(batchId).as("batch_id"),
+      lit(tombstonesV).as("tombstones_v"))
     versions + ("meta" -> Versioned.write(metaDf, s"$dir/meta"))
   }
+
+  /** The generation's tombstone-set version: Some(v) when deletions are
+    * pending materialization, None for a fresh build, a purge-compacted
+    * generation, or a pre-tombstone meta row. */
+  private def pinnedTombstones(spark: SparkSession, dir: String): Option[Long] =
+    if (Versioned.latestVersion(spark, s"$dir/meta").isEmpty) None
+    else {
+      val m = Versioned.read(spark, s"$dir/meta")
+      if (!m.columns.contains("tombstones_v")) None
+      else Some(m.head().getAs[Long]("tombstones_v")).filter(_ >= 0)
+    }
+
+  /** Drop `tombstones` (distinct removed vec_ids) from a relation keyed by
+    * vec_id. No broadcast hint: the tombstone set is usually tiny (AQE
+    * broadcasts it), but a mass-delete should degrade to a shuffle join,
+    * not an executor OOM. */
+  private def dropTombstoned(rel: DataFrame,
+      tombstones: Option[DataFrame]): DataFrame =
+    tombstones.fold(rel)(t =>
+      rel.join(t.select("vec_id").distinct(), Seq("vec_id"), "left_anti"))
 
   /** The streaming-ingest ledger: the `batch_id` the serving generation
     * carries (-1 for a fresh build, a pre-ledger index, or no index yet).
@@ -257,7 +281,38 @@ object AnnIndex {
       "vectors" -> Versioned.write(b, s"$dir/vectors", mode = "append",
         appendBase = pin("vectors")))
     commitMeta(spark, dir, versions,
-      batchId = if (batchId >= 0) batchId else ledger)
+      batchId = if (batchId >= 0) batchId else ledger,
+      tombstonesV = pinnedTombstones(spark, dir).getOrElse(-1L))
+  }
+
+  /** Delete vectors from the index — the tombstone shape (FAISS
+    * IDSelector / lakehouse deletion-vector semantics): `ids` (vec_id)
+    * join the generation's tombstone SET, published as a new tombstones
+    * snapshot and pinned by a new meta generation; `coded`/`vectors`
+    * files are untouched, so a remove costs O(ids), not a corpus rewrite.
+    * Serving paths anti-join the tombstone set; [[compact]] MATERIALIZES
+    * the deletions (rewrites without the tombstoned rows and clears the
+    * set) — until then a removed id cannot be re-added (its rows still
+    * exist under the tombstone; [[add]]'s collision guard rejects it).
+    * Crash/retry safety is the same meta rule as add: the tombstone
+    * append anchors on the pinned set (orphans discarded), and nothing is
+    * visible until the meta row lands. Removing an absent id is a no-op
+    * by construction (anti-join semantics). */
+  def remove(spark: SparkSession, dir: String, ids: DataFrame): Map[String, Long] = {
+    val pin = pinnedVersions(spark, dir)
+    require(pin.values.forall(_.isDefined),
+      s"remove requires a meta-pinned index generation at $dir")
+    val prevT = pinnedTombstones(spark, dir)
+    val t = ids.select(col("vec_id")).distinct()
+    val tv = prevT match {
+      case Some(v) => Versioned.write(t, s"$dir/tombstones", mode = "append",
+        appendBase = Some(v))
+      case None => Versioned.write(t, s"$dir/tombstones")
+    }
+    commitMeta(spark, dir,
+      Map("seeds" -> pin("seeds").get, "codebooks" -> pin("codebooks").get,
+        "coded" -> pin("coded").get, "vectors" -> pin("vectors").get),
+      batchId = lastIngestBatch(spark, dir), tombstonesV = tv)
   }
 
   /** Resolve the generation to serve: the latest meta row's pinned
@@ -281,24 +336,31 @@ object AnnIndex {
     * small-files maintenance a streaming-ingested index needs: every
     * [[add]] appends its batch as fresh files, so a long-running
     * [[graft.streaming.Streams.annIngestSink]] accretes one file set per
-    * microbatch and scan fan-out degrades. Rows, quantizers, and the
-    * ingest ledger are carried UNCHANGED (serving results are identical by
-    * construction — spec-pinned); readers keep the old generation until
-    * the meta commit lands (crash-safe like every other publish here), and
-    * superseded files remain time-travelable until `Versioned.vacuum`. */
+    * microbatch and scan fan-out degrades. Pending [[remove]] tombstones
+    * are MATERIALIZED here (the rewrite drops the tombstoned rows and the
+    * new generation carries an empty tombstone set — lakehouse
+    * purge-on-rewrite). Live rows, quantizers, the ingest ledger, and
+    * serving results carry UNCHANGED (spec-pinned); readers keep the old
+    * generation until the meta commit lands (crash-safe like every other
+    * publish here), and superseded files remain time-travelable until
+    * `Versioned.vacuum`. */
   def compact(spark: SparkSession, dir: String, nFiles: Int = 8): Map[String, Long] = {
     require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
     val pin = pinnedVersions(spark, dir)
     require(pin.values.forall(_.isDefined),
       s"compact requires a meta-pinned index generation at $dir")
+    val tomb = pinnedTombstones(spark, dir)
+      .map(v => Versioned.read(spark, s"$dir/tombstones", Some(v)))
     val versions = Map(
       "seeds" -> pin("seeds").get,
       "codebooks" -> pin("codebooks").get,
       "coded" -> Versioned.write(
-        Versioned.read(spark, s"$dir/coded", pin("coded")).repartition(nFiles),
+        dropTombstoned(Versioned.read(spark, s"$dir/coded", pin("coded")), tomb)
+          .repartition(nFiles),
         s"$dir/coded"),
       "vectors" -> Versioned.write(
-        Versioned.read(spark, s"$dir/vectors", pin("vectors")).repartition(nFiles),
+        dropTombstoned(Versioned.read(spark, s"$dir/vectors", pin("vectors")), tomb)
+          .repartition(nFiles),
         s"$dir/vectors"))
     commitMeta(spark, dir, versions, batchId = lastIngestBatch(spark, dir))
   }
@@ -317,7 +379,13 @@ object AnnIndex {
     val pin = pinnedVersions(spark, dir)
     val seeds = Versioned.read(spark, s"$dir/seeds", pin("seeds"))
     val cb = Versioned.read(spark, s"$dir/codebooks", pin("codebooks"))
-    val coded = Versioned.read(spark, s"$dir/coded", pin("coded"))
+    // pending deletions hide at the candidate source: a tombstoned vector
+    // can never appear in any shortlist (vectors joins by cand_id later,
+    // so filtering coded covers the whole pipeline)
+    val tomb = pinnedTombstones(spark, dir)
+      .map(v => Versioned.read(spark, s"$dir/tombstones", Some(v)))
+    val coded = dropTombstoned(
+      Versioned.read(spark, s"$dir/coded", pin("coded")), tomb)
     val vectors = Versioned.read(spark, s"$dir/vectors", pin("vectors"))
     // slot-array width: codes are the RAW codebook ids persisted at build
     // time (vec_ids — NOT densely reindexed, so remapping candidates is
@@ -414,7 +482,10 @@ object AnnIndex {
       tau: Double = 0.4): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val pin = pinnedVersions(spark, dir)
-    val coded = Versioned.read(spark, s"$dir/coded", pin("coded"))
+    val tomb = pinnedTombstones(spark, dir)
+      .map(v => Versioned.read(spark, s"$dir/tombstones", Some(v)))
+    val coded = dropTombstoned(
+        Versioned.read(spark, s"$dir/coded", pin("coded")), tomb)
       .select(col("vec_id"), col("cell_id"))
     val vectors = Versioned.read(spark, s"$dir/vectors", pin("vectors"))
     val members = coded.join(vectors, Seq("vec_id"))

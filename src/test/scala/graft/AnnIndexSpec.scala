@@ -184,6 +184,59 @@ class AnnIndexSpec extends SparkSpec {
     assert(extensions.AnnIndex.lastIngestBatch(spark, dir) == 3L)
   }
 
+  test("remove tombstones vectors; compact purges; re-add restores") {
+    import spark.implicits._
+    val dir = "/tmp/graft-ann-index-remove"
+    val dirReduced = "/tmp/graft-ann-index-remove-reduced"
+    Seq(dir, dirReduced).foreach(d => rm(new java.io.File(d)))
+    extensions.AnnIndex.build(ctx, dir)
+    val n = ctx.tbl("embeddings").count()
+    val baseline = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+
+    // remove two result candidates OUTSIDE the quantizer id range, so a
+    // rebuild on the reduced corpus derives the same quantizers and is the
+    // exact independent expectation for tombstoned serving
+    val victims = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .filter(col("cand_id") >= 16).select("cand_id").distinct()
+      .orderBy("cand_id").limit(2).collect().map(_.getLong(0)).toSeq
+    assert(victims.size == 2, "test needs two removable result candidates")
+    extensions.AnnIndex.remove(spark, dir, victims.toDF("vec_id"))
+
+    val afterRemove = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRemove != baseline, "removal must change results")
+
+    val reducedDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_reduced").toString
+    ctx.tbl("embeddings").filter(!col("vec_id").isInCollection(victims))
+      .write.mode("overwrite").parquet(s"$reducedDir/embeddings.parquet")
+    extensions.AnnIndex.build(Ctx(spark, reducedDir), dirReduced)
+    val rebuilt = extensions.AnnIndex.query(spark, dirReduced, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRemove == rebuilt,
+      "tombstoned serving must equal a rebuild on the reduced corpus")
+
+    // compact materializes: rows drop, tombstone set clears, serving holds
+    extensions.AnnIndex.compact(spark, dir, nFiles = 2)
+    assert(Versioned.read(spark, s"$dir/coded").count() == n - 2)
+    assert(Versioned.read(spark, s"$dir/meta").head()
+      .getAs[Long]("tombstones_v") == -1L, "compact must clear tombstones")
+    val afterCompact = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterCompact == afterRemove)
+
+    // once purged, the ids are free again: re-adding the same vectors
+    // restores the original baseline exactly
+    val restore = ctx.tbl("embeddings")
+      .filter(col("vec_id").isInCollection(victims))
+      .select(col("vec_id"), col("embedding"))
+    extensions.AnnIndex.add(spark, dir, restore)
+    val restored = extensions.AnnIndex.query(spark, dir, queriesDf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(restored == baseline, "re-added vectors must restore the baseline")
+  }
+
   test("semanticDedup consumes the persisted index and matches an inline recompute") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/tmp/graft-ann-index-semdedup"
