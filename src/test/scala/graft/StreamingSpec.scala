@@ -195,8 +195,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
     val mem = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 1: batch 1 triggers the in-loop compact after its add
     val q = Streams.annIngestSink(
-      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt).start()
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt,
+      compactEvery = 1, compactFiles = 2).start()
     try {
       mem.addData(vecs.take(30).toIndexedSeq)
       q.processAllAvailable()
@@ -210,7 +212,10 @@ class StreamingSpec extends SparkSpec {
     assert(coded.count() == n + 60,
       s"expected ${n + 60} coded vectors after two streamed batches")
     assert(pinned.getAs[Long]("batch_id") == 1L,
-      "the ledger must carry the last folded stream batch")
+      "the ledger must carry the last folded stream batch (incl. across " +
+        "the in-loop compact, which republishes meta)")
+    assert(Versioned.readManifest(spark, s"$dir/coded").files.size <= 2,
+      "the in-loop compact must have collapsed the ingest file sets")
 
     // the crash-replay path: redelivering an already-committed batch id is
     // a NO-OP (the ledger skip), never a duplicate and never a failure
